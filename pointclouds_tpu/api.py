@@ -1,0 +1,587 @@
+"""Public Python API: drop-in surface of the reference ``pointclouds_rs``.
+
+Exposes the exact module surface of the reference PyO3 bindings
+(ref: crates/python/src/lib.rs:12-49): one ``PointCloud`` class, the
+``IcpResult``/``PlaneResult`` result classes, and 15 functions with the same
+names, signatures, kwargs defaults, and exception behavior
+(ref: crates/python/src/{cloud,filters,normals,registration,segmentation,io}.rs).
+
+Backing implementation is jitted JAX on padded masked arrays; real lengths
+materialize only here, at the host boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import secrets
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.cloud import (
+    CloudArrays,
+    apply_rigid,
+    bucket_size,
+    compact,
+    gather_cloud,
+    make_cloud_arrays,
+    mask_cloud,
+)
+from .io import las as _las
+from .io import pcd as _pcd
+from .io import ply as _ply
+from .ops import filters as _filters
+from .ops import normals as _normals
+from .ops import registration as _registration
+from .ops import segmentation as _segmentation
+from .spatial import engine as _engine
+
+__all__ = [
+    "PointCloud",
+    "IcpResult",
+    "PlaneResult",
+    "voxel_downsample",
+    "passthrough_filter",
+    "statistical_outlier_removal",
+    "radius_outlier_removal",
+    "estimate_normals",
+    "icp_point_to_point",
+    "icp_point_to_plane",
+    "apply_transform",
+    "euclidean_cluster",
+    "ransac_plane",
+    "ransac_plane_seeded",
+    "read_pcd",
+    "write_pcd",
+    "write_pcd_binary",
+    "read_ply",
+    "write_ply",
+    "write_ply_binary",
+    "read_las",
+]
+
+
+# ── Jitted host-boundary helpers ─────────────────────────────────────────────
+
+
+@jax.jit
+def _compact_and_count(arrs: CloudArrays):
+    out = compact(arrs)
+    return out, jnp.sum(out.valid.astype(jnp.int32))
+
+
+def _slice_arrays(arrs: CloudArrays, cap: int) -> CloudArrays:
+    def cut(a):
+        return None if a is None else a[:cap]
+
+    return CloudArrays(
+        xyz=cut(arrs.xyz),
+        valid=cut(arrs.valid),
+        normals=cut(arrs.normals),
+        colors=cut(arrs.colors),
+        intensity=cut(arrs.intensity),
+    )
+
+
+# ── PointCloud ───────────────────────────────────────────────────────────────
+
+
+class PointCloud:
+    """Host-facing point cloud (ref: crates/python/src/cloud.rs).
+
+    Stores compacted padded device arrays: rows [0, len) are the points in
+    order; rows beyond are masked padding.
+    """
+
+    __slots__ = ("_arrs", "_count")
+
+    def __init__(self):
+        self._arrs = make_cloud_arrays(np.zeros((0, 3), np.float32))
+        self._count = 0
+
+    # Internal constructor from already-compacted arrays.
+    @classmethod
+    def _from(cls, arrs: CloudArrays, count: int) -> "PointCloud":
+        self = cls.__new__(cls)
+        cap = bucket_size(count)
+        if cap < arrs.capacity:
+            arrs = _slice_arrays(arrs, cap)
+        self._arrs = arrs
+        self._count = int(count)
+        return self
+
+    @classmethod
+    def _from_masked(cls, arrs: CloudArrays) -> "PointCloud":
+        out, cnt = _compact_and_count(arrs)
+        return cls._from(out, int(cnt))
+
+    @staticmethod
+    def from_numpy(array) -> "PointCloud":
+        if not isinstance(array, np.ndarray):
+            raise TypeError(
+                "expected NumPy array with dtype float32 or float64, shape (N, 3)"
+            )
+        if array.dtype not in (np.float32, np.float64):
+            raise TypeError(
+                "expected NumPy array with dtype float32 or float64, shape (N, 3)"
+            )
+        if array.ndim != 2 or array.shape[1] != 3:
+            raise ValueError("expected shape (N, 3)")
+        if not array.flags["C_CONTIGUOUS"]:
+            raise ValueError(
+                "array must be C-contiguous (row-major). "
+                "Use numpy.ascontiguousarray(arr) to convert."
+            )
+        data = array.astype(np.float32, copy=False)
+        self = PointCloud.__new__(PointCloud)
+        self._arrs = make_cloud_arrays(data)
+        self._count = int(array.shape[0])
+        return self
+
+    def len(self) -> int:
+        return self._count
+
+    def is_empty(self) -> bool:
+        return self._count == 0
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self._arrs.xyz)[: self._count].copy()
+
+    def _check_indices(self, indices) -> np.ndarray:
+        idx = np.asarray(list(indices), dtype=np.int64)
+        if idx.size:
+            bad = idx[(idx < 0) | (idx >= self._count)]
+            if bad.size:
+                raise IndexError(
+                    f"index {int(bad[0])} out of bounds for cloud with "
+                    f"{self._count} points"
+                )
+        return idx
+
+    def select(self, indices) -> "PointCloud":
+        idx = self._check_indices(indices)
+        m = idx.shape[0]
+        cap = bucket_size(m)
+        idx_pad = np.zeros((cap,), np.int32)
+        idx_pad[:m] = idx
+        valid = np.arange(cap) < m
+        out = _jit_gather(self._arrs, jnp.asarray(idx_pad), jnp.asarray(valid))
+        return PointCloud._from(out, m)
+
+    def select_inverse(self, indices) -> "PointCloud":
+        idx = self._check_indices(indices)
+        exclude = np.zeros((self._count,), bool)
+        exclude[idx] = True
+        kept = np.nonzero(~exclude)[0]
+        return self.select(kept)
+
+    def __len__(self) -> int:
+        return self._count
+
+    def __repr__(self) -> str:
+        return f"PointCloud(n={self._count})"
+
+    # ── Internal attribute access (not part of the reference's public
+    #    binding surface, which exposes no normal/color getters) ──
+
+    @property
+    def _has_normals(self) -> bool:
+        return self._arrs.normals is not None
+
+    def _normals_numpy(self) -> Optional[np.ndarray]:
+        if self._arrs.normals is None:
+            return None
+        return np.asarray(self._arrs.normals)[: self._count].copy()
+
+    def _colors_numpy(self) -> Optional[np.ndarray]:
+        if self._arrs.colors is None:
+            return None
+        return np.asarray(self._arrs.colors)[: self._count].copy()
+
+    def _intensity_numpy(self) -> Optional[np.ndarray]:
+        if self._arrs.intensity is None:
+            return None
+        return np.asarray(self._arrs.intensity)[: self._count].copy()
+
+
+_jit_gather = jax.jit(gather_cloud)
+
+
+def _cloud_from_host(
+    xyz: np.ndarray, normals=None, colors=None, intensity=None
+) -> PointCloud:
+    self = PointCloud.__new__(PointCloud)
+    self._arrs = make_cloud_arrays(xyz, normals, colors, intensity)
+    self._count = int(np.asarray(xyz).reshape(-1, 3).shape[0])
+    return self
+
+
+# ── Result classes ───────────────────────────────────────────────────────────
+
+
+@dataclasses.dataclass
+class IcpResult:
+    """(ref: crates/python/src/registration.rs:4-29)"""
+
+    converged: bool
+    fitness: float
+    rmse: float
+    num_iterations: int
+    translation: list
+    rotation: list
+
+    def __repr__(self) -> str:
+        return (
+            f"IcpResult(converged={self.converged}, rmse={self.rmse:.6f}, "
+            f"iterations={self.num_iterations})"
+        )
+
+
+@dataclasses.dataclass
+class PlaneResult:
+    """(ref: crates/python/src/segmentation.rs:19-38)"""
+
+    normal: list
+    d: float
+    inliers: list
+
+    def __repr__(self) -> str:
+        return (
+            f"PlaneResult(normal={self.normal}, d={self.d:.4f}, "
+            f"inliers={len(self.inliers)})"
+        )
+
+
+# ── Filters ──────────────────────────────────────────────────────────────────
+
+
+def voxel_downsample(cloud: PointCloud, voxel_size: float) -> PointCloud:
+    voxel_size = float(voxel_size)
+    if not math.isfinite(voxel_size) or voxel_size <= 0.0:
+        raise ValueError("voxel_size must be > 0 and finite")
+    if cloud.is_empty():
+        return PointCloud()
+    centroids, out_valid = _filters.voxel_downsample_masked(
+        cloud._arrs.xyz, cloud._arrs.valid, jnp.float32(voxel_size)
+    )
+    # Output attributes are dropped, like the reference's from_xyz result
+    # (ref: crates/filters/src/voxel_downsample.rs:64).
+    return PointCloud._from_masked(CloudArrays(xyz=centroids, valid=out_valid))
+
+
+_AXES = {"x": 0, "X": 0, "y": 1, "Y": 1, "z": 2, "Z": 2}
+
+
+def passthrough_filter(
+    cloud: PointCloud, axis: str, min: float, max: float
+) -> PointCloud:
+    if axis not in _AXES:
+        raise ValueError("axis must be 'x', 'y', or 'z'")
+    if cloud.is_empty():
+        return PointCloud()
+    keep = _jit_passthrough(
+        cloud._arrs.xyz,
+        cloud._arrs.valid,
+        _AXES[axis],
+        jnp.float32(min),
+        jnp.float32(max),
+    )
+    return PointCloud._from_masked(mask_cloud(cloud._arrs, keep))
+
+
+_jit_passthrough = jax.jit(
+    _filters.passthrough_mask, static_argnames=("axis_index",)
+)
+
+
+def statistical_outlier_removal(
+    cloud: PointCloud, k: int, std_mul: float
+) -> PointCloud:
+    std_mul = float(std_mul)
+    if not math.isfinite(std_mul) or std_mul < 0.0:
+        raise ValueError("std_mul must be >= 0 and finite")
+    k = int(k)
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if cloud.is_empty() or k == 0:
+        return PointCloud()
+    if cloud.len() == 1:
+        # Single point: nothing to compare against, keep it (ref :10-12).
+        return cloud.select([0])
+
+    xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
+    dists, _, nvalid = _engine.knn(xyz, valid, xyz, valid, k + 1)
+    keep = _jit_sor_keep(xyz, valid, dists, nvalid, jnp.float32(std_mul))
+    return PointCloud._from_masked(mask_cloud(cloud._arrs, keep))
+
+
+@jax.jit
+def _jit_sor_keep(xyz, valid, dists, nvalid, std_mul):
+    q_finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    mean = _filters.sor_mean_dists_from_knn(dists, nvalid, q_finite)
+    return _filters.sor_keep_mask(mean, valid, std_mul)
+
+
+def radius_outlier_removal(
+    cloud: PointCloud, radius: float, min_neighbors: int
+) -> PointCloud:
+    radius = float(radius)
+    if not math.isfinite(radius) or radius <= 0.0:
+        raise ValueError("radius must be > 0 and finite")
+    min_neighbors = int(min_neighbors)
+    if cloud.is_empty():
+        return PointCloud()
+    xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
+    counts = _engine.radius_count(xyz, valid, xyz, valid, radius)
+    keep = jnp.logical_and(valid, counts >= min_neighbors)
+    return PointCloud._from_masked(mask_cloud(cloud._arrs, keep))
+
+
+# ── Normals ──────────────────────────────────────────────────────────────────
+
+
+def estimate_normals(cloud: PointCloud, k: int) -> PointCloud:
+    return estimate_normals_with_viewpoint(cloud, k, (0.0, 0.0, 0.0))
+
+
+def estimate_normals_with_viewpoint(
+    cloud: PointCloud, k: int, viewpoint
+) -> PointCloud:
+    """Returns a new cloud with normals attached
+    (ref: crates/python/src/normals.rs:5-10)."""
+    k = int(k)
+    if k <= 0 or cloud.is_empty():
+        # Reference attaches zero-length normals in this case; our container
+        # cannot express mismatched lengths, so no normals are attached.
+        # Both surfaces then fail icp_point_to_plane with a ValueError.
+        return PointCloud._from(dataclasses.replace(cloud._arrs, normals=None),
+                                cloud.len())
+    xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
+    _, idx, nvalid = _engine.knn(xyz, valid, xyz, valid, k)
+    normals = _normals.normals_from_knn(
+        xyz, idx, nvalid, jnp.asarray(viewpoint, jnp.float32)
+    )
+    return PointCloud._from(
+        dataclasses.replace(cloud._arrs, normals=normals), cloud.len()
+    )
+
+
+# ── Registration ─────────────────────────────────────────────────────────────
+
+
+def _empty_icp_result(source: PointCloud, target: PointCloud) -> IcpResult:
+    return IcpResult(
+        converged=source.is_empty() and target.is_empty(),
+        fitness=0.0,
+        rmse=0.0,
+        num_iterations=0,
+        translation=[0.0, 0.0, 0.0],
+        rotation=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+    )
+
+
+def _finish_icp(rot, trans, fitness, rmse, converged, iters) -> IcpResult:
+    rmse = float(rmse)
+    fitness = float(fitness)
+    # Reference leaves rmse=inf / fitness=0 if no iteration produced
+    # correspondences; it reports them as-is.
+    return IcpResult(
+        converged=bool(converged),
+        fitness=fitness,
+        rmse=rmse,
+        num_iterations=int(iters),
+        translation=[float(v) for v in np.asarray(trans)],
+        rotation=[[float(v) for v in row] for row in np.asarray(rot)],
+    )
+
+
+def icp_point_to_point(
+    source: PointCloud,
+    target: PointCloud,
+    max_iterations: int = 50,
+    tolerance: float = 1e-5,
+    max_correspondence_distance: float = float("inf"),
+) -> IcpResult:
+    if source.is_empty() or target.is_empty():
+        return _empty_icp_result(source, target)
+    out = _registration.icp_point_to_point_masked(
+        source._arrs.xyz,
+        source._arrs.valid,
+        target._arrs.xyz,
+        target._arrs.valid,
+        int(max_iterations),
+        jnp.float32(tolerance),
+        jnp.float32(max_correspondence_distance),
+    )
+    return _finish_icp(*out)
+
+
+def icp_point_to_plane(
+    source: PointCloud,
+    target: PointCloud,
+    max_iterations: int = 50,
+    tolerance: float = 1e-5,
+    max_correspondence_distance: float = float("inf"),
+) -> IcpResult:
+    if target._arrs.normals is None:
+        raise ValueError(
+            "target cloud must have normals for point-to-plane ICP. "
+            "Use estimate_normals(target, k) first."
+        )
+    if source.is_empty() or target.is_empty():
+        return _empty_icp_result(source, target)
+    out = _registration.icp_point_to_plane_masked(
+        source._arrs.xyz,
+        source._arrs.valid,
+        target._arrs.xyz,
+        target._arrs.valid,
+        target._arrs.normals,
+        int(max_iterations),
+        jnp.float32(tolerance),
+        jnp.float32(max_correspondence_distance),
+    )
+    return _finish_icp(*out)
+
+
+def apply_transform(cloud: PointCloud, rotation, translation) -> PointCloud:
+    """Applies R p + t to every point; attributes are dropped, matching the
+    reference's apply_transform (ref: crates/registration/src/icp.rs:77-92)."""
+    rot = jnp.asarray(rotation, jnp.float32).reshape(3, 3)
+    trans = jnp.asarray(translation, jnp.float32).reshape(3)
+    new_xyz = _jit_apply_rigid(cloud._arrs.xyz, rot, trans)
+    return PointCloud._from(
+        CloudArrays(xyz=new_xyz, valid=cloud._arrs.valid), cloud.len()
+    )
+
+
+_jit_apply_rigid = jax.jit(apply_rigid)
+
+
+# ── Segmentation ─────────────────────────────────────────────────────────────
+
+
+def euclidean_cluster(
+    cloud: PointCloud, distance_threshold: float, min_size: int, max_size: int
+) -> list:
+    distance_threshold = float(distance_threshold)
+    min_size = int(min_size)
+    max_size = int(max_size)
+    if cloud.is_empty() or distance_threshold <= 0.0 or min_size == 0:
+        return []
+    if not math.isfinite(distance_threshold):
+        return []
+
+    xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
+    nbr_idx, within = _engine.radius_neighbors(xyz, valid, distance_threshold)
+    labels = _segmentation.propagate_labels(nbr_idx, within, valid)
+    labels_np = np.asarray(labels)[: cloud.len()]
+
+    # Host-side component extraction + canonical ordering
+    # (ref: crates/segmentation/src/euclidean_cluster.rs:169-186).
+    order = np.argsort(labels_np, kind="stable")
+    sorted_labels = labels_np[order]
+    boundaries = np.nonzero(
+        np.concatenate([[True], sorted_labels[1:] != sorted_labels[:-1]])
+    )[0]
+    ends = np.concatenate([boundaries[1:], [len(sorted_labels)]])
+    clusters = []
+    for s, e in zip(boundaries, ends):
+        size = e - s
+        if min_size <= size <= max_size:
+            members = np.sort(order[s:e])
+            clusters.append([int(i) for i in members])
+    clusters.sort(key=lambda c: (-len(c), c))
+    return clusters
+
+
+def ransac_plane_seeded(
+    cloud: PointCloud, distance_threshold: float, iterations: int, seed: int
+) -> PlaneResult:
+    iterations = int(iterations)
+    if cloud.len() < 3 or iterations <= 0:
+        return PlaneResult(normal=[0.0, 0.0, 1.0], d=0.0, inliers=[])
+    normal, d, inlier_mask = _segmentation.ransac_plane_masked(
+        cloud._arrs.xyz,
+        cloud._arrs.valid,
+        jnp.float32(distance_threshold),
+        int(seed) % (2**31),
+        iterations,
+    )
+    mask_np = np.asarray(inlier_mask)[: cloud.len()]
+    inliers = [int(i) for i in np.nonzero(mask_np)[0]]
+    return PlaneResult(
+        normal=[float(v) for v in np.asarray(normal)],
+        d=float(d),
+        inliers=inliers,
+    )
+
+
+def ransac_plane(
+    cloud: PointCloud, distance_threshold: float, iterations: int
+) -> PlaneResult:
+    return ransac_plane_seeded(
+        cloud, distance_threshold, iterations, secrets.randbits(32)
+    )
+
+
+# ── I/O ──────────────────────────────────────────────────────────────────────
+
+
+def read_pcd(path: str) -> PointCloud:
+    try:
+        xyz = _pcd.read_pcd(path)
+    except OSError as e:
+        raise IOError(str(e))
+    return _cloud_from_host(xyz)
+
+
+def write_pcd(path: str, cloud: PointCloud) -> None:
+    try:
+        _pcd.write_pcd(path, cloud.to_numpy())
+    except OSError as e:
+        raise IOError(str(e))
+
+
+def write_pcd_binary(path: str, cloud: PointCloud) -> None:
+    try:
+        _pcd.write_pcd_binary(path, cloud.to_numpy())
+    except OSError as e:
+        raise IOError(str(e))
+
+
+def read_ply(path: str) -> PointCloud:
+    try:
+        xyz, normals, colors = _ply.read_ply(path)
+    except OSError as e:
+        raise IOError(str(e))
+    return _cloud_from_host(xyz, normals=normals, colors=colors)
+
+
+def write_ply(path: str, cloud: PointCloud) -> None:
+    try:
+        _ply.write_ply(
+            path, cloud.to_numpy(), cloud._normals_numpy(), cloud._colors_numpy()
+        )
+    except OSError as e:
+        raise IOError(str(e))
+
+
+def write_ply_binary(path: str, cloud: PointCloud) -> None:
+    try:
+        _ply.write_ply_binary(
+            path, cloud.to_numpy(), cloud._normals_numpy(), cloud._colors_numpy()
+        )
+    except OSError as e:
+        raise IOError(str(e))
+
+
+def read_las(path: str) -> PointCloud:
+    try:
+        xyz, intensity = _las.read_las(path)
+    except OSError as e:
+        raise IOError(str(e))
+    return _cloud_from_host(xyz, intensity=intensity)

@@ -1,0 +1,116 @@
+"""Filters: voxel downsample, passthrough, statistical/radius outlier removal.
+
+TPU-native lowering of the reference filter crate:
+- voxel downsample: hash-grid centroid accumulation with sorted-key output
+  (ref: crates/filters/src/voxel_downsample.rs:12-65) becomes encode-cell-key
+  -> sort -> segment-sum, which is all fused XLA.
+- passthrough: range mask (ref: crates/filters/src/passthrough.rs:3-23).
+- statistical outlier removal: per-point mean distance to k nearest
+  neighbours, global mean + population stddev threshold
+  (ref: crates/filters/src/statistical_outlier.rs:4-69), on top of the
+  batched neighbor engine.
+- radius outlier removal: neighbor count within radius, self included
+  (ref: crates/filters/src/radius_outlier.rs:4-18).
+
+All functions are jittable, operate on padded masked arrays, and return
+keep-masks or masked clouds of fixed shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..spatial.grid import cell_coords, pack_cell_key, INVALID_KEY
+
+
+@partial(jax.jit, static_argnames=())
+def voxel_downsample_masked(xyz, valid, voxel_size):
+    """Masked voxel-grid centroid downsample.
+
+    Returns (centroids f32[N,3], out_valid bool[N]). Output voxels occupy the
+    leading rows in ascending cell-key order — the same deterministic
+    (ix, iy, iz) tuple ordering the reference produces by sorting hash-map
+    keys (ref: crates/filters/src/voxel_downsample.rs:49-62). Non-finite
+    points are skipped (ref :28-30).
+    """
+    n = xyz.shape[0]
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    use = jnp.logical_and(valid, finite)
+
+    coords = cell_coords(xyz, voxel_size)
+    key = jnp.where(use, pack_cell_key(coords), INVALID_KEY)
+
+    order = jnp.argsort(key, stable=True)
+    skey = key[order]
+    sxyz = xyz[order]
+    suse = use[order]
+
+    # Segment boundaries: a new segment starts where the sorted key changes.
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+    )
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # [N], 0-based, ascending
+
+    sums = jax.ops.segment_sum(
+        jnp.where(suse[:, None], sxyz, 0.0), seg_id, num_segments=n
+    )
+    counts = jax.ops.segment_sum(
+        suse.astype(jnp.float32), seg_id, num_segments=n
+    )
+
+    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    out_valid = counts > 0.0
+    return centroids, out_valid
+
+
+def passthrough_mask(xyz, valid, axis_index: int, lo, hi):
+    """Keep-mask for min <= v <= max and finite on one axis.
+
+    (ref: crates/filters/src/passthrough.rs:3-23)
+    """
+    v = xyz[:, axis_index]
+    keep = jnp.isfinite(v) & (v >= lo) & (v <= hi)
+    return jnp.logical_and(valid, keep)
+
+
+def sor_keep_mask(mean_dists, valid, std_mul):
+    """Statistical-outlier keep mask from per-point mean neighbor distances.
+
+    Global mean and *population* stddev are computed over finite mean
+    distances only; points kept iff mean_dist <= mean + std_mul * std
+    (ref: crates/filters/src/statistical_outlier.rs:43-66). Non-finite
+    mean distances (isolated / non-finite points) always fail the <=.
+    """
+    finite = jnp.logical_and(valid, jnp.isfinite(mean_dists))
+    n = jnp.maximum(jnp.sum(finite.astype(jnp.float32)), 1.0)
+    mean = jnp.sum(jnp.where(finite, mean_dists, 0.0)) / n
+    var = jnp.sum(jnp.where(finite, (mean_dists - mean) ** 2, 0.0)) / n
+    threshold = mean + std_mul * jnp.sqrt(var)
+    keep = jnp.logical_and(valid, mean_dists <= threshold)
+    # If no finite mean distances exist the reference returns an empty cloud
+    # (ref :52-54); mean over zero samples would be 0 here, but the <= above
+    # already fails for every point since all mean_dists are +inf.
+    return keep
+
+
+def sor_mean_dists_from_knn(neighbor_dists, neighbor_valid, query_finite):
+    """Mean distance to up-to-k nearest non-self neighbours.
+
+    ``neighbor_dists``/``neighbor_valid`` are [N, k+1] from a KNN query that
+    includes the query point itself as its nearest result (distance 0). The
+    first (self) column is skipped; if only one result exists, it is used
+    as-is; zero results or a non-finite query give +inf
+    (ref: crates/filters/src/statistical_outlier.rs:19-39).
+    """
+    counts = jnp.sum(neighbor_valid.astype(jnp.int32), axis=1)
+    # Skip the self column unless it is the only result.
+    skip_first = counts > 1
+    use = jnp.where(skip_first[:, None], neighbor_valid.at[:, 0].set(False), neighbor_valid)
+    denom = jnp.maximum(jnp.sum(use.astype(jnp.float32), axis=1), 1.0)
+    mean = jnp.sum(jnp.where(use, neighbor_dists, 0.0), axis=1) / denom
+    empty = counts == 0
+    mean = jnp.where(jnp.logical_and(query_finite, jnp.logical_not(empty)), mean, jnp.inf)
+    return mean

@@ -1,0 +1,161 @@
+"""PCA normal estimation with an analytic Cardano 3x3 eigensolver.
+
+TPU-native redesign of the reference normals crate
+(ref: crates/normals/src/estimate.rs): the rayon per-point loop becomes one
+batched pipeline — batched KNN -> per-point covariance (an MXU-batched
+einsum) -> vectorized Cardano smallest-eigenvector -> viewpoint orientation.
+
+The reference computes the eigensolve in f64 for stability
+(ref: estimate.rs:147-153). TPU f64 is emulated and slow, so instead the
+covariance matrix is normalized by its largest absolute entry before the f32
+eigensolve — eigenvectors are invariant under scaling, and the normalization
+keeps intermediates O(1) so f32 has full relative precision where the
+reference relied on f64 headroom. Thresholds are therefore relative rather
+than the reference's absolute 1e-30 cutoffs.
+
+The reference's eigenvalue-selection quirk — the eigenvalue of smallest
+*magnitude*, not the algebraically smallest (ref: estimate.rs:191-197) — is
+reproduced exactly, as is the 3-way row-pair fallback for the eigenvector
+cross products (ref: estimate.rs:199-237).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PP_EPS = 1e-12  # relative analogue of the reference's 1e-30 absolute cutoff
+_LEN_EPS = 1e-16
+
+
+def cardano_smallest_eigvec(cov):
+    """Eigenvector of the smallest-|lambda| eigenvalue of symmetric [N,3,3].
+
+    Vectorized port of ``smallest_eigenvector_3x3``
+    (ref: crates/normals/src/estimate.rs:139-238). Returns f32[N,3]
+    (unnormalized direction; caller normalizes).
+    """
+    # Scale-normalize: eigenvectors of A and A/s are identical.
+    scale = jnp.max(jnp.abs(cov), axis=(1, 2))
+    degenerate_scale = scale <= 0.0
+    s = jnp.where(degenerate_scale, 1.0, scale)
+    a = cov / s[:, None, None]
+
+    a00, a01, a02 = a[:, 0, 0], a[:, 0, 1], a[:, 0, 2]
+    a11, a12, a22 = a[:, 1, 1], a[:, 1, 2], a[:, 2, 2]
+
+    m = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - m, a11 - m, a22 - m
+
+    q = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    ) / 2.0
+    p = (
+        b00 * b00
+        + b11 * b11
+        + b22 * b22
+        + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)
+    ) / 6.0
+    pp = jnp.maximum(p, 0.0)
+    near_identity = pp < _PP_EPS
+
+    sqrt_p = jnp.sqrt(jnp.where(near_identity, 1.0, pp))
+    det_ratio = jnp.clip(q / (sqrt_p**3), -1.0, 1.0)
+    phi = jnp.arccos(det_ratio) / 3.0
+
+    two_pi_3 = 2.0 * jnp.pi / 3.0
+    eig0 = m + 2.0 * sqrt_p * jnp.cos(phi + two_pi_3)  # smallest
+    eig2 = m + 2.0 * sqrt_p * jnp.cos(phi)  # largest
+    eig1 = 3.0 * m - eig0 - eig2
+
+    # The reference picks the eigenvalue of smallest |lambda| — reproduce it.
+    abs0, abs1, abs2 = jnp.abs(eig0), jnp.abs(eig1), jnp.abs(eig2)
+    lam = jnp.where(
+        (abs0 <= abs1) & (abs0 <= abs2),
+        eig0,
+        jnp.where(abs1 <= abs2, eig1, eig2),
+    )
+
+    r00, r11, r22 = a00 - lam, a11 - lam, a22 - lam
+
+    def cross01():
+        return (
+            a01 * a12 - r11 * a02,
+            a02 * a01 - a12 * r00,
+            r00 * r11 - a01 * a01,
+        )
+
+    def cross02():
+        return (
+            a01 * r22 - a12 * a02,
+            a02 * a02 - r22 * r00,
+            r00 * a12 - a01 * a02,
+        )
+
+    def cross12():
+        return (
+            r11 * r22 - a12 * a12,
+            a12 * a02 - r22 * a01,
+            a01 * a12 - r11 * a02,
+        )
+
+    e01 = jnp.stack(cross01(), axis=1)
+    e02 = jnp.stack(cross02(), axis=1)
+    e12 = jnp.stack(cross12(), axis=1)
+    l01 = jnp.sum(e01 * e01, axis=1)
+    l02 = jnp.sum(e02 * e02, axis=1)
+    l12 = jnp.sum(e12 * e12, axis=1)
+
+    default = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], cov.dtype), e01.shape
+    )
+    vec = jnp.where(
+        (l01 >= _LEN_EPS)[:, None],
+        e01,
+        jnp.where(
+            (l02 >= _LEN_EPS)[:, None],
+            e02,
+            jnp.where((l12 >= _LEN_EPS)[:, None], e12, default),
+        ),
+    )
+    vec = jnp.where(
+        (near_identity | degenerate_scale)[:, None], default, vec
+    )
+    return vec
+
+
+@jax.jit
+def normals_from_knn(xyz, nbr_idx, nbr_valid, viewpoint):
+    """Per-point PCA normals from precomputed KNN neighbor lists.
+
+    Mirrors the reference per-point pipeline: neighbor centroid ->
+    3x3 covariance -> smallest eigenvector -> unit normalize -> flip toward
+    viewpoint (ref: crates/normals/src/estimate.rs:42-107). Points with zero
+    neighbors get (0, 0, 1) without orientation (ref :49-51).
+    """
+    pts = jnp.take(xyz, nbr_idx, axis=0)  # [N, k, 3]
+    use = nbr_valid[:, :, None]
+    cnt = jnp.sum(nbr_valid.astype(jnp.float32), axis=1)
+    denom = jnp.maximum(cnt, 1.0)
+    centroid = jnp.sum(jnp.where(use, pts, 0.0), axis=1) / denom[:, None]
+    d = jnp.where(use, pts - centroid[:, None, :], 0.0)
+    cov = jnp.einsum("nki,nkj->nij", d, d)
+
+    vec = cardano_smallest_eigvec(cov)
+    length = jnp.linalg.norm(vec, axis=1)
+    unit = jnp.where(
+        (length > 1e-10)[:, None], vec / jnp.maximum(length, 1e-30)[:, None], vec
+    )
+
+    to_vp = viewpoint[None, :] - xyz
+    dot = jnp.sum(unit * to_vp, axis=1)
+    oriented = jnp.where((dot < 0.0)[:, None], -unit, unit)
+
+    no_neighbors = cnt < 1.0
+    return jnp.where(
+        no_neighbors[:, None],
+        jnp.array([0.0, 0.0, 1.0], xyz.dtype)[None, :],
+        oriented,
+    )

@@ -1,0 +1,151 @@
+"""Segmentation: RANSAC plane fitting and Euclidean clustering.
+
+TPU-native redesign of the reference segmentation crate:
+
+- RANSAC (ref: crates/segmentation/src/ransac_plane.rs:36-191): instead of a
+  sequential hypothesis loop, all iterations' 3-point samples are drawn
+  up-front from a counter-based JAX PRNG and scored in one batched pass
+  (distance evaluation is a [3]x[3,N] matmul per hypothesis chunk). The
+  first-best-count argmax matches the reference's parallel reduce
+  (`a.1 >= b.1` keeps the earlier maximum, ref :89-91). Bit-parity with
+  Rust's StdRng sampling is impossible by construction; determinism is
+  guaranteed under our own seed and parity is defined on outputs
+  (SURVEY.md section 7, "RANSAC sampling parity").
+
+- Euclidean clustering (ref: crates/segmentation/src/euclidean_cluster.rs):
+  union-find does not vectorize, so connected components are found by
+  iterative min-label propagation with pointer jumping over grid-hash
+  neighbor lists (threshold inclusive, d <= r). Non-finite points are
+  excluded from the grid and remain singleton components (ref :110-119).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cloud import compaction_order
+
+_SCORE_CHUNK = 64
+
+
+def _sample_three_distinct(key, iterations: int, cnt):
+    """[iterations, 3] distinct indices into [0, cnt), uniformly.
+
+    Exact distinct sampling without rejection: draw from shrinking ranges and
+    shift past already-chosen values (replaces the reference's retry loop,
+    ref: crates/segmentation/src/ransac_plane.rs:141-166).
+    """
+    cnt = jnp.maximum(cnt, 3)
+    k0, k1, k2 = jax.random.split(key, 3)
+    a = jax.random.randint(k0, (iterations,), 0, cnt)
+    b = jax.random.randint(k1, (iterations,), 0, cnt - 1)
+    b = b + (b >= a)
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    c = jax.random.randint(k2, (iterations,), 0, cnt - 2)
+    c = c + (c >= lo)
+    c = c + (c >= hi)
+    return jnp.stack([a, b, c], axis=1)
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int):
+    """Batched RANSAC plane fit on a masked cloud.
+
+    Returns (normal f32[3], d f32, inlier_mask bool[N]). With fewer than 3
+    valid points the default model (normal (0,0,1), d=0) and an empty inlier
+    set are returned (ref: crates/segmentation/src/ransac_plane.rs:62-66).
+    """
+    n = xyz.shape[0]
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    cnt = jnp.sum(valid.astype(jnp.int32))
+
+    # Compacted index map: position p (< cnt) -> original row.
+    order = compaction_order(valid)
+
+    key = jax.random.PRNGKey(seed)
+    samples = _sample_three_distinct(key, iterations, cnt)  # positions
+    idx = jnp.take(order, samples, axis=0)  # [I, 3] original rows
+    p = jnp.take(xyz, idx, axis=0)  # [I, 3, 3]
+
+    v1 = p[:, 1] - p[:, 0]
+    v2 = p[:, 2] - p[:, 0]
+    nrm = jnp.cross(v1, v2)
+    length = jnp.linalg.norm(nrm, axis=1)
+    degenerate = length < 1e-10  # collinear / coincident (ref :183-186)
+    safe_len = jnp.where(degenerate, 1.0, length)
+    normal = nrm / safe_len[:, None]
+    d = -jnp.sum(normal * p[:, 0], axis=1)  # [I]
+
+    use_pt = jnp.logical_and(valid, finite)
+
+    def score_chunk(args):
+        nc, dc = args  # [C, 3], [C]
+        dist = jnp.abs(xyz @ nc.T + dc[None, :])  # [N, C]
+        ok = jnp.logical_and(use_pt[:, None], dist <= threshold)
+        return jnp.sum(ok.astype(jnp.int32), axis=0)
+
+    pad = (-iterations) % _SCORE_CHUNK
+    normal_p = jnp.concatenate([normal, jnp.zeros((pad, 3), normal.dtype)])
+    d_p = jnp.concatenate([d, jnp.zeros((pad,), d.dtype)])
+    nchunks = normal_p.shape[0] // _SCORE_CHUNK
+    counts = jax.lax.map(
+        score_chunk,
+        (
+            normal_p.reshape(nchunks, _SCORE_CHUNK, 3),
+            d_p.reshape(nchunks, _SCORE_CHUNK),
+        ),
+    ).reshape(-1)[:iterations]
+    counts = jnp.where(degenerate, -1, counts)
+
+    best = jnp.argmax(counts)  # first maximum, like the reference reduce
+    found = counts[best] > 0
+    enough = cnt >= 3
+    ok_model = jnp.logical_and(found, enough)
+    best_normal = jnp.where(ok_model, normal[best], jnp.array([0.0, 0.0, 1.0]))
+    best_d = jnp.where(ok_model, d[best], 0.0)
+
+    # Final inliers recomputed over the full cloud (ref :124-128). The
+    # reference indexes raw point data (finite check is implicit: NaN
+    # distances fail <=).
+    dist = jnp.abs(xyz @ best_normal + best_d)
+    inlier_mask = jnp.logical_and(valid, dist <= threshold)
+    inlier_mask = jnp.logical_and(inlier_mask, enough)
+    return best_normal, best_d, inlier_mask
+
+
+# ── Euclidean clustering ─────────────────────────────────────────────────────
+
+
+@jax.jit
+def propagate_labels(neighbor_idx, within, valid):
+    """Connected components by min-label propagation + pointer jumping.
+
+    ``neighbor_idx``/``within`` are capped per-point neighbor lists from the
+    grid engine (distance <= r, inclusive). Returns int32 labels where
+    label[i] == label[j] iff i and j are in the same component; isolated and
+    invalid points keep their own index.
+    """
+    n = neighbor_idx.shape[0]
+    init = jnp.arange(n, dtype=jnp.int32)
+
+    def body(state):
+        labels, _ = state
+        nl = jnp.take(labels, neighbor_idx, axis=0)  # [N, C]
+        nl = jnp.where(within, nl, n)
+        m = jnp.minimum(jnp.min(nl, axis=1), labels)
+        # Pointer jumping keeps convergence logarithmic in chain length
+        # (SURVEY.md section 7 hard part 2).
+        m = jnp.minimum(m, jnp.take(m, m))
+        m = jnp.minimum(m, jnp.take(m, m))
+        changed = jnp.any(m != labels)
+        return m, changed
+
+    labels, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (init, jnp.asarray(True))
+    )
+    del valid  # validity is already encoded in `within`
+    return labels

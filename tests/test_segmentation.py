@@ -1,0 +1,258 @@
+"""RANSAC + clustering behavior and differential parity
+(crates/segmentation/src/{ransac_plane,euclidean_cluster}.rs)."""
+
+import numpy as np
+import pytest
+
+import pointclouds_tpu as pc
+
+
+# ── RANSAC ───────────────────────────────────────────────────────────────────
+
+
+def test_ransac_z_plane():
+    rng = np.random.default_rng(0)
+    data = np.column_stack(
+        [rng.random(100), rng.random(100), np.zeros(100)]
+    ).astype(np.float32)
+    r = pc.ransac_plane(pc.PointCloud.from_numpy(data), 0.01, 100)
+    assert abs(r.normal[2]) > 0.9
+    assert len(r.inliers) > 90
+    np.testing.assert_allclose(np.linalg.norm(r.normal), 1.0, atol=1e-5)
+
+
+def test_ransac_three_points_exact_plane():
+    data = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], dtype=np.float32)
+    r = pc.ransac_plane(pc.PointCloud.from_numpy(data), 0.01, 10)
+    assert abs(r.normal[2]) > 0.9
+    assert len(r.inliers) == 3
+
+
+def test_ransac_fewer_than_three_points_default_model():
+    data = np.array([[0, 0, 0], [1, 0, 0]], dtype=np.float32)
+    r = pc.ransac_plane(pc.PointCloud.from_numpy(data), 0.1, 10)
+    assert r.normal == [0.0, 0.0, 1.0]
+    assert r.d == 0.0
+    assert r.inliers == []
+
+
+def test_ransac_seeded_deterministic():
+    rng = np.random.default_rng(1)
+    plane = np.column_stack(
+        [rng.random(200) * 10, rng.random(200) * 10, rng.normal(0, 0.01, 200)]
+    )
+    noise = rng.uniform(-5, 5, (50, 3))
+    data = np.vstack([plane, noise]).astype(np.float32)
+    c = pc.PointCloud.from_numpy(data)
+    r1 = pc.ransac_plane_seeded(c, 0.05, 200, seed=1234)
+    r2 = pc.ransac_plane_seeded(c, 0.05, 200, seed=1234)
+    assert r1.normal == r2.normal
+    assert r1.inliers == r2.inliers
+
+
+def test_ransac_finds_dominant_plane_with_outliers():
+    rng = np.random.default_rng(2)
+    plane = np.column_stack(
+        [rng.random(500) * 10, rng.random(500) * 10, rng.normal(1.0, 0.02, 500)]
+    )
+    noise = rng.uniform(0, 10, (100, 3))
+    data = np.vstack([plane, noise]).astype(np.float32)
+    r = pc.ransac_plane_seeded(pc.PointCloud.from_numpy(data), 0.06, 300, seed=7)
+    assert abs(r.normal[2]) > 0.99
+    # d should place the plane near z=1: n.x + d = 0 -> d ~ -normal_z * 1
+    assert abs(abs(r.d) - 1.0) < 0.1
+    assert len(r.inliers) >= 480
+
+
+def test_ransac_inliers_within_threshold():
+    rng = np.random.default_rng(3)
+    data = (rng.random((300, 3)) * 4).astype(np.float32)
+    t = 0.25
+    r = pc.ransac_plane_seeded(pc.PointCloud.from_numpy(data), t, 100, seed=5)
+    n = np.array(r.normal)
+    for i in r.inliers:
+        assert abs(np.dot(n, data[i]) + r.d) <= t + 1e-5
+
+
+def test_ransac_inlier_indices_sorted():
+    rng = np.random.default_rng(4)
+    data = (rng.random((100, 3)) * [5, 5, 0.01]).astype(np.float32)
+    r = pc.ransac_plane_seeded(pc.PointCloud.from_numpy(data), 0.1, 50, seed=9)
+    assert r.inliers == sorted(r.inliers)
+
+
+# ── Euclidean clustering ─────────────────────────────────────────────────────
+
+
+def brute_cluster(data, r, min_size, max_size):
+    """O(n^2) BFS connected components: the differential oracle
+    (tests/cluster_differential.rs:13-82 pattern)."""
+    n = len(data)
+    finite = np.all(np.isfinite(data), axis=1)
+    d = np.linalg.norm(
+        data[:, None, :].astype(np.float64) - data[None, :, :].astype(np.float64),
+        axis=2,
+    )
+    adj = (d <= r) & finite[:, None] & finite[None, :]
+    seen = np.zeros(n, bool)
+    comps = []
+    for i in range(n):
+        if seen[i]:
+            continue
+        stack, comp = [i], []
+        seen[i] = True
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in np.nonzero(adj[u] & ~seen)[0]:
+                seen[v] = True
+                stack.append(v)
+        comps.append(sorted(comp))
+    out = [c for c in comps if min_size <= len(c) <= max_size]
+    out.sort(key=lambda c: (-len(c), c))
+    return out
+
+
+def test_cluster_two_far_groups():
+    rng = np.random.default_rng(5)
+    c1 = rng.random((20, 3)).astype(np.float32) * 0.1
+    c2 = rng.random((20, 3)).astype(np.float32) * 0.1 + 10.0
+    clusters = pc.euclidean_cluster(
+        pc.PointCloud.from_numpy(np.vstack([c1, c2])), 0.5, 5, 100
+    )
+    assert len(clusters) == 2
+    assert sorted(len(c) for c in clusters) == [20, 20]
+
+
+def test_cluster_differential_small_random():
+    rng = np.random.default_rng(6)
+    for trial in range(8):
+        n = int(rng.integers(5, 120))
+        data = (rng.random((n, 3)) * 3).astype(np.float32)
+        r = float(rng.uniform(0.2, 1.0))
+        expect = brute_cluster(data, r, 1, 10**9)
+        got = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), r, 1, 10**9)
+        assert got == expect, f"trial {trial}: n={n} r={r}"
+
+
+def test_cluster_differential_medium():
+    rng = np.random.default_rng(7)
+    data = (rng.random((800, 3)) * 6).astype(np.float32)
+    r = 0.35
+    expect = brute_cluster(data, r, 2, 10**9)
+    got = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), r, 2, 10**9)
+    assert got == expect
+
+
+def test_cluster_threshold_inclusive():
+    # d == threshold connects (cluster_differential.rs:151-163)
+    data = np.array([[0, 0, 0], [1.0, 0, 0]], dtype=np.float32)
+    got = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), 1.0, 1, 10)
+    assert len(got) == 1 and got[0] == [0, 1]
+    # just beyond: separate
+    data2 = np.array([[0, 0, 0], [1.0001, 0, 0]], dtype=np.float32)
+    got2 = pc.euclidean_cluster(pc.PointCloud.from_numpy(data2), 1.0, 1, 10)
+    assert len(got2) == 2
+
+
+def test_cluster_cell_boundary_straddle():
+    # Points on opposite sides of a grid-cell boundary, within r
+    data = np.array(
+        [[0.999, 0, 0], [1.001, 0, 0], [5, 5, 5]], dtype=np.float32
+    )
+    got = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), 0.5, 1, 10)
+    assert got[0] == [0, 1]
+
+
+def test_cluster_nonfinite_points_are_singletons():
+    data = np.array(
+        [[0, 0, 0], [0.1, 0, 0], [np.nan, 0, 0], [np.inf, 0, 0]],
+        dtype=np.float32,
+    )
+    got = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), 1.0, 1, 10)
+    # finite pair clusters; NaN and Inf are singletons
+    assert got[0] == [0, 1]
+    assert [2] in got and [3] in got
+
+
+def test_cluster_size_filters():
+    rng = np.random.default_rng(8)
+    c1 = rng.random((30, 3)).astype(np.float32) * 0.1
+    c2 = rng.random((5, 3)).astype(np.float32) * 0.1 + 10
+    data = np.vstack([c1, c2])
+    got = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), 0.5, 10, 100)
+    assert len(got) == 1 and len(got[0]) == 30
+    got2 = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), 0.5, 1, 10)
+    assert len(got2) == 1 and len(got2[0]) == 5
+
+
+def test_cluster_guards():
+    data = np.array([[0, 0, 0]], dtype=np.float32)
+    c = pc.PointCloud.from_numpy(data)
+    assert pc.euclidean_cluster(pc.PointCloud(), 1.0, 1, 10) == []
+    assert pc.euclidean_cluster(c, 0.0, 1, 10) == []
+    assert pc.euclidean_cluster(c, -1.0, 1, 10) == []
+    assert pc.euclidean_cluster(c, 1.0, 0, 10) == []
+    # single point below min_size
+    assert pc.euclidean_cluster(c, 1.0, 2, 100) == []
+
+
+def test_cluster_canonical_order():
+    # clusters sorted size-desc, ties by first index; indices ascending
+    data = np.array(
+        [[0, 0, 0], [10, 0, 0], [10.1, 0, 0], [20, 0, 0], [20.1, 0, 0]],
+        dtype=np.float32,
+    )
+    got = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), 0.5, 1, 10)
+    assert got == [[1, 2], [3, 4], [0]]
+
+
+def test_cluster_shuffle_metamorphic():
+    """Co-membership is invariant under point order shuffling
+    (cluster_differential.rs:225-280)."""
+    rng = np.random.default_rng(9)
+    data = (rng.random((100, 3)) * 3).astype(np.float32)
+    r = 0.4
+    base = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), r, 1, 10**9)
+    perm = rng.permutation(100)
+    shuf = data[perm]
+    got = pc.euclidean_cluster(pc.PointCloud.from_numpy(shuf), r, 1, 10**9)
+
+    def canon(clusters, mapping=None):
+        out = set()
+        for cl in clusters:
+            ids = tuple(sorted(mapping[i] if mapping is not None else i for i in cl))
+            out.add(ids)
+        return out
+
+    inv = np.argsort(perm)  # shuffled index -> original index
+    assert canon(base) == canon(got, mapping=perm)
+
+
+def test_cluster_translation_metamorphic():
+    rng = np.random.default_rng(10)
+    data = (rng.random((150, 3)) * 3).astype(np.float32)
+    r = 0.4
+    base = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), r, 1, 10**9)
+    moved = data + np.array([100.0, -50.0, 25.0], np.float32)
+    got = pc.euclidean_cluster(pc.PointCloud.from_numpy(moved), r, 1, 10**9)
+    assert base == got
+
+
+def test_cluster_determinism_repeated():
+    rng = np.random.default_rng(11)
+    data = (rng.random((500, 3)) * 4).astype(np.float32)
+    c = pc.PointCloud.from_numpy(data)
+    first = pc.euclidean_cluster(c, 0.3, 1, 10**9)
+    for _ in range(5):
+        assert pc.euclidean_cluster(c, 0.3, 1, 10**9) == first
+
+
+def test_cluster_long_chain():
+    # Worst case for label propagation: one long chain
+    n = 300
+    data = np.column_stack(
+        [np.arange(n) * 0.5, np.zeros(n), np.zeros(n)]
+    ).astype(np.float32)
+    got = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), 0.5, 1, 10**9)
+    assert len(got) == 1 and len(got[0]) == n
