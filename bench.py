@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Benchmark driver: KITTI obstacle pipeline at 122K points on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference's 89.5 ms p50 per 122K-pt frame on Apple M4 Max CPU
+(ref: README.md:23-25, mirrored in BASELINE.md). vs_baseline > 1 means this
+framework is faster.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+
+from pointclouds_tpu.core.cloud import make_cloud_arrays
+from pointclouds_tpu.pipelines.kitti import (
+    extract_clusters,
+    kitti_obstacle_pipeline,
+)
+from pointclouds_tpu.pipelines.scenes import velodyne_scene
+
+BASELINE_P50_MS = 89.5
+N_POINTS = 122_000
+FRAMES = 30
+
+
+def main():
+    data = velodyne_scene(seed=0, n_points=N_POINTS)
+    arrs = make_cloud_arrays(data)
+
+    def run(seed):
+        out = kitti_obstacle_pipeline(
+            arrs.xyz,
+            arrs.valid,
+            np.float32(0.15),
+            np.float32(2.0),
+            np.float32(0.15),
+            seed,
+            np.float32(0.8),
+            sor_k=20,
+            ransac_iters=500,
+        )
+        # block_until_ready does not actually block on the axon remote
+        # platform; a host transfer of an output is the honest sync.
+        np.asarray(out.labels)
+        return out
+
+    # Warmup: compile + one extra to stabilize
+    run(0)
+    run(1)
+
+    times = []
+    for f in range(FRAMES):
+        t0 = time.perf_counter()
+        out = run(f)
+        times.append((time.perf_counter() - t0) * 1e3)
+
+    # Sanity: the pipeline must actually find the scene's obstacle clusters.
+    clusters = extract_clusters(out, 10, 20_000)
+    assert len(clusters) >= 3, f"expected >=3 clusters, got {len(clusters)}"
+
+    p50 = float(np.percentile(times, 50))
+    print(
+        json.dumps(
+            {
+                "metric": "kitti_pipeline_p50_latency_122k",
+                "value": round(p50, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_P50_MS / p50, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

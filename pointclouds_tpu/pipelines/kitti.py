@@ -1,0 +1,155 @@
+"""Fused KITTI obstacle-detection pipeline: one XLA program end-to-end.
+
+The reference runs the 5-step pipeline as separate Rust calls with a
+Python<->Rust array copy per step (examples/python/kitti_obstacle_detection.py:87-122).
+Here the whole chain — voxel downsample -> statistical outlier removal ->
+RANSAC ground plane -> ground removal -> euclidean clustering — compiles to
+a single jitted program: the array enters the device once per frame and only
+cluster labels come back.
+
+Fused-path SOR neighbor search note: inside one jit there is no host retry
+loop, so KNN candidates are searched in the 27-cell neighborhood of a fixed
+cell size (default 3.25 voxels, candidate cap 64 — after voxel downsampling
+a cell of width c*voxel intersects at most ceil(c)+1 voxel layers per axis,
+bounding occupancy). Points whose k neighbors don't all fit in that
+neighborhood get their mean neighbor distance computed from the candidates
+found; genuinely isolated points (no neighbors at all within the search
+radius) get +inf and are removed — which is SOR's purpose. The standalone
+`statistical_outlier_removal` API keeps exact KD-tree-parity semantics via
+the host retry engine; `tests/test_pipeline.py` validates that the fused
+path reproduces the exact path's output on KITTI-style scenes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cloud import compaction_order
+from ..ops.filters import (
+    sor_keep_mask,
+    sor_mean_dists_from_knn,
+    voxel_downsample_masked,
+)
+from ..ops.segmentation import propagate_labels, ransac_plane_masked
+from ..spatial.grid import build_grid
+from ..spatial.knn import grid_knn, grid_radius_neighbors
+
+
+class KittiPipelineOutput(NamedTuple):
+    centroids: jax.Array  # f32[N, 3] voxel centroids (padded)
+    downsampled_valid: jax.Array  # bool[N]
+    cleaned_valid: jax.Array  # bool[N] after SOR
+    plane_normal: jax.Array  # f32[3]
+    plane_d: jax.Array  # f32
+    inlier_mask: jax.Array  # bool[N] ground-plane inliers (of cleaned)
+    obstacle_src: jax.Array  # i32[CAP] rows into centroids for obstacles
+    obstacle_valid: jax.Array  # bool[CAP]
+    labels: jax.Array  # i32[CAP] cluster labels over obstacle slots
+    obstacle_overflow: jax.Array  # bool: more obstacles than CAP
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sor_k",
+        "ransac_iters",
+        "obstacle_cap",
+        "sor_m",
+        "cluster_m",
+    ),
+)
+def kitti_obstacle_pipeline(
+    xyz,
+    valid,
+    voxel_size,
+    sor_std,
+    ransac_thresh,
+    seed,
+    cluster_r,
+    *,
+    sor_k: int = 20,
+    ransac_iters: int = 500,
+    obstacle_cap: int = 16384,
+    sor_m: int = 64,
+    cluster_m: int = 64,
+):
+    # ── Step 1: voxel downsample ────────────────────────────────────────────
+    centroids, ds_valid = voxel_downsample_masked(xyz, valid, voxel_size)
+
+    # ── Step 2: statistical outlier removal ────────────────────────────────
+    sor_cell = voxel_size * 3.25
+    grid = build_grid(centroids, ds_valid, sor_cell)
+    dists, _, nvalid, _, _ = grid_knn(
+        grid, centroids, ds_valid, sor_k + 1, sor_m
+    )
+    q_finite = jnp.all(jnp.isfinite(centroids), axis=-1)
+    mean_dists = sor_mean_dists_from_knn(dists, nvalid, q_finite)
+    cleaned_valid = sor_keep_mask(mean_dists, ds_valid, sor_std)
+
+    # ── Step 3: RANSAC ground plane ────────────────────────────────────────
+    normal, d, inlier_mask = ransac_plane_masked(
+        centroids, cleaned_valid, ransac_thresh, seed, ransac_iters
+    )
+
+    # ── Step 4: ground removal + compact obstacles to a small capacity ─────
+    obstacle_mask = jnp.logical_and(cleaned_valid, jnp.logical_not(inlier_mask))
+    order = compaction_order(obstacle_mask)
+    obs_src = order[:obstacle_cap].astype(jnp.int32)
+    obs_valid = jnp.take(obstacle_mask, obs_src)
+    obs_xyz = jnp.take(centroids, obs_src, axis=0)
+    n_obstacles = jnp.sum(obstacle_mask.astype(jnp.int32))
+    overflow = n_obstacles > obstacle_cap
+
+    # ── Step 5: euclidean clustering over obstacles ────────────────────────
+    cluster_cell = cluster_r * 1.0001 + 2e-5
+    cgrid = build_grid(obs_xyz, obs_valid, cluster_cell)
+    nbr_idx, within, _ = grid_radius_neighbors(
+        cgrid, obs_xyz, obs_valid, cluster_r, cluster_m
+    )
+    labels = propagate_labels(nbr_idx, within, obs_valid)
+
+    return KittiPipelineOutput(
+        centroids=centroids,
+        downsampled_valid=ds_valid,
+        cleaned_valid=cleaned_valid,
+        plane_normal=normal,
+        plane_d=d,
+        inlier_mask=inlier_mask,
+        obstacle_src=obs_src,
+        obstacle_valid=obs_valid,
+        labels=labels,
+        obstacle_overflow=overflow,
+    )
+
+
+def extract_clusters(out: KittiPipelineOutput, min_size: int, max_size: int):
+    """Host-side cluster extraction with the reference's canonical ordering
+    (size desc, lexicographic tiebreak; ascending indices within a cluster).
+    Indices refer to the obstacle sub-cloud in compacted obstacle order,
+    matching `cleaned.select_inverse(plane.inliers)` row numbering."""
+    import numpy as np
+
+    labels = np.asarray(out.labels)
+    obs_valid = np.asarray(out.obstacle_valid)
+    # Obstacle slot i corresponds to the i-th obstacle in original order
+    # (compaction is stable), so slot index == row in the select_inverse
+    # sub-cloud.
+    valid_slots = np.nonzero(obs_valid)[0]
+    lab = labels[valid_slots]
+    order = np.argsort(lab, kind="stable")
+    sl = lab[order]
+    starts = np.nonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(sl)]])
+    clusters = []
+    slot_rank = {s: i for i, s in enumerate(valid_slots)}
+    for s, e in zip(starts, ends):
+        size = e - s
+        if min_size <= size <= max_size:
+            members = np.sort(valid_slots[order[s:e]])
+            clusters.append([slot_rank[m] for m in members])
+    clusters.sort(key=lambda c: (-len(c), c))
+    return clusters
