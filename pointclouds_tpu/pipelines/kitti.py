@@ -29,14 +29,15 @@ import jax
 import jax.numpy as jnp
 
 from ..core.cloud import compaction_order
-from ..ops.filters import (
-    sor_keep_mask,
-    sor_mean_dists_from_knn,
-    voxel_downsample_masked,
+from ..ops.filters import sor_keep_mask, voxel_downsample_masked
+from ..ops.segmentation import ransac_plane_masked
+from ..spatial.cellgrid import (
+    build_cellgrid,
+    cell_graph_adjacency,
+    cell_graph_labels,
+    cell_knn_subset,
+    cell_sor_mean_dists,
 )
-from ..ops.segmentation import propagate_labels, ransac_plane_masked
-from ..spatial.grid import build_grid
-from ..spatial.knn import grid_knn, grid_radius_neighbors
 
 
 class KittiPipelineOutput(NamedTuple):
@@ -50,6 +51,8 @@ class KittiPipelineOutput(NamedTuple):
     obstacle_valid: jax.Array  # bool[CAP]
     labels: jax.Array  # i32[CAP] cluster labels over obstacle slots
     obstacle_overflow: jax.Array  # bool: more obstacles than CAP
+    sor_certified: jax.Array  # bool: SOR neighbor search certified exact
+    grid_flags: jax.Array  # bool[4]: sor/cluster grid cap overflows
 
 
 @partial(
@@ -60,6 +63,9 @@ class KittiPipelineOutput(NamedTuple):
         "obstacle_cap",
         "sor_m",
         "cluster_m",
+        "sor_cell_cap",
+        "cluster_cell_cap",
+        "sor_fix_cap",
     ),
 )
 def kitti_obstacle_pipeline(
@@ -75,19 +81,59 @@ def kitti_obstacle_pipeline(
     ransac_iters: int = 500,
     obstacle_cap: int = 16384,
     sor_m: int = 64,
-    cluster_m: int = 64,
+    cluster_m: int = 32,
+    sor_cell_cap: int = 16384,
+    cluster_cell_cap: int = 4096,
+    sor_fix_cap: int = 4096,
 ):
     # ── Step 1: voxel downsample ────────────────────────────────────────────
     centroids, ds_valid = voxel_downsample_masked(xyz, valid, voxel_size)
 
-    # ── Step 2: statistical outlier removal ────────────────────────────────
-    sor_cell = voxel_size * 3.25
-    grid = build_grid(centroids, ds_valid, sor_cell)
-    dists, _, nvalid, _, _ = grid_knn(
-        grid, centroids, ds_valid, sor_k + 1, sor_m
+    # ── Step 2: statistical outlier removal (two-pass cell-centric KNN) ────
+    # Pass 1: cell = 4.33 voxels — at production density (KITTI ground at
+    # voxel 0.15 -> ~22 pts/m^2 downsampled) the k=20th-neighbor radius
+    # (~0.55 m) fits inside one cell width, so the bulk of the cloud is
+    # certified exact; voxel downsampling caps occupancy (<= 1 pt/voxel)
+    # so sor_m=64 holds without block truncation.
+    sor_cell = voxel_size * 4.33
+    grid = build_cellgrid(
+        centroids,
+        ds_valid,
+        sor_cell,
+        m_per_cell=sor_m,
+        cell_cap=sor_cell_cap,
     )
-    q_finite = jnp.all(jnp.isfinite(centroids), axis=-1)
-    mean_dists = sor_mean_dists_from_knn(dists, nvalid, q_finite)
+    mean_dists, point_ok, _ = cell_sor_mean_dists(grid, k=sor_k)
+
+    # Pass 2: the sparse minority (noise points whose kth neighbor lies
+    # beyond pass 1's search radius) is compacted into a small batch and
+    # re-queried per-point against a 4x coarser grid. Points unresolved
+    # even there are isolated beyond ~5 m and keep +inf (removed — which
+    # matches the exact engine's verdict at any practical threshold).
+    flagged = jnp.logical_and(ds_valid, jnp.logical_not(point_ok))
+    fix_order = compaction_order(flagged)
+    fix_rows = fix_order[:sor_fix_cap].astype(jnp.int32)
+    fix_valid = jnp.take(flagged, fix_rows)
+    fix_xyz = jnp.take(centroids, fix_rows, axis=0)
+    coarse = build_cellgrid(
+        centroids,
+        ds_valid,
+        sor_cell * 4.0,
+        m_per_cell=sor_m * 2,
+        cell_cap=2048,
+    )
+    fix_means, fix_ok = cell_knn_subset(
+        coarse, fix_xyz, fix_rows, fix_valid, k=sor_k
+    )
+    mean_dists = mean_dists.at[fix_rows].set(
+        jnp.where(fix_valid, fix_means, jnp.take(mean_dists, fix_rows)),
+        mode="drop",
+    )
+    n_flagged = jnp.sum(flagged.astype(jnp.int32))
+    sor_certified = jnp.logical_and(
+        n_flagged <= sor_fix_cap,
+        jnp.all(jnp.logical_or(jnp.logical_not(fix_valid), fix_ok)),
+    )
     cleaned_valid = sor_keep_mask(mean_dists, ds_valid, sor_std)
 
     # ── Step 3: RANSAC ground plane ────────────────────────────────────────
@@ -104,13 +150,17 @@ def kitti_obstacle_pipeline(
     n_obstacles = jnp.sum(obstacle_mask.astype(jnp.int32))
     overflow = n_obstacles > obstacle_cap
 
-    # ── Step 5: euclidean clustering over obstacles ────────────────────────
-    cluster_cell = cluster_r * 1.0001 + 2e-5
-    cgrid = build_grid(obs_xyz, obs_valid, cluster_cell)
-    nbr_idx, within, _ = grid_radius_neighbors(
-        cgrid, obs_xyz, obs_valid, cluster_r, cluster_m
+    # ── Step 5: euclidean clustering (collapsed cell graph) ────────────────
+    cgrid = build_cellgrid(
+        obs_xyz,
+        obs_valid,
+        cluster_r * 0.5,
+        m_per_cell=cluster_m,
+        cell_cap=cluster_cell_cap,
+        ring=2,
     )
-    labels = propagate_labels(nbr_idx, within, obs_valid)
+    adjacency = cell_graph_adjacency(cgrid, cluster_r)
+    labels = cell_graph_labels(cgrid, adjacency)
 
     return KittiPipelineOutput(
         centroids=centroids,
@@ -123,6 +173,11 @@ def kitti_obstacle_pipeline(
         obstacle_valid=obs_valid,
         labels=labels,
         obstacle_overflow=overflow,
+        sor_certified=sor_certified,
+        grid_flags=jnp.stack(
+            [grid.overflow, grid.table_overflow, cgrid.overflow,
+             cgrid.table_overflow]
+        ),
     )
 
 

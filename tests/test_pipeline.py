@@ -35,14 +35,26 @@ def run_fused_path(data, seed):
         np.float32(0.8),
         sor_k=20,
         ransac_iters=500,
-        obstacle_cap=4096,
+        obstacle_cap=8192,
     )
     clusters = extract_clusters(out, 10, 20_000)
     return out, clusters
 
 
+def density_preserving_small_scene(seed, scale):
+    """Cropped full-scale KITTI window: production point density AND object
+    geometry (the fused path's SOR cell size assumes the voxel-0.15
+    production density), at a CPU-friendly point count. ``scale`` sets the
+    crop window size."""
+    data = kitti_scene(seed=seed, scale=1.0)
+    half_x = 30.0 * (scale * 2.5) ** 0.5
+    half_y = 20.0 * (scale * 2.5) ** 0.5
+    keep = (np.abs(data[:, 0]) <= half_x) & (np.abs(data[:, 1]) <= half_y)
+    return np.ascontiguousarray(data[keep])
+
+
 def test_fused_matches_api_path_small_kitti():
-    data = kitti_scene(seed=42, scale=0.08)  # ~5.4K pts, CPU-friendly
+    data = density_preserving_small_scene(42, 0.08)  # ~5.4K pts, CPU-friendly
     seed = 1234
     ds, cleaned, plane, obstacles, api_clusters = run_api_path(data, seed)
     out, fused_clusters = run_fused_path(data, seed)
@@ -75,7 +87,7 @@ def test_fused_matches_api_path_small_kitti():
 
 
 def test_fused_detects_three_obstacles_full_scene():
-    data = kitti_scene(seed=42, scale=0.25)  # ~17K pts
+    data = density_preserving_small_scene(42, 0.25)  # ~17K pts
     out, clusters = run_fused_path(data, 99)
     assert not bool(out.obstacle_overflow)
     # 2 cars + 1 pedestrian
@@ -85,7 +97,7 @@ def test_fused_detects_three_obstacles_full_scene():
 
 
 def test_fused_deterministic():
-    data = kitti_scene(seed=3, scale=0.05)
+    data = density_preserving_small_scene(3, 0.05)
     _, c1 = run_fused_path(data, 7)
     _, c2 = run_fused_path(data, 7)
     assert c1 == c2
