@@ -35,25 +35,35 @@ def main():
     data = velodyne_scene(seed=0, n_points=N_POINTS)
     arrs = make_cloud_arrays(data)
 
-    def run(seed):
-        out = kitti_obstacle_pipeline(
-            arrs.xyz,
-            arrs.valid,
-            np.float32(0.15),
-            np.float32(2.0),
-            np.float32(0.15),
-            seed,
-            np.float32(0.8),
-            sor_k=20,
-            ransac_iters=500,
-        )
-        # block_until_ready does not actually block on the axon remote
-        # platform; a host transfer of an output is the honest sync.
-        np.asarray(out.labels)
-        return out
+    def make_run(backend):
+        def run(seed):
+            out = kitti_obstacle_pipeline(
+                arrs.xyz,
+                arrs.valid,
+                np.float32(0.15),
+                np.float32(2.0),
+                np.float32(0.15),
+                seed,
+                np.float32(0.8),
+                sor_k=20,
+                ransac_iters=500,
+                sor_backend=backend,
+            )
+            # block_until_ready does not actually block on the axon remote
+            # platform; a host transfer of an output is the honest sync.
+            np.asarray(out.labels)
+            return out
+        return run
 
-    # Warmup: compile + one extra to stabilize
-    run(0)
+    # Warmup: compile + one extra to stabilize. The Pallas SOR kernel is
+    # preferred; this environment's remote compile helper intermittently
+    # fails to build Pallas kernels, so fall back to the pure-XLA path.
+    run = make_run("auto")
+    try:
+        run(0)
+    except Exception:
+        run = make_run("xla")
+        run(0)
     run(1)
 
     times = []

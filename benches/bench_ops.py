@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Microbenchmark suite: per-op timings at reference-comparable sizes.
+
+The TPU analogue of the reference's five Criterion suites
+(ref: benches/bench_{voxel,kdtree,normals,icp,filters}.rs), with the same
+workload sizes so numbers line up against BENCHMARKS.md. Timing excludes
+compilation (warmup call first) and uses a host-transfer sync because
+block_until_ready is a no-op on the tunneled axon platform. Note the
+platform adds ~28 ms fixed RPC latency per dispatch; `real` columns
+subtract the measured floor to show device time.
+
+Usage: python benches/bench_ops.py [--sizes small]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+import pointclouds_tpu as pc
+from pointclouds_tpu.core.cloud import make_cloud_arrays
+from pointclouds_tpu.spatial import engine
+
+
+def sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
+
+
+def measure_floor():
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.ones((8,), jnp.float32)
+    sync(f(x))
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        sync(f(x))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(ts, 50))
+
+
+def timeit(name, fn, *args, reps=5, floor=0.0, ref_ms=None):
+    out = fn(*args)
+    sync(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        sync(out)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    wall = min(ts)
+    real = max(wall - floor, 0.0)
+    ref = f"  ref={ref_ms:.2f}ms ({ref_ms / max(real, 1e-3):.1f}x)" if ref_ms else ""
+    print(f"{name:42s} wall={wall:8.2f}ms  device={real:8.2f}ms{ref}")
+    return out
+
+
+def cloud(n, seed=0, box=10.0):
+    rng = np.random.default_rng(seed)
+    return pc.PointCloud.from_numpy(
+        (rng.random((n, 3)) * box).astype(np.float32)
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="full", choices=("small", "full"))
+    args = ap.parse_args()
+    full = args.sizes == "full"
+
+    floor = measure_floor()
+    print(f"dispatch floor: {floor:.2f} ms  (device: {jax.devices()[0]})")
+
+    # Reference numbers from BASELINE.md (M4 Max CPU, Criterion medians)
+    c10k = cloud(10_000)
+    c100k = cloud(100_000)
+    c1m = cloud(1_000_000) if full else None
+
+    timeit("voxel_downsample 10K", pc.voxel_downsample, c10k, 0.5, floor=floor, ref_ms=0.061)
+    timeit("voxel_downsample 100K", pc.voxel_downsample, c100k, 0.5, floor=floor, ref_ms=0.703)
+    if full:
+        timeit("voxel_downsample 1M", pc.voxel_downsample, c1m, 0.5, floor=floor, ref_ms=8.3)
+
+    timeit("passthrough 100K", pc.passthrough_filter, c100k, "x", 2.0, 8.0, floor=floor, ref_ms=0.372)
+    if full:
+        timeit("passthrough 1M", pc.passthrough_filter, c1m, "x", 2.0, 8.0, floor=floor, ref_ms=5.5)
+
+    # Batched KNN vs the reference's per-query KD-tree numbers: the
+    # reference does 1.47 us/query at 100K -> 147 ms for all-points KNN.
+    arrs = c100k._arrs
+
+    def knn_all(xyz, valid):
+        return engine.knn(xyz, valid, xyz, valid, 10)
+
+    timeit("knn k=10 all 100K pts", knn_all, arrs.xyz, arrs.valid, floor=floor, ref_ms=147.0)
+
+    timeit("SOR k=10 10K", pc.statistical_outlier_removal, c10k, 10, 2.0, floor=floor, ref_ms=11.2)
+    timeit("SOR k=10 100K", pc.statistical_outlier_removal, c100k, 10, 2.0, floor=floor, ref_ms=128.0)
+
+    timeit("radius_outlier 10K", pc.radius_outlier_removal, c10k, 0.5, 5, floor=floor, ref_ms=1.35)
+    timeit("radius_outlier 100K", pc.radius_outlier_removal, c100k, 0.5, 5, floor=floor, ref_ms=19.1)
+
+    timeit("estimate_normals k=10 10K", pc.estimate_normals, c10k, 10, floor=floor, ref_ms=1.4)
+    timeit("estimate_normals k=10 100K", pc.estimate_normals, c100k, 10, floor=floor, ref_ms=15.8)
+
+    src = cloud(10_000, seed=1)
+    tgt = pc.PointCloud.from_numpy(src.to_numpy() + np.float32(0.05))
+    timeit(
+        "icp_point_to_point 10K x50",
+        lambda s, t: pc.icp_point_to_point(s, t, max_iterations=50),
+        src, tgt, floor=floor, ref_ms=5.15,
+    )
+
+    rng = np.random.default_rng(3)
+    seg = np.vstack([
+        (rng.random((80_000, 3)) * [20, 20, 0.05]).astype(np.float32),
+        (rng.random((20_000, 3)) * 20).astype(np.float32),
+    ])
+    cseg = pc.PointCloud.from_numpy(seg)
+    timeit(
+        "ransac_plane 100K x500",
+        lambda c: pc.ransac_plane_seeded(c, 0.05, 500, 7),
+        cseg, floor=floor, ref_ms=2.1,
+    )
+    timeit(
+        "euclidean_cluster 100K r=0.5",
+        lambda c: pc.euclidean_cluster(c, 0.5, 10, 10**9),
+        cseg, floor=floor, ref_ms=16.0,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,8 @@ import struct
 
 import numpy as np
 
+from .. import native as _native
+
 
 def read_las(path: str):
     """Returns (xyz f32[N,3], intensity f32[N]|None)."""
@@ -50,6 +52,14 @@ def read_las(path: str):
         raise OSError(
             f"LAS file truncated: need {end} bytes, have {len(raw)}"
         )
+
+    fast = _native.decode_las(
+        raw[offset_to_points:end], count, record_len,
+        (sx, sy, sz), (ox, oy, oz),
+    )
+    if fast is not None:
+        xyz, inten_f, any_i = fast
+        return xyz, (inten_f if any_i else None)
 
     body = np.frombuffer(raw[offset_to_points:end], dtype=np.uint8).reshape(
         count, record_len

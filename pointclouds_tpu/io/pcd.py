@@ -20,6 +20,8 @@ import io as _stdio
 
 import numpy as np
 
+from .. import native as _native
+
 
 def _parse_header(raw: bytes):
     """Scan for the DATA line byte-safely and parse header fields."""
@@ -77,7 +79,14 @@ def read_pcd(path: str):
     fmt, num_points, fields, data_offset = _parse_header(raw)
 
     if fmt == "ascii":
-        body = raw[data_offset:].decode("utf-8")
+        body_bytes = raw[data_offset:]
+        # Fast path: native multithreaded float parsing (pcio.cpp); the
+        # numpy fallback below implements identical semantics.
+        max_rows = body_bytes.count(b"\n") + 1
+        fast = _native.parse_ascii_xyz(body_bytes, max_rows)
+        if fast is not None:
+            return fast
+        body = body_bytes.decode("utf-8")
         rows = []
         for line in body.splitlines():
             t = line.strip()
@@ -111,6 +120,11 @@ def read_pcd(path: str):
         ix, iy, iz = fields.index("x"), fields.index("y"), fields.index("z")
     except ValueError:
         raise OSError("binary PCD file missing x, y, z fields")
+    fast = _native.gather_xyz_f32(
+        data[:expected], num_points, point_size, ix * 4, iy * 4, iz * 4
+    )
+    if fast is not None:
+        return fast
     arr = np.frombuffer(data[:expected], dtype="<f4").reshape(num_points, num_fields)
     return np.ascontiguousarray(arr[:, [ix, iy, iz]]).astype(np.float32)
 

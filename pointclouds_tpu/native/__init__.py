@@ -1,0 +1,145 @@
+"""ctypes bindings for the native I/O runtime (libpcio.so).
+
+Auto-builds the shared library on first import if a toolchain is available;
+callers fall back to pure-numpy parsing when the library can't be loaded
+(`available` is False). See pcio.cpp for what's implemented.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libpcio.so")
+
+_lib = None
+
+
+def _try_build():
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        if not _try_build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    lib.pcio_decode_las.restype = ctypes.c_int
+    lib.pcio_decode_las.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    lib.pcio_parse_ascii_xyz.restype = ctypes.c_int64
+    lib.pcio_parse_ascii_xyz.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
+    lib.pcio_gather_xyz_f32.restype = None
+    lib.pcio_gather_xyz_f32.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_void_p,
+    ]
+    _lib = lib
+    return lib
+
+
+def get_lib():
+    return _load()
+
+
+@property
+def available():  # pragma: no cover - convenience
+    return _load() is not None
+
+
+def decode_las(buf: bytes, n: int, stride: int, scale, offset):
+    """Returns (xyz f32[n,3], intensity f32[n], any_nonzero_intensity)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    xyz = np.empty((n, 3), np.float32)
+    inten = np.empty((n,), np.float32)
+    any_i = lib.pcio_decode_las(
+        buf,
+        n,
+        stride,
+        float(scale[0]),
+        float(scale[1]),
+        float(scale[2]),
+        float(offset[0]),
+        float(offset[1]),
+        float(offset[2]),
+        xyz.ctypes.data_as(ctypes.c_void_p),
+        inten.ctypes.data_as(ctypes.c_void_p),
+    )
+    return xyz, inten, bool(any_i)
+
+
+def parse_ascii_xyz(text: bytes, max_points: int):
+    """Returns xyz f32[count, 3] or None if the library is unavailable."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((max_points, 3), np.float32)
+    count = lib.pcio_parse_ascii_xyz(
+        text, len(text), out.ctypes.data_as(ctypes.c_void_p), max_points
+    )
+    return out[:count].copy()
+
+
+def gather_xyz_f32(buf: bytes, n: int, stride: int, off_x, off_y, off_z):
+    """Returns xyz f32[n,3] extracted from packed records, or None."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((n, 3), np.float32)
+    lib.pcio_gather_xyz_f32(
+        buf,
+        n,
+        stride,
+        off_x,
+        off_y,
+        off_z,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

@@ -37,6 +37,7 @@ from ..spatial.cellgrid import (
     cell_graph_labels,
     cell_knn_subset,
     cell_sor_mean_dists,
+    point_sor_mean_dists,
 )
 
 
@@ -66,6 +67,7 @@ class KittiPipelineOutput(NamedTuple):
         "sor_cell_cap",
         "cluster_cell_cap",
         "sor_fix_cap",
+        "sor_backend",
     ),
 )
 def kitti_obstacle_pipeline(
@@ -80,22 +82,24 @@ def kitti_obstacle_pipeline(
     sor_k: int = 20,
     ransac_iters: int = 500,
     obstacle_cap: int = 16384,
-    sor_m: int = 64,
+    sor_m: int = 48,
     cluster_m: int = 32,
-    sor_cell_cap: int = 16384,
-    cluster_cell_cap: int = 4096,
+    sor_cell_cap: int = 32768,
+    cluster_cell_cap: int = 2048,
     sor_fix_cap: int = 4096,
+    sor_backend: str = "auto",
 ):
     # ── Step 1: voxel downsample ────────────────────────────────────────────
     centroids, ds_valid = voxel_downsample_masked(xyz, valid, voxel_size)
 
     # ── Step 2: statistical outlier removal (two-pass cell-centric KNN) ────
-    # Pass 1: cell = 4.33 voxels — at production density (KITTI ground at
-    # voxel 0.15 -> ~22 pts/m^2 downsampled) the k=20th-neighbor radius
-    # (~0.55 m) fits inside one cell width, so the bulk of the cloud is
-    # certified exact; voxel downsampling caps occupancy (<= 1 pt/voxel)
-    # so sor_m=64 holds without block truncation.
-    sor_cell = voxel_size * 4.33
+    # Pass 1: cell = 3.25 voxels — at the 122K-frame density (~45 pts/m^2
+    # raw ground) the k=20th-neighbor radius fits inside one cell width for
+    # the bulk of the cloud, and per-cell occupancy stays under sor_m even
+    # in volume-dense car interiors (block truncation DROPS points, which
+    # is worse than a short search radius: truncated or uncertified points
+    # are all rescued by pass 2).
+    sor_cell = voxel_size * 3.25
     grid = build_cellgrid(
         centroids,
         ds_valid,
@@ -103,7 +107,19 @@ def kitti_obstacle_pipeline(
         m_per_cell=sor_m,
         cell_cap=sor_cell_cap,
     )
-    mean_dists, point_ok, _ = cell_sor_mean_dists(grid, k=sor_k)
+    if sor_backend == "auto":
+        # The VMEM-resident Pallas selection kernel on TPU; the query-centric
+        # XLA path elsewhere (and as the fallback when this environment's
+        # flaky remote compiler rejects the Pallas kernel).
+        sor_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if sor_backend == "xla":
+        mean_dists, point_ok, _ = point_sor_mean_dists(
+            grid, centroids, ds_valid, k=sor_k
+        )
+    else:
+        mean_dists, point_ok, _ = cell_sor_mean_dists(
+            grid, k=sor_k, chunk=256, backend=sor_backend
+        )
 
     # Pass 2: the sparse minority (noise points whose kth neighbor lies
     # beyond pass 1's search radius) is compacted into a small batch and
@@ -119,7 +135,7 @@ def kitti_obstacle_pipeline(
         centroids,
         ds_valid,
         sor_cell * 4.0,
-        m_per_cell=sor_m * 2,
+        m_per_cell=256,
         cell_cap=2048,
     )
     fix_means, fix_ok = cell_knn_subset(

@@ -171,3 +171,49 @@ def test_cell_graph_cluster_matches_bruteforce():
             for b in range(a + 1, n, 3):
                 assert (labels[a] == labels[b]) == (comp_id[a] == comp_id[b]), (
                     trial, a, b, r)
+
+
+def test_pallas_sor_select_matches_xla_backend():
+    """The VMEM-resident Pallas selection kernel (interpret mode on CPU)
+    must agree exactly with the XLA min-extraction path."""
+    rng = np.random.default_rng(12)
+    data = np.vstack([
+        (rng.random((800, 3)) * 4).astype(np.float32),
+        np.array([[np.nan, 0, 0], [50, 50, 50]], dtype=np.float32),
+    ])
+    arrs = make_cloud_arrays(data)
+    grid = build_cellgrid(
+        arrs.xyz, arrs.valid, jnp.float32(0.8), m_per_cell=32, cell_cap=2048
+    )
+    m_x, ok_x, cert_x = cell_sor_mean_dists(grid, k=7, chunk=256)
+    m_p, ok_p, cert_p = cell_sor_mean_dists(
+        grid, k=7, backend="pallas_interpret"
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_x), np.asarray(m_p), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+    assert bool(cert_x) == bool(cert_p)
+
+
+def test_point_sor_matches_cell_sor():
+    from pointclouds_tpu.spatial.cellgrid import point_sor_mean_dists
+
+    rng = np.random.default_rng(21)
+    data = np.vstack([
+        (rng.random((1500, 3)) * 5).astype(np.float32),
+        np.array([[np.nan, 0, 0], [80, 80, 80]], dtype=np.float32),
+    ])
+    arrs = make_cloud_arrays(data)
+    grid = build_cellgrid(
+        arrs.xyz, arrs.valid, jnp.float32(0.9), m_per_cell=32, cell_cap=2048
+    )
+    m_c, ok_c, cert_c = cell_sor_mean_dists(grid, k=9, chunk=256)
+    m_p, ok_p, cert_p = point_sor_mean_dists(
+        grid, arrs.xyz, arrs.valid, k=9, qchunk=512
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_c), np.asarray(m_p), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(np.asarray(ok_c), np.asarray(ok_p))
+    assert bool(cert_c) == bool(cert_p)
