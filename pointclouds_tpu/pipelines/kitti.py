@@ -53,7 +53,7 @@ class KittiPipelineOutput(NamedTuple):
     labels: jax.Array  # i32[CAP] cluster labels over obstacle slots
     obstacle_overflow: jax.Array  # bool: more obstacles than CAP
     sor_certified: jax.Array  # bool: SOR neighbor search certified exact
-    grid_flags: jax.Array  # bool[4]: sor/cluster grid cap overflows
+    grid_flags: jax.Array  # bool[5]: sor/cluster/downsample cap overflows
 
 
 @partial(
@@ -82,24 +82,34 @@ def kitti_obstacle_pipeline(
     sor_k: int = 20,
     ransac_iters: int = 500,
     obstacle_cap: int = 16384,
-    sor_m: int = 48,
-    cluster_m: int = 32,
-    sor_cell_cap: int = 32768,
-    cluster_cell_cap: int = 2048,
+    sor_m: int = 56,
+    cluster_m: int = 24,
+    sor_cell_cap: int = 16384,
+    cluster_cell_cap: int = 8192,
     sor_fix_cap: int = 4096,
     sor_backend: str = "auto",
 ):
     # ── Step 1: voxel downsample ────────────────────────────────────────────
-    centroids, ds_valid = voxel_downsample_masked(xyz, valid, voxel_size)
+    centroids_full, ds_valid_full = voxel_downsample_masked(
+        xyz, valid, voxel_size
+    )
+    # Voxel output is compacted (valid rows first, ascending cell key), and
+    # downsampling at least halves typical LiDAR frames: slice to half
+    # capacity so every downstream op runs on half the rows.
+    ds_cap = xyz.shape[0] // 2
+    centroids = centroids_full[:ds_cap]
+    ds_valid = ds_valid_full[:ds_cap]
+    ds_overflow = jnp.any(ds_valid_full[ds_cap:])
 
     # ── Step 2: statistical outlier removal (two-pass cell-centric KNN) ────
-    # Pass 1: cell = 3.25 voxels — at the 122K-frame density (~45 pts/m^2
-    # raw ground) the k=20th-neighbor radius fits inside one cell width for
-    # the bulk of the cloud, and per-cell occupancy stays under sor_m even
-    # in volume-dense car interiors (block truncation DROPS points, which
-    # is worse than a short search radius: truncated or uncertified points
-    # are all rescued by pass 2).
-    sor_cell = voxel_size * 3.25
+    # Pass 1: cell = 4.0 voxels — the k=20th-neighbor radius at production
+    # densities (22-45 pts/m^2 ground) stays well inside one cell width, so
+    # only genuinely sparse points (noise, object borders) fail the
+    # certificate, keeping the pass-2 rescue batch under its cap.
+    # Per-cell occupancy stays under sor_m; truncated or uncertified points
+    # are all rescued by pass 2 (truncation marks point_slot as
+    # out-of-grid, which fails the certificate).
+    sor_cell = voxel_size * 4.0
     grid = build_cellgrid(
         centroids,
         ds_valid,
@@ -135,7 +145,7 @@ def kitti_obstacle_pipeline(
         centroids,
         ds_valid,
         sor_cell * 4.0,
-        m_per_cell=256,
+        m_per_cell=128,
         cell_cap=2048,
     )
     fix_means, fix_ok = cell_knn_subset(
@@ -192,7 +202,7 @@ def kitti_obstacle_pipeline(
         sor_certified=sor_certified,
         grid_flags=jnp.stack(
             [grid.overflow, grid.table_overflow, cgrid.overflow,
-             cgrid.table_overflow]
+             cgrid.table_overflow, ds_overflow]
         ),
     )
 

@@ -41,6 +41,9 @@ DEFAULT_TABLE_SIZE = 1 << 21  # 2M cells, 8 MB int32
 
 class CellGrid(NamedTuple):
     cell_xyz: jax.Array  # f32[C, M, 3] dense per-cell point blocks
+    cell_xyzw: jax.Array  # f32[C, M, 4] xyz + validity (1/0) packed: one
+    # gather fetches coordinates AND mask (three separate small-slice
+    # gathers ran ~25x slower than one 384B-granular take)
     cell_idx: jax.Array  # i32[C, M] original row ids
     cell_mask: jax.Array  # bool[C, M]
     neighbor_slots: jax.Array  # i32[C, 27] slot of each neighbor cell (C if absent)
@@ -115,6 +118,14 @@ def build_cellgrid(
         .at[sslot, srank]
         .set(sxyz, mode="drop")[:cell_cap]
     )
+    sxyzw = jnp.concatenate(
+        [sxyz, in_block.astype(jnp.float32)[:, None]], axis=1
+    )
+    cell_xyzw = (
+        jnp.zeros((cell_cap + 1, m_per_cell, 4), jnp.float32)
+        .at[sslot, srank]
+        .set(sxyzw, mode="drop")[:cell_cap]
+    )
     cell_idx = (
         jnp.full((cell_cap + 1, m_per_cell), n, jnp.int32)
         .at[sslot, srank]
@@ -172,6 +183,7 @@ def build_cellgrid(
 
     return CellGrid(
         cell_xyz=cell_xyz,
+        cell_xyzw=cell_xyzw,
         cell_idx=cell_idx,
         cell_mask=cell_mask,
         neighbor_slots=neighbor_slots,
@@ -211,6 +223,19 @@ def gather_neighbor_blocks(grid: CellGrid, slots_chunk):
         slots_chunk.shape + (m,)
     )
     return nb_xyz, nb_mask, nb_idx
+
+
+def gather_neighbor_xyzw(grid: CellGrid, slots_chunk):
+    """One-gather neighbor blocks: [..., M, 4] xyzw with validity in w
+    (zeroed for absent neighbor slots)."""
+    cap, m, _ = grid.cell_xyzw.shape
+    flat = jnp.minimum(slots_chunk, cap - 1).reshape(-1)
+    absent = slots_chunk >= cap
+    nb = jnp.take(grid.cell_xyzw.reshape(cap, m * 4), flat, axis=0).reshape(
+        slots_chunk.shape + (m, 4)
+    )
+    w = jnp.where(absent[..., None], 0.0, nb[..., 3])
+    return nb[..., :3], w > 0.5
 
 
 def _chunk_cells(grid: CellGrid, chunk: int):
@@ -395,7 +420,7 @@ def cell_knn_subset(grid: CellGrid, qxyz, qrows, qvalid, *, k: int):
         jnp.minimum(slot, cap),
         axis=0,
     )  # [B, K]
-    nb_xyz, nb_mask, _ = gather_neighbor_blocks(grid, nb)
+    nb_xyz, nb_mask = gather_neighbor_xyzw(grid, nb)
     b, kk, m, _ = nb_xyz.shape
     nb_flat = nb_xyz.reshape(b, kk * m, 3)
     nbm_flat = jnp.logical_and(nb_mask.reshape(b, kk * m), qvalid[:, None])
@@ -520,7 +545,7 @@ def cell_graph_adjacency(grid: CellGrid, radius, *, chunk: int = 256):
 
     def chunk_fn(args):
         q, qm, slots = args  # [c, M, 3], [c, M], [c, K]
-        nb_xyz, nb_mask, _ = gather_neighbor_blocks(grid, slots)
+        nb_xyz, nb_mask = gather_neighbor_xyzw(grid, slots)
         c, k, m, _ = nb_xyz.shape
         nb_flat = nb_xyz.reshape(c, k * m, 3)
         nbm_flat = nb_mask.reshape(c, k * m)
@@ -610,10 +635,15 @@ def point_sor_mean_dists(
     km = grid.neighbor_slots.shape[1] * m
     cell2 = grid.cell_size * grid.cell_size
 
-    # Stage 1: materialize candidate slabs per cell.
-    nb_xyz, nb_mask, _ = gather_neighbor_blocks(grid, grid.neighbor_slots)
-    slab_xyz = nb_xyz.reshape(cap, km * 3)
-    slab_valid = nb_mask.reshape(cap, km)
+    # Stage 1: materialize candidate slabs per cell, directly in flat 2D
+    # layout ([C, 27*M*4]) — coordinates and validity packed so a single
+    # gather fetches both, and no 4D intermediate picks up a tiled layout
+    # that pads the small minor axis.
+    nslots = grid.neighbor_slots
+    flat = jnp.minimum(nslots, cap - 1).reshape(-1)
+    absent = (nslots >= cap).reshape(-1)
+    slab = jnp.take(grid.cell_xyzw.reshape(cap, m * 4), flat, axis=0)
+    slab = jnp.where(absent[:, None], 0.0, slab).reshape(cap, km * 4)
 
     # Stage 2+3: chunked per-point fetch + extraction.
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
@@ -636,10 +666,9 @@ def point_sor_mean_dists(
 
     def chunk_fn(args):
         qx, qu, qs = args
-        cand = jnp.take(slab_xyz, qs, axis=0).reshape(qchunk, km, 3)
-        cv = jnp.logical_and(
-            jnp.take(slab_valid, qs, axis=0), qu[:, None]
-        )
+        row = jnp.take(slab, qs, axis=0).reshape(qchunk, km, 4)
+        cand = row[..., :3]
+        cv = jnp.logical_and(row[..., 3] > 0.5, qu[:, None])
         diff = cand - qx[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         return _smallest_k_sum_count(d2, cv, k + 1, None)
