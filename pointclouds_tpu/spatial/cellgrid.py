@@ -257,9 +257,11 @@ def _smallest_k_sum_count(d2, valid, k: int, cap_d2):
     kth = jnp.zeros(d2.shape[:-1], jnp.float32)
 
     def body(_, state):
+        # One argmin pass + an element gather for the value (a separate
+        # jnp.min would stream the work array a second time per iteration).
         work, total, count, kth = state
-        m = jnp.min(work, axis=-1)
         am = jnp.argmin(work, axis=-1)
+        m = jnp.take_along_axis(work, am[..., None], axis=-1)[..., 0]
         ok = jnp.isfinite(m)
         hit = jnp.where(ok, jnp.sqrt(jnp.maximum(m, 0.0)), 0.0)
         total = total + hit
