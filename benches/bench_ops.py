@@ -29,6 +29,13 @@ from pointclouds_tpu.spatial import engine
 
 
 def sync(x):
+    if hasattr(x, "len"):  # API PointCloud: construction already synced
+        x.len()
+        return
+    if hasattr(x, "num_iterations"):  # IcpResult: already host values
+        return
+    if isinstance(x, (list, tuple)) and x and not hasattr(x[0], "ndim"):
+        return  # host lists (cluster output) are already materialized
     leaf = jax.tree_util.tree_leaves(x)[0]
     np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
 

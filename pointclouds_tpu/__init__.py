@@ -29,6 +29,8 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
 
 from .api import (  # noqa: E402
     IcpResult,
+    knn,
+    radius_search,
     PlaneResult,
     PointCloud,
     apply_transform,
@@ -56,6 +58,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "IcpResult",
+    "knn",
+    "radius_search",
     "PlaneResult",
     "PointCloud",
     "apply_transform",

@@ -55,6 +55,8 @@ __all__ = [
     "euclidean_cluster",
     "ransac_plane",
     "ransac_plane_seeded",
+    "knn",
+    "radius_search",
     "read_pcd",
     "write_pcd",
     "write_pcd_binary",
@@ -476,8 +478,14 @@ def euclidean_cluster(
         return []
 
     xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
-    nbr_idx, within = _engine.radius_neighbors(xyz, valid, distance_threshold)
-    labels = _segmentation.propagate_labels(nbr_idx, within, valid)
+    labels = _engine.cluster_labels(xyz, valid, distance_threshold)
+    if labels is None:
+        # Huge extents or unbounded per-cell density: exact int64-keyed
+        # fallback (grid neighbor lists + per-point label propagation).
+        nbr_idx, within = _engine.radius_neighbors(
+            xyz, valid, distance_threshold
+        )
+        labels = _segmentation.propagate_labels(nbr_idx, within, valid)
     labels_np = np.asarray(labels)[: cloud.len()]
 
     # Host-side component extraction + canonical ordering
@@ -585,3 +593,58 @@ def read_las(path: str) -> PointCloud:
     except OSError as e:
         raise IOError(str(e))
     return _cloud_from_host(xyz, intensity=intensity)
+
+
+# ── Spatial queries (the reference's KdTree capability, crate-level API:
+#    crates/spatial/src/kdtree.rs — not exposed by its Python bindings, but
+#    part of the library surface) ──────────────────────────────────────────
+
+
+def knn(cloud: PointCloud, queries, k: int):
+    """K nearest neighbors of each query point against ``cloud``.
+
+    Returns (indices int32[Q, k'], distances f32[Q, k']) with k' =
+    min(k, len(cloud)); distances are Euclidean, ascending. Matches the
+    KD-tree contract (ref: crates/spatial/src/kdtree.rs:64-80): empty
+    cloud / k == 0 / non-finite query -> zero results for that query
+    (marked by distance = +inf and index = -1).
+    """
+    k = int(k)
+    q = np.ascontiguousarray(np.asarray(queries, np.float32)).reshape(-1, 3)
+    if k <= 0 or cloud.is_empty() or q.shape[0] == 0:
+        return (
+            np.zeros((q.shape[0], 0), np.int32),
+            np.zeros((q.shape[0], 0), np.float32),
+        )
+    k_eff = min(k, cloud.len())
+    qarrs = make_cloud_arrays(q)
+    dists, idx, nvalid = _engine.knn(
+        cloud._arrs.xyz, cloud._arrs.valid, qarrs.xyz, qarrs.valid, k_eff
+    )
+    nq = q.shape[0]
+    d = np.asarray(dists)[:nq, :k_eff]
+    i = np.asarray(idx)[:nq, :k_eff].astype(np.int32)
+    v = np.asarray(nvalid)[:nq, :k_eff]
+    i = np.where(v, i, -1)
+    d = np.where(v, d, np.inf).astype(np.float32)
+    return i, d
+
+
+def radius_search(cloud: PointCloud, query, radius: float):
+    """Indices of points within ``radius`` (inclusive) of ``query``, sorted
+    ascending (ref: crates/spatial/src/kdtree.rs:105-135). Returns [] for
+    empty cloud, non-positive/non-finite radius, or non-finite query."""
+    radius = float(radius)
+    q = np.asarray(query, np.float32).reshape(3)
+    if (
+        cloud.is_empty()
+        or radius <= 0.0
+        or not math.isfinite(radius)
+        or not np.all(np.isfinite(q))
+    ):
+        return []
+    pts = cloud.to_numpy()
+    d = np.linalg.norm(
+        pts.astype(np.float64) - q.astype(np.float64), axis=1
+    )
+    return [int(i) for i in np.nonzero(d <= radius)[0]]

@@ -41,14 +41,18 @@ DEFAULT_TABLE_SIZE = 1 << 21  # 2M cells, 8 MB int32
 
 class CellGrid(NamedTuple):
     cell_xyz: jax.Array  # f32[C, M, 3] dense per-cell point blocks
-    cell_xyzw: jax.Array  # f32[C, M, 4] xyz + validity (1/0) packed: one
-    # gather fetches coordinates AND mask (three separate small-slice
-    # gathers ran ~25x slower than one 384B-granular take)
+    cell_xyzw: jax.Array  # f32[C, M, 4] xyz + original row id in w (-1 for
+    # padding): one gather fetches coordinates, validity (w >= 0), AND the
+    # index — three separate small-slice gathers ran ~25x slower than one
+    # 384B-granular take. Exact for clouds under 2^24 points.
     cell_idx: jax.Array  # i32[C, M] original row ids
     cell_mask: jax.Array  # bool[C, M]
     neighbor_slots: jax.Array  # i32[C, 27] slot of each neighbor cell (C if absent)
     point_slot: jax.Array  # i32[N] cell slot of each original point (C if invalid)
     num_cells: jax.Array  # i32
+    table: jax.Array  # i32[T+1] linear id -> slot (cell_cap if absent)
+    min_coord: jax.Array  # i32[3] cell-coordinate origin
+    extent: jax.Array  # i32[3]
     cell_size: jax.Array  # f32
     overflow: jax.Array  # bool: some cell holds > M points
     table_overflow: jax.Array  # bool: extent exceeded the table capacity
@@ -119,10 +123,13 @@ def build_cellgrid(
         .set(sxyz, mode="drop")[:cell_cap]
     )
     sxyzw = jnp.concatenate(
-        [sxyz, in_block.astype(jnp.float32)[:, None]], axis=1
+        [sxyz, jnp.where(in_block, sidx.astype(jnp.float32), -1.0)[:, None]],
+        axis=1,
     )
     cell_xyzw = (
         jnp.zeros((cell_cap + 1, m_per_cell, 4), jnp.float32)
+        .at[:, :, 3]
+        .set(-1.0)
         .at[sslot, srank]
         .set(sxyzw, mode="drop")[:cell_cap]
     )
@@ -189,6 +196,9 @@ def build_cellgrid(
         neighbor_slots=neighbor_slots,
         point_slot=point_slot,
         num_cells=num_cells,
+        table=table,
+        min_coord=mn,
+        extent=extent,
         cell_size=jnp.asarray(cell_size, jnp.float32),
         overflow=overflow,
         table_overflow=table_overflow,
@@ -234,8 +244,8 @@ def gather_neighbor_xyzw(grid: CellGrid, slots_chunk):
     nb = jnp.take(grid.cell_xyzw.reshape(cap, m * 4), flat, axis=0).reshape(
         slots_chunk.shape + (m, 4)
     )
-    w = jnp.where(absent[..., None], 0.0, nb[..., 3])
-    return nb[..., :3], w > 0.5
+    w = jnp.where(absent[..., None], -1.0, nb[..., 3])
+    return nb[..., :3], w >= 0.0
 
 
 def _chunk_cells(grid: CellGrid, chunk: int):
@@ -645,7 +655,12 @@ def point_sor_mean_dists(
     flat = jnp.minimum(nslots, cap - 1).reshape(-1)
     absent = (nslots >= cap).reshape(-1)
     slab = jnp.take(grid.cell_xyzw.reshape(cap, m * 4), flat, axis=0)
-    slab = jnp.where(absent[:, None], 0.0, slab).reshape(cap, km * 4)
+    slab = slab.reshape(cap * km, 4)
+    slab = jnp.where(
+        jnp.repeat(absent, m)[:, None],
+        jnp.array([0.0, 0.0, 0.0, -1.0], jnp.float32)[None, :],
+        slab,
+    ).reshape(cap, km * 4)
 
     # Stage 2+3: chunked per-point fetch + extraction.
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
@@ -670,7 +685,7 @@ def point_sor_mean_dists(
         qx, qu, qs = args
         row = jnp.take(slab, qs, axis=0).reshape(qchunk, km, 4)
         cand = row[..., :3]
-        cv = jnp.logical_and(row[..., 3] > 0.5, qu[:, None])
+        cv = jnp.logical_and(row[..., 3] >= 0.0, qu[:, None])
         diff = cand - qx[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         return _smallest_k_sum_count(d2, cv, k + 1, None)
@@ -704,3 +719,306 @@ def point_sor_mean_dists(
         jnp.any(jnp.logical_and(q_use, jnp.logical_not(point_ok)))
     )
     return mean, point_ok, certified
+
+
+# ── General (cross-cloud) pointwise queries ──────────────────────────────────
+#
+# Queries need not be the grid's own points: each query's 27 neighbor cells
+# are found by direct dense-table lookups from its cell coordinates, then
+# blocks are fetched per (query, cell) as packed xyzw slices.
+
+
+def _query_neighbor_slots(grid: CellGrid, qxyz):
+    """[Q, 27] neighbor cell slots for arbitrary query positions (cell_cap
+    where absent/out of range)."""
+    cap = grid.cell_xyz.shape[0]
+    table_size = grid.table.shape[0] - 1
+    c = jnp.floor(qxyz / grid.cell_size)
+    c = jnp.clip(c, -1e9, 1e9).astype(jnp.int32)
+    rel = c - grid.min_coord[None, :]
+    noff = jnp.asarray(NEIGHBOR_OFFSETS)
+    nrel = rel[:, None, :] + noff[None, :, :]  # [Q, 27, 3]
+    in_bounds = jnp.all(
+        jnp.logical_and(nrel >= 0, nrel < grid.extent[None, None, :]), axis=-1
+    )
+    nlin = (
+        nrel[..., 0] * grid.extent[1] + nrel[..., 1]
+    ) * grid.extent[2] + nrel[..., 2]
+    nlin = jnp.where(in_bounds, nlin, table_size)
+    slots = jnp.take(grid.table, nlin.reshape(-1), axis=0).reshape(nlin.shape)
+    return jnp.where(slots < grid.num_cells, slots, cap)
+
+
+@partial(jax.jit, static_argnames=("k", "qchunk"))
+def point_knn(grid: CellGrid, qxyz, qvalid, *, k: int, qchunk: int = 2048):
+    """K nearest neighbors per query over the 27-cell neighborhood.
+
+    Returns (dists f32[Q, k] Euclidean ascending (+inf beyond results),
+    idx i32[Q, k] original rows (0 where invalid), nvalid bool[Q, k],
+    point_ok bool[Q]: per-query exactness certificate — found
+    min(k, num_points) results AND the kth distance fits within one cell
+    width; True for invalid queries, whose (empty) result is final).
+    """
+    n_q = qxyz.shape[0]
+    cap, m, _ = grid.cell_xyzw.shape
+    km = 27 * m
+    cell2 = grid.cell_size * grid.cell_size
+
+    finite = jnp.all(jnp.isfinite(qxyz), axis=-1)
+    q_use = jnp.logical_and(qvalid, finite)
+    slots = _query_neighbor_slots(grid, jnp.where(finite[:, None], qxyz, 0.0))
+
+    pad = (-n_q) % qchunk
+
+    def padq(a, fill):
+        if pad == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
+        )
+
+    xyz_p = padq(qxyz, 0.0)
+    use_p = padq(q_use, False)
+    slots_p = padq(slots, cap)
+    nch = xyz_p.shape[0] // qchunk
+    kk = min(k, km)
+
+    def chunk_fn(args):
+        qx, qu, qs = args  # [q,3], [q], [q,27]
+        flat = jnp.minimum(qs, cap - 1).reshape(-1)
+        absent = (qs >= cap).reshape(-1)
+        nb = jnp.take(grid.cell_xyzw.reshape(cap, m * 4), flat, axis=0)
+        nb = nb.reshape(qchunk * 27, m, 4)
+        nb = jnp.where(
+            absent[:, None, None],
+            jnp.array([0.0, 0.0, 0.0, -1.0], jnp.float32)[None, None, :],
+            nb,
+        ).reshape(qchunk, km, 4)
+        cand = nb[..., :3]
+        ids = nb[..., 3]
+        cv = jnp.logical_and(ids >= 0.0, qu[:, None])
+        diff = cand - qx[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        work = jnp.where(cv, d2, jnp.inf)
+        found0 = jnp.sum(cv.astype(jnp.int32), axis=1)
+
+        def body(j, state):
+            work, dcols, icols = state
+            am = jnp.argmin(work, axis=-1)
+            mn = jnp.take_along_axis(work, am[:, None], axis=-1)[:, 0]
+            mid = jnp.take_along_axis(ids, am[:, None], axis=-1)[:, 0]
+            dcols = jax.lax.dynamic_update_index_in_dim(
+                dcols, mn, j, axis=1
+            )
+            icols = jax.lax.dynamic_update_index_in_dim(
+                icols, mid, j, axis=1
+            )
+            hit = (
+                jnp.arange(work.shape[-1], dtype=jnp.int32) == am[:, None]
+            )
+            work = jnp.where(hit, jnp.inf, work)
+            return work, dcols, icols
+
+        dcols0 = jnp.full((qchunk, kk), jnp.inf, jnp.float32)
+        icols0 = jnp.full((qchunk, kk), -1.0, jnp.float32)
+        _, dcols, icols = jax.lax.fori_loop(
+            0, kk, body, (work, dcols0, icols0)
+        )
+        return dcols, icols, found0
+
+    d2s, idsf, founds = jax.lax.map(
+        chunk_fn,
+        (
+            xyz_p.reshape(nch, qchunk, 3),
+            use_p.reshape(nch, qchunk),
+            slots_p.reshape(nch, qchunk, 27),
+        ),
+    )
+    d2k = d2s.reshape(-1, kk)[:n_q]
+    ids = idsf.reshape(-1, kk)[:n_q]
+    found = founds.reshape(-1)[:n_q]
+
+    nvalid = jnp.isfinite(d2k)
+    dists = jnp.where(nvalid, jnp.sqrt(jnp.maximum(d2k, 0.0)), jnp.inf)
+    idx = jnp.where(nvalid, ids, 0.0).astype(jnp.int32)
+
+    n_pts = jnp.sum(grid.cell_mask.astype(jnp.int32))
+    want = jnp.minimum(k, n_pts)
+    kth_col = jnp.clip(want - 1, 0, kk - 1)
+    kth_d2 = jnp.take(
+        jnp.where(nvalid, d2k, jnp.inf), kth_col, axis=1
+    )
+    point_ok = jnp.logical_and(found >= want, kth_d2 <= cell2)
+    point_ok = jnp.logical_or(point_ok, jnp.logical_not(q_use))
+    if kk < k:  # fewer candidate slots than k: pad and let flags retry
+        padc = k - kk
+        dists = jnp.pad(dists, ((0, 0), (0, padc)), constant_values=jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, padc)))
+        nvalid = jnp.pad(nvalid, ((0, 0), (0, padc)))
+        point_ok = jnp.zeros_like(point_ok)
+    return dists, idx, nvalid, point_ok
+
+
+@partial(jax.jit, static_argnames=("qchunk",))
+def point_radius_count(grid: CellGrid, qxyz, qvalid, radius, *, qchunk: int = 4096):
+    """Count of grid points within ``radius`` (inclusive) of each query.
+    Exact iff radius <= cell_size and no block truncation (grid.overflow)."""
+    n_q = qxyz.shape[0]
+    cap, m, _ = grid.cell_xyzw.shape
+    km = 27 * m
+    r2 = radius * radius
+
+    finite = jnp.all(jnp.isfinite(qxyz), axis=-1)
+    q_use = jnp.logical_and(qvalid, finite)
+    slots = _query_neighbor_slots(grid, jnp.where(finite[:, None], qxyz, 0.0))
+
+    pad = (-n_q) % qchunk
+
+    def padq(a, fill):
+        if pad == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
+        )
+
+    xyz_p = padq(qxyz, 0.0)
+    use_p = padq(q_use, False)
+    slots_p = padq(slots, cap)
+    nch = xyz_p.shape[0] // qchunk
+
+    def chunk_fn(args):
+        qx, qu, qs = args
+        flat = jnp.minimum(qs, cap - 1).reshape(-1)
+        absent = (qs >= cap).reshape(-1)
+        nb = jnp.take(grid.cell_xyzw.reshape(cap, m * 4), flat, axis=0)
+        nb = nb.reshape(qchunk * 27, m, 4)
+        nb = jnp.where(
+            absent[:, None, None],
+            jnp.array([0.0, 0.0, 0.0, -1.0], jnp.float32)[None, None, :],
+            nb,
+        ).reshape(qchunk, km, 4)
+        cv = jnp.logical_and(nb[..., 3] >= 0.0, qu[:, None])
+        diff = nb[..., :3] - qx[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        ok = jnp.logical_and(cv, d2 <= r2)
+        return jnp.sum(ok.astype(jnp.int32), axis=1)
+
+    counts = jax.lax.map(
+        chunk_fn,
+        (
+            xyz_p.reshape(nch, qchunk, 3),
+            use_p.reshape(nch, qchunk),
+            slots_p.reshape(nch, qchunk, 27),
+        ),
+    )
+    return counts.reshape(-1)[:n_q]
+
+
+@partial(jax.jit, static_argnames=("k", "qchunk"))
+def slab_knn(grid: CellGrid, qxyz, qvalid, *, k: int, qchunk: int = 4096):
+    """Same-cloud KNN via the two-stage slab pattern (see
+    point_sor_mean_dists): per-cell candidate slabs materialized once with
+    block-granular gathers, then one LARGE slice per point — an order of
+    magnitude faster than the per-(query, cell) gather in `point_knn`.
+    Queries must be the grid's own points (point_slot lookup).
+
+    Returns (dists f32[Q,k], idx i32[Q,k], nvalid bool[Q,k],
+    point_ok bool[Q]).
+    """
+    cap, m, _ = grid.cell_xyzw.shape
+    n = qxyz.shape[0]
+    km = grid.neighbor_slots.shape[1] * m
+    cell2 = grid.cell_size * grid.cell_size
+    kk = min(k, km)
+
+    nslots = grid.neighbor_slots
+    flat = jnp.minimum(nslots, cap - 1).reshape(-1)
+    absent = (nslots >= cap).reshape(-1)
+    slab = jnp.take(grid.cell_xyzw.reshape(cap, m * 4), flat, axis=0)
+    slab = slab.reshape(cap * nslots.shape[1], m, 4)
+    slab = jnp.where(
+        absent[:, None, None],
+        jnp.array([0.0, 0.0, 0.0, -1.0], jnp.float32)[None, None, :],
+        slab,
+    ).reshape(cap, km * 4)
+
+    finite = jnp.all(jnp.isfinite(qxyz), axis=-1)
+    q_use = jnp.logical_and(qvalid, finite)
+    in_grid = grid.point_slot < cap
+    slot = jnp.minimum(grid.point_slot, cap - 1)
+
+    pad = (-n) % qchunk
+
+    def padq(a, fill):
+        if pad == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
+        )
+
+    xyz_p = padq(qxyz, 0.0)
+    use_p = padq(jnp.logical_and(q_use, in_grid), False)
+    slot_p = padq(slot, 0)
+    nch = xyz_p.shape[0] // qchunk
+
+    def chunk_fn(args):
+        qx, qu, qs = args
+        row = jnp.take(slab, qs, axis=0).reshape(qchunk, km, 4)
+        cand = row[..., :3]
+        ids = row[..., 3]
+        cv = jnp.logical_and(ids >= 0.0, qu[:, None])
+        diff = cand - qx[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        work = jnp.where(cv, d2, jnp.inf)
+        found0 = jnp.sum(cv.astype(jnp.int32), axis=1)
+
+        def body(j, state):
+            work, dcols, icols = state
+            am = jnp.argmin(work, axis=-1)
+            mn = jnp.take_along_axis(work, am[:, None], axis=-1)[:, 0]
+            mid = jnp.take_along_axis(ids, am[:, None], axis=-1)[:, 0]
+            dcols = jax.lax.dynamic_update_index_in_dim(dcols, mn, j, axis=1)
+            icols = jax.lax.dynamic_update_index_in_dim(icols, mid, j, axis=1)
+            hit = jnp.arange(work.shape[-1], dtype=jnp.int32) == am[:, None]
+            work = jnp.where(hit, jnp.inf, work)
+            return work, dcols, icols
+
+        dcols0 = jnp.full((qchunk, kk), jnp.inf, jnp.float32)
+        _, dcols, icols = jax.lax.fori_loop(
+            0, kk, body,
+            (work, dcols0, jnp.full((qchunk, kk), -1.0, jnp.float32)),
+        )
+        return dcols, icols, found0
+
+    d2s, idsf, founds = jax.lax.map(
+        chunk_fn,
+        (
+            xyz_p.reshape(nch, qchunk, 3),
+            use_p.reshape(nch, qchunk),
+            slot_p.reshape(nch, qchunk),
+        ),
+    )
+    d2k = d2s.reshape(-1, kk)[:n]
+    ids = idsf.reshape(-1, kk)[:n]
+    found = founds.reshape(-1)[:n]
+
+    nvalid = jnp.isfinite(d2k)
+    dists = jnp.where(nvalid, jnp.sqrt(jnp.maximum(d2k, 0.0)), jnp.inf)
+    idx = jnp.where(nvalid, ids, 0.0).astype(jnp.int32)
+
+    n_pts = jnp.sum(grid.cell_mask.astype(jnp.int32))
+    want = jnp.minimum(k, n_pts)
+    kth_col = jnp.clip(want - 1, 0, kk - 1)
+    kth_d2 = jnp.take(jnp.where(nvalid, d2k, jnp.inf), kth_col, axis=1)
+    point_ok = jnp.logical_and(
+        jnp.logical_and(found >= want, kth_d2 <= cell2),
+        jnp.logical_and(q_use, in_grid),
+    )
+    point_ok = jnp.logical_or(point_ok, jnp.logical_not(q_use))
+    if kk < k:
+        padc = k - kk
+        dists = jnp.pad(dists, ((0, 0), (0, padc)), constant_values=jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, padc)))
+        nvalid = jnp.pad(nvalid, ((0, 0), (0, padc)))
+        point_ok = jnp.zeros_like(point_ok)
+    return dists, idx, nvalid, point_ok

@@ -217,3 +217,65 @@ def test_point_sor_matches_cell_sor():
     )
     np.testing.assert_array_equal(np.asarray(ok_c), np.asarray(ok_p))
     assert bool(cert_c) == bool(cert_p)
+
+
+def test_point_knn_matches_bruteforce():
+    from pointclouds_tpu.spatial.cellgrid import point_knn
+
+    rng = np.random.default_rng(33)
+    pts = (rng.random((3000, 3)) * 6).astype(np.float32)
+    queries = np.vstack([
+        (rng.random((500, 3)) * 6).astype(np.float32),  # cross-cloud
+        pts[:100],                                       # same-cloud
+        np.array([[np.nan, 0, 0], [20, 20, 20]], dtype=np.float32),
+    ])
+    k = 7
+    parrs = make_cloud_arrays(pts)
+    qarrs = make_cloud_arrays(queries)
+    grid = build_cellgrid(
+        parrs.xyz, parrs.valid, jnp.float32(0.8), m_per_cell=32, cell_cap=4096
+    )
+    dists, idx, nvalid, ok = point_knn(grid, qarrs.xyz, qarrs.valid, k=k)
+    d = np.asarray(dists)[: len(queries)]
+    nv = np.asarray(nvalid)[: len(queries)]
+
+    expect = np.sort(
+        np.linalg.norm(
+            pts[None].astype(np.float64) - queries[:, None].astype(np.float64),
+            axis=2,
+        ),
+        axis=1,
+    )[:, :k]
+    for qi in range(len(queries)):
+        if not np.all(np.isfinite(queries[qi])):
+            assert not nv[qi].any()
+            continue
+        if queries[qi][0] == 20.0:  # far outside the grid: no candidates
+            assert not nv[qi].any()
+            continue
+        got = d[qi][nv[qi]]
+        np.testing.assert_allclose(got, expect[qi][: len(got)], atol=1e-4)
+
+
+def test_point_radius_count_matches_bruteforce():
+    from pointclouds_tpu.spatial.cellgrid import point_radius_count
+
+    rng = np.random.default_rng(34)
+    pts = (rng.random((2000, 3)) * 4).astype(np.float32)
+    queries = (rng.random((300, 3)) * 4).astype(np.float32)
+    r = 0.5
+    parrs = make_cloud_arrays(pts)
+    qarrs = make_cloud_arrays(queries)
+    grid = build_cellgrid(
+        parrs.xyz, parrs.valid, jnp.float32(r * 1.00002), m_per_cell=64,
+        cell_cap=4096,
+    )
+    assert not bool(grid.overflow)
+    counts = np.asarray(
+        point_radius_count(grid, qarrs.xyz, qarrs.valid, jnp.float32(r))
+    )[: len(queries)]
+    d = np.linalg.norm(
+        pts[None].astype(np.float64) - queries[:, None].astype(np.float64),
+        axis=2,
+    )
+    np.testing.assert_array_equal(counts, (d <= r).sum(axis=1))
