@@ -482,10 +482,15 @@ def euclidean_cluster(
     if labels is None:
         # Huge extents or unbounded per-cell density: exact int64-keyed
         # fallback (grid neighbor lists + per-point label propagation).
-        nbr_idx, within = _engine.radius_neighbors(
-            xyz, valid, distance_threshold
-        )
-        labels = _segmentation.propagate_labels(nbr_idx, within, valid)
+        nbrs = _engine.radius_neighbors(xyz, valid, distance_threshold)
+        if nbrs is not None:
+            labels = _segmentation.propagate_labels(nbrs[0], nbrs[1], valid)
+        else:
+            # Even the largest candidate cap truncates (pathological
+            # density): uncapped exact all-pairs propagation.
+            labels = _segmentation.bruteforce_cluster_labels(
+                xyz, valid, jnp.float32(distance_threshold)
+            )
     labels_np = np.asarray(labels)[: cloud.len()]
 
     # Host-side component extraction + canonical ordering

@@ -39,8 +39,20 @@ class IcpCarry(NamedTuple):
 
 
 def _nn_1(qxyz, q_use, pxyz, p_use):
-    """Tiled exact 1-NN: returns (dist f32[Q], idx i32[Q], found bool[Q])."""
-    p2 = jnp.sum(pxyz * pxyz, axis=-1)
+    """Tiled exact 1-NN: returns (dist f32[Q], idx i32[Q], found bool[Q]).
+
+    Coordinates are centered on the target AABB midpoint before the
+    matmul-form distance: the |q|^2+|p|^2-2qp expansion carries an absolute
+    f32 error ~eps*|q|^2 that at georeferenced (UTM-scale) offsets dwarfs
+    real correspondence distances and makes the argmin pick arbitrary
+    points. Distances are translation-invariant, so centering makes the
+    error scale with the scene SPAN instead of its offset.
+    """
+    plo = jnp.min(jnp.where(p_use[:, None], pxyz, jnp.inf), axis=0)
+    phi = jnp.max(jnp.where(p_use[:, None], pxyz, -jnp.inf), axis=0)
+    center = jnp.where(jnp.isfinite(plo), 0.5 * plo + 0.5 * phi, 0.0)
+    pc = jnp.where(p_use[:, None], pxyz - center, 0.0)
+    p2 = jnp.sum(pc * pc, axis=-1)
     pmask = jnp.where(p_use, 0.0, jnp.inf)
 
     qn = qxyz.shape[0]
@@ -49,10 +61,11 @@ def _nn_1(qxyz, q_use, pxyz, p_use):
     nchunks = qpad.shape[0] // _NN_CHUNK
 
     def chunk_fn(qc):
+        qcc = jnp.where(jnp.all(jnp.isfinite(qc), axis=-1)[:, None], qc - center, 0.0)
         d2 = (
-            jnp.sum(qc * qc, axis=-1)[:, None]
+            jnp.sum(qcc * qcc, axis=-1)[:, None]
             + p2[None, :]
-            - 2.0 * (qc @ pxyz.T)
+            - 2.0 * (qcc @ pc.T)
         )
         d2 = d2 + pmask[None, :]
         # Tie-break toward the last index: exact distance ties occur in
@@ -244,6 +257,18 @@ def _icp_loop(
     tgt_use = jnp.logical_and(tgt_valid, tgt_finite)
     n_src = jnp.maximum(jnp.sum(src_valid.astype(jnp.float32)), 1.0)
 
+    # Run the entire loop in a target-centered frame: at georeferenced
+    # offsets (~1e5) the f32 centroid sums bias the cross-covariance enough
+    # to tilt the recovered rotation by ~1e-5 rad, and t = t_c - R s_c then
+    # amplifies that by the coordinate magnitude (meters of error).
+    # Centering makes every accumulated quantity span-scale; the transform
+    # is mapped back to the raw frame after the loop.
+    tlo = jnp.min(jnp.where(tgt_use[:, None], tgt_xyz, jnp.inf), axis=0)
+    thi = jnp.max(jnp.where(tgt_use[:, None], tgt_xyz, -jnp.inf), axis=0)
+    center = jnp.where(jnp.isfinite(tlo), 0.5 * tlo + 0.5 * thi, 0.0)
+    src_xyz = src_xyz - center
+    tgt_xyz = tgt_xyz - center
+
     init = IcpCarry(
         current=src_xyz,
         rot=jnp.eye(3, dtype=jnp.float32),
@@ -301,9 +326,16 @@ def _icp_loop(
         )
 
     out = jax.lax.while_loop(cond, body, init)
+    # Map the centered-frame transform back to raw coordinates:
+    # R(p - C) + t + C = R p + (t + C - R C). The C - R C cancellation is
+    # offset-scale, so that one tiny computation runs in f64.
+    c64 = center.astype(jnp.float64)
+    trans_raw = (
+        out.trans.astype(jnp.float64) + c64 - out.rot.astype(jnp.float64) @ c64
+    ).astype(jnp.float32)
     return (
         out.rot,
-        out.trans,
+        trans_raw,
         out.last_fitness,
         out.last_rmse,
         out.converged,

@@ -149,3 +149,56 @@ def propagate_labels(neighbor_idx, within, valid):
     )
     del valid  # validity is already encoded in `within`
     return labels
+
+
+_BF_CHUNK = 512
+
+
+@jax.jit
+def bruteforce_cluster_labels(xyz, valid, radius):
+    """Exact connected-component labels by tiled all-pairs min-label
+    propagation: the uncapped last resort for pathological densities where
+    no per-cell candidate cap can hold every true neighbor (the grid paths
+    would otherwise have to silently truncate). O(n^2) distances per sweep;
+    pointer jumping keeps the sweep count logarithmic.
+    """
+    n = xyz.shape[0]
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    use = jnp.logical_and(valid, finite)
+    r2 = radius * radius
+    big = jnp.int32(n)
+
+    pad = (-n) % _BF_CHUNK
+    xyz_p = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)])
+    use_p = jnp.concatenate([use, jnp.zeros((pad,), bool)])
+    nch = xyz_p.shape[0] // _BF_CHUNK
+
+    def body(state):
+        labels, _ = state
+
+        def chunk_fn(args):
+            qx, qu = args
+            diff = qx[:, None, :] - xyz[None, :, :]
+            d2 = jnp.sum(diff * diff, axis=-1)
+            within = jnp.logical_and(
+                jnp.logical_and(qu[:, None], use[None, :]), d2 <= r2
+            )
+            return jnp.min(jnp.where(within, labels[None, :], big), axis=1)
+
+        mins = jax.lax.map(
+            chunk_fn,
+            (
+                xyz_p.reshape(nch, _BF_CHUNK, 3),
+                use_p.reshape(nch, _BF_CHUNK),
+            ),
+        ).reshape(-1)[:n]
+        m = jnp.minimum(labels, mins)
+        m = jnp.minimum(m, jnp.take(m, m))
+        m = jnp.minimum(m, jnp.take(m, m))
+        return m, jnp.any(m != labels)
+
+    init = jnp.arange(n, dtype=jnp.int32)
+    labels, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (init, jnp.asarray(True))
+    )
+    return labels

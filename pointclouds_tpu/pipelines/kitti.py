@@ -118,10 +118,12 @@ def kitti_obstacle_pipeline(
         cell_cap=sor_cell_cap,
     )
     if sor_backend == "auto":
-        # The VMEM-resident Pallas selection kernel on TPU; the query-centric
-        # XLA path elsewhere (and as the fallback when this environment's
-        # flaky remote compiler rejects the Pallas kernel).
-        sor_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Query-centric XLA path by default: the cell-centric Pallas kernel
+        # now compiles reliably (the i64-sentinel lowering bug is fixed) but
+        # its [C, CAND, 3] slab feed tiles to a 128x-padded HBM layout and
+        # OOMs at production shapes; until the slab-free (scalar-prefetch)
+        # kernel lands, "pallas" must be requested explicitly.
+        sor_backend = "xla"
     if sor_backend == "xla":
         mean_dists, point_ok, _ = point_sor_mean_dists(
             grid, centroids, ds_valid, k=sor_k
@@ -156,9 +158,23 @@ def kitti_obstacle_pipeline(
         mode="drop",
     )
     n_flagged = jnp.sum(flagged.astype(jnp.int32))
+    # Certification must also account for candidate-side truncation: a point
+    # dropped from a full cell block (grid.overflow / coarse.overflow) or a
+    # cell dropped from a full hash table (*.table_overflow) is missing as a
+    # CANDIDATE from other queries' neighborhoods, which the per-query
+    # count/kth-distance certificate cannot detect. Fold all four flags in so
+    # sor_certified=True genuinely implies exact mean distances.
     sor_certified = jnp.logical_and(
-        n_flagged <= sor_fix_cap,
-        jnp.all(jnp.logical_or(jnp.logical_not(fix_valid), fix_ok)),
+        jnp.logical_and(
+            n_flagged <= sor_fix_cap,
+            jnp.all(jnp.logical_or(jnp.logical_not(fix_valid), fix_ok)),
+        ),
+        jnp.logical_not(
+            grid.overflow
+            | grid.table_overflow
+            | coarse.overflow
+            | coarse.table_overflow
+        ),
     )
     cleaned_valid = sor_keep_mask(mean_dists, ds_valid, sor_std)
 

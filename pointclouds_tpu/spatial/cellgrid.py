@@ -72,6 +72,15 @@ def build_cellgrid(
     ring: int = 1,
 ) -> CellGrid:
     n = xyz.shape[0]
+    if n >= 1 << 24:
+        # Row ids ride the f32 w channel of cell_xyzw (exact integers only
+        # up to 2^24); beyond that neighbor indices and cluster labels would
+        # silently corrupt. Callers (spatial/engine.py) route such clouds to
+        # the int64 searchsorted engine or brute force instead.
+        raise ValueError(
+            f"cell grid supports at most 2^24 points (got {n}); "
+            "use the int64 grid engine for larger clouds"
+        )
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     use = jnp.logical_and(valid, finite)
 
@@ -208,6 +217,26 @@ def build_cellgrid(
 CELL_CHUNK = 2048
 
 
+def cert_cell2(grid: CellGrid):
+    """Squared certification radius: one cell width minus an f32 margin.
+
+    Cell assignment floors p/cell, whose rounding error grows with
+    |coordinate|/cell: far from the origin a true neighbor at distance just
+    under cell_size can land TWO cells away and be missed while the naive
+    ``kth_d2 <= cell_size^2`` certificate still passes. Shrink the certified
+    radius by that worst-case displacement (same margin grid.py's grid_knn
+    derives), bounding |coordinate|/cell from the grid's own cell extents.
+    """
+    hi = jnp.max(
+        jnp.maximum(
+            jnp.abs(grid.min_coord), jnp.abs(grid.min_coord + grid.extent)
+        ).astype(jnp.float32)
+    )
+    margin = (hi * 4.0 * 1.2e-7 + 1e-6) * grid.cell_size
+    safe = jnp.maximum(grid.cell_size - margin, 0.0)
+    return safe * safe
+
+
 def gather_neighbor_blocks(grid: CellGrid, slots_chunk):
     """[c, 27, M, ...] neighbor blocks for a chunk of cell slots (the one
     big, block-granular gather).
@@ -312,7 +341,7 @@ def cell_sor_mean_dists(
     recompute those with a coarser second pass (`cell_knn_subset`) or
     retry; ``certified`` is the global conjunction.
     """
-    cell2 = grid.cell_size * grid.cell_size
+    cell2 = cert_cell2(grid)
     caps = grid.cell_xyz.shape[0]
 
     # The reference requests k+1 neighbors and skips the first (self,
@@ -448,7 +477,7 @@ def cell_knn_subset(grid: CellGrid, qxyz, qrows, qvalid, *, k: int):
     n_valid_total = jnp.sum(grid.cell_mask.astype(jnp.int32))
     want = jnp.minimum(k + 1, n_valid_total)
     mean = jnp.where(count >= want, mean, jnp.inf)
-    cell2 = grid.cell_size * grid.cell_size
+    cell2 = cert_cell2(grid)
     ok = jnp.logical_and(count >= want, kth_d2 <= cell2)
     return mean, ok
 
@@ -645,7 +674,7 @@ def point_sor_mean_dists(
     cap, m, _ = grid.cell_xyz.shape
     n = xyz.shape[0]
     km = grid.neighbor_slots.shape[1] * m
-    cell2 = grid.cell_size * grid.cell_size
+    cell2 = cert_cell2(grid)
 
     # Stage 1: materialize candidate slabs per cell, directly in flat 2D
     # layout ([C, 27*M*4]) — coordinates and validity packed so a single
@@ -762,7 +791,7 @@ def point_knn(grid: CellGrid, qxyz, qvalid, *, k: int, qchunk: int = 2048):
     n_q = qxyz.shape[0]
     cap, m, _ = grid.cell_xyzw.shape
     km = 27 * m
-    cell2 = grid.cell_size * grid.cell_size
+    cell2 = cert_cell2(grid)
 
     finite = jnp.all(jnp.isfinite(qxyz), axis=-1)
     q_use = jnp.logical_and(qvalid, finite)
@@ -928,7 +957,7 @@ def slab_knn(grid: CellGrid, qxyz, qvalid, *, k: int, qchunk: int = 4096):
     cap, m, _ = grid.cell_xyzw.shape
     n = qxyz.shape[0]
     km = grid.neighbor_slots.shape[1] * m
-    cell2 = grid.cell_size * grid.cell_size
+    cell2 = cert_cell2(grid)
     kk = min(k, km)
 
     nslots = grid.neighbor_slots

@@ -32,6 +32,8 @@ from .grid import build_grid
 from .knn import (
     bruteforce_knn,
     bruteforce_radius_count,
+    grid_knn,
+    grid_radius_count,
     grid_radius_neighbors,
 )
 
@@ -40,6 +42,9 @@ from .knn import (
 BRUTE_THRESHOLD = 2048
 M_LADDER = (16, 32, 64, 128)
 MAX_TRIES = 4
+# The cell grid packs row ids into an f32 channel (exact only below 2^24);
+# larger clouds route to the int64 searchsorted engine.
+CELLGRID_MAX_N = 1 << 24
 
 
 def _extent(xyz, valid):
@@ -102,6 +107,8 @@ def knn(pxyz, pvalid, qxyz, qvalid, k: int):
         raise ValueError("k must be >= 1 at the engine level")
     if n <= BRUTE_THRESHOLD or k >= n:
         return bruteforce_knn(pxyz, pvalid, qxyz, qvalid, k)
+    if n >= CELLGRID_MAX_N:
+        return _knn_int64(pxyz, pvalid, qxyz, qvalid, k)
 
     cell = estimate_cell_size(pxyz, pvalid, k)
     cap = _cell_cap(n)
@@ -203,6 +210,25 @@ def knn(pxyz, pvalid, qxyz, qvalid, k: int):
     return dists, idx, nvalid
 
 
+def _knn_int64(pxyz, pvalid, qxyz, qvalid, k: int):
+    """KNN via the int64 searchsorted grid (spatial/grid.py): the path for
+    clouds too large for the cell grid's f32-packed row ids."""
+    cell = estimate_cell_size(pxyz, pvalid, k)
+    for _ in range(MAX_TRIES):
+        for m in M_LADDER:
+            grid = build_grid(pxyz, pvalid, cell)
+            dists, idx, nvalid, overflow, insufficient = grid_knn(
+                grid, qxyz, qvalid, k, m
+            )
+            flags = np.asarray(jnp.stack([overflow, insufficient]))
+            if not flags.any():
+                return dists, idx, nvalid
+            if not flags[0]:  # no overflow, just too small a cell
+                break
+        cell *= 1.6
+    return bruteforce_knn(pxyz, pvalid, qxyz, qvalid, k)
+
+
 def radius_count(pxyz, pvalid, qxyz, qvalid, radius: float):
     """Exact count of points within ``radius`` (inclusive) of each query."""
     n = pxyz.shape[0]
@@ -213,6 +239,14 @@ def radius_count(pxyz, pvalid, qxyz, qvalid, radius: float):
     ext = _extent(pxyz, pvalid)
     max_abs = ext[2] if ext else 0.0
     cell = _fp_safe_radius_cell(radius, max_abs)
+    if n >= CELLGRID_MAX_N:
+        for attempt in range(MAX_TRIES):
+            m = M_LADDER[min(attempt, len(M_LADDER) - 1)]
+            grid = build_grid(pxyz, pvalid, cell)
+            counts, overflow = grid_radius_count(grid, qxyz, qvalid, radius, m)
+            if not bool(overflow):
+                return counts
+        return bruteforce_radius_count(pxyz, pvalid, qxyz, qvalid, radius)
     cap = _cell_cap(n)
     for attempt in range(MAX_TRIES):
         m = M_LADDER[min(attempt, len(M_LADDER) - 1)]
@@ -239,7 +273,7 @@ def cluster_labels(xyz, valid, radius: float):
     # _fp_safe_radius_cell shrinks the cell instead of growing it here, so
     # apply the margin to the ring reach by slightly shrinking the cell.
     cell = radius * 0.5 * (1.0 - 1e-5) - max_abs * 3e-7
-    if cell <= 0:
+    if cell <= 0 or n >= CELLGRID_MAX_N:
         return None
     cap = _cell_cap(n)
     for attempt in range(MAX_TRIES):
@@ -259,22 +293,19 @@ def cluster_labels(xyz, valid, radius: float):
 def radius_neighbors(xyz, valid, radius: float):
     """Exact capped neighbor lists of each point within ``radius``
     (inclusive), for the label-propagation fallback. Returns
-    (idx i32[N,C], within bool[N,C])."""
+    (idx i32[N,C], within bool[N,C]), or None if no cap in the ladder can
+    hold every true neighbor — truncated lists would silently break the
+    exactness contract, so the caller must route to the uncapped
+    brute-force path instead (ops/segmentation.bruteforce_cluster_labels).
+    """
     ext = _extent(xyz, valid)
     max_abs = ext[2] if ext else 0.0
     cell = _fp_safe_radius_cell(radius, max_abs)
-    for attempt in range(MAX_TRIES):
-        m = M_LADDER[min(attempt, len(M_LADDER) - 1)]
-        grid = build_grid(xyz, valid, cell)
+    grid = build_grid(xyz, valid, cell)
+    for m in (*M_LADDER, M_LADDER[-1] * 2, M_LADDER[-1] * 4):
         idx, within, overflow = grid_radius_neighbors(
             grid, xyz, valid, radius, m
         )
         if not bool(overflow):
             return idx, within
-    # Last resort: biggest cap, accept (a single cell denser than 27*256
-    # candidates at cell~r exceeds any practical LiDAR density).
-    grid = build_grid(xyz, valid, cell)
-    idx, within, _ = grid_radius_neighbors(
-        grid, xyz, valid, radius, M_LADDER[-1] * 2
-    )
-    return idx, within
+    return None

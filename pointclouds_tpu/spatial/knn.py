@@ -50,16 +50,24 @@ def bruteforce_knn(pxyz, pvalid, qxyz, qvalid, k: int):
     """
     pfinite = jnp.all(jnp.isfinite(pxyz), axis=-1)
     puse = jnp.logical_and(pvalid, pfinite)
-    p2 = jnp.sum(pxyz * pxyz, axis=-1)
+
+    # The |q|^2+|p|^2-2qp matmul form has f32 cancellation error ~eps*|q|^2
+    # (absolute, not relative): at UTM-scale offsets (1e5) it exceeds real
+    # neighbor distances entirely, so even a "preselect wide then re-rank"
+    # scheme fails — the true neighbor never makes the preselected set.
+    # Euclidean distances are translation-invariant, so center both sides on
+    # the cloud's AABB midpoint first; the error then scales with the cloud
+    # SPAN, not its offset. The exact difference-based recompute below
+    # removes the residual error on the preselected set (parity: kiddo
+    # computes exact f32 SquaredEuclidean).
+    plo = jnp.min(jnp.where(puse[:, None], pxyz, jnp.inf), axis=0)
+    phi = jnp.max(jnp.where(puse[:, None], pxyz, -jnp.inf), axis=0)
+    center = jnp.where(jnp.isfinite(plo), 0.5 * plo + 0.5 * phi, 0.0)
+    pc_xyz = jnp.where(puse[:, None], pxyz - center, 0.0)
+    p2 = jnp.sum(pc_xyz * pc_xyz, axis=-1)
 
     n = pxyz.shape[0]
     k_eff = min(k, n)
-    # The |q|^2+|p|^2-2qp matmul form has f32 cancellation error ~|q|^2*eps,
-    # which corrupts small distances. Preselect a wider candidate set on the
-    # fast matmul path, then recompute those distances exactly by direct
-    # difference and re-rank. The reference's KD-tree computes exact
-    # difference-based distances (kiddo SquaredEuclidean), so exactness here
-    # is a parity requirement, not a nicety.
     k_sel = min(max(2 * k_eff, k_eff + 8), n)
 
     q_use = jnp.logical_and(qvalid, _query_finite(qxyz))
@@ -68,12 +76,14 @@ def bruteforce_knn(pxyz, pvalid, qxyz, qvalid, k: int):
 
     def chunk_fn(args):
         qc, uc = args
+        qcc = jnp.where(uc[:, None], qc - center, 0.0)
         # |q-p|^2 = |q|^2 + |p|^2 - 2 q.p ; the q.p term is an MXU matmul.
-        qp = qc @ pxyz.T
-        d2 = jnp.sum(qc * qc, axis=-1)[:, None] + p2[None, :] - 2.0 * qp
+        qp = qcc @ pc_xyz.T
+        d2 = jnp.sum(qcc * qcc, axis=-1)[:, None] + p2[None, :] - 2.0 * qp
         d2 = jnp.where(jnp.logical_and(uc[:, None], puse[None, :]), d2, jnp.inf)
         neg, pre_idx = jax.lax.top_k(-d2, k_sel)
-        # Exact recompute of the preselected candidates.
+        # Exact recompute of the preselected candidates on RAW coordinates:
+        # nearby-f32 subtraction is exact (Sterbenz), matching kiddo.
         cand = jnp.take(pxyz, pre_idx, axis=0)  # [C, k_sel, 3]
         diff = cand - qc[:, None, :]
         d2x = jnp.sum(diff * diff, axis=-1)

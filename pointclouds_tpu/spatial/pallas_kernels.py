@@ -22,15 +22,17 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 
 def _sor_select_kernel(k: int, ncand: int, m: int):
     def kernel(q_ref, qm_ref, cand_ref, cv_ref, total_ref, count_ref, kth_ref):
         # One cell per grid step. This exact formulation compiles under
-        # Mosaic; keep weak-typed Python-int sentinels and the fused
-        # where-min "argmin" (cosmetically equivalent variants have failed
-        # to legalize).
+        # Mosaic. Integer sentinels and loop bounds must be EXPLICIT i32:
+        # the package enables x64, so a bare Python int becomes a weak i64[]
+        # whose i64->i32 convert_element_type self-recurses in Mosaic's
+        # _convert_helper (RecursionError at lowering).
         qx = q_ref[0, 0:1, :]  # [1, M]
         qy = q_ref[0, 1:2, :]
         qz = q_ref[0, 2:3, :]
@@ -52,7 +54,9 @@ def _sor_select_kernel(k: int, ncand: int, m: int):
             # First row attaining the minimum (argmin via two reductions so
             # exact duplicate distances extract one per iteration).
             am = jnp.min(
-                jnp.where(w == mn, rows, ncand), axis=0, keepdims=True
+                jnp.where(w == mn, rows, jnp.int32(ncand)),
+                axis=0,
+                keepdims=True,
             )  # [1, M]
             total = total + jnp.where(
                 ok, jnp.sqrt(jnp.maximum(mn, 0.0)), 0.0
@@ -66,7 +70,10 @@ def _sor_select_kernel(k: int, ncand: int, m: int):
         # scalar-broadcast init fails to legalize under Mosaic.
         zf = jnp.zeros((1, m), jnp.float32)
         _, total, count, kth = jax.lax.fori_loop(
-            0, k + 1, body, (work, zf, jnp.zeros((1, m), jnp.int32), zf)
+            jnp.int32(0),
+            jnp.int32(k + 1),
+            body,
+            (work, zf, jnp.zeros((1, m), jnp.int32), zf),
         )
         total_ref[0] = total
         count_ref[0] = count
@@ -87,19 +94,26 @@ def sor_select(q, qm, cand, cv, *, k: int, interpret: bool = False):
     c, _, m = q.shape
     ncand = cand.shape[1]
     kern = _sor_select_kernel(k, ncand, m)
+    # Index-map zeros must be np.int32: bare Python 0 becomes i64 under the
+    # package's x64 mode, and i64 scalars in the lowered index computation
+    # make Mosaic fail with "failed to legalize operation 'func.return'"
+    # (this was round 1's "intermittent" remote-compile failure — it was
+    # deterministic i64 leakage all along).
+    z = np.int32(0)
+    im = lambda i: (i, z, z)  # noqa: E731
     total, count, kth = pl.pallas_call(
         kern,
         grid=(c,),
         in_specs=[
-            pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, ncand, 3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, ncand, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 3, m), im),
+            pl.BlockSpec((1, 1, m), im),
+            pl.BlockSpec((1, ncand, 3), im),
+            pl.BlockSpec((1, ncand, 1), im),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, m), im),
+            pl.BlockSpec((1, 1, m), im),
+            pl.BlockSpec((1, 1, m), im),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, 1, m), jnp.float32),

@@ -256,3 +256,17 @@ def test_cluster_long_chain():
     ).astype(np.float32)
     got = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), 0.5, 1, 10**9)
     assert len(got) == 1 and len(got[0]) == n
+
+
+def test_cluster_pathological_density_exact():
+    """A single cell holding more points than any candidate cap still
+    clusters exactly: cluster_labels and radius_neighbors both bail, and
+    the uncapped brute-force propagation takes over."""
+    rng = np.random.default_rng(77)
+    dense = rng.random((2000, 3)).astype(np.float32) * 0.05  # one tiny ball
+    far = rng.random((50, 3)).astype(np.float32) * 0.05 + 100.0
+    data = np.vstack([dense, far])
+    clusters = pc.euclidean_cluster(pc.PointCloud.from_numpy(data), 1.0, 5, 5000)
+    expect = brute_cluster(data, 1.0, 5, 5000)
+    assert [len(c) for c in clusters] == [len(c) for c in expect]
+    assert clusters == expect
