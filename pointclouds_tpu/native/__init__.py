@@ -81,8 +81,7 @@ def get_lib():
     return _load()
 
 
-@property
-def available():  # pragma: no cover - convenience
+def available() -> bool:
     return _load() is not None
 
 

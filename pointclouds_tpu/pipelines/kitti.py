@@ -68,6 +68,7 @@ class KittiPipelineOutput(NamedTuple):
         "cluster_cell_cap",
         "sor_fix_cap",
         "sor_backend",
+        "ds_cap",
     ),
 )
 def kitti_obstacle_pipeline(
@@ -88,15 +89,19 @@ def kitti_obstacle_pipeline(
     cluster_cell_cap: int = 8192,
     sor_fix_cap: int = 4096,
     sor_backend: str = "auto",
+    ds_cap: int | None = None,
 ):
     # ── Step 1: voxel downsample ────────────────────────────────────────────
     centroids_full, ds_valid_full = voxel_downsample_masked(
         xyz, valid, voxel_size
     )
-    # Voxel output is compacted (valid rows first, ascending cell key), and
-    # downsampling at least halves typical LiDAR frames: slice to half
-    # capacity so every downstream op runs on half the rows.
-    ds_cap = xyz.shape[0] // 2
+    # Voxel output is compacted (valid rows first, ascending cell key); slice
+    # to a smaller capacity so every downstream op runs on fewer rows. The
+    # default halves the input — real Velodyne frames at 0.15 m voxels only
+    # shrink ~1.3x, so callers must pass a larger ds_cap (ds_overflow in
+    # grid_flags[4] reports truncation; bench.py checks it).
+    if ds_cap is None:
+        ds_cap = xyz.shape[0] // 2
     centroids = centroids_full[:ds_cap]
     ds_valid = ds_valid_full[:ds_cap]
     ds_overflow = jnp.any(ds_valid_full[ds_cap:])
