@@ -26,6 +26,130 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 
+def _segmented_select_kernel(k: int, w: int, tq: int, per_seg: int):
+    """Per-query sum/count/kth of the k smallest + segment certificate.
+
+    Input block: work [TQ, W] (squared distances, +inf where invalid),
+    W a multiple of 128. Segment s = lane s of each of the W/128 lane-tiles
+    (stride-128 interleave, matching cellgrid._segmented_smallest_k).
+
+    Phase 1 (segment extraction) is PURE ELEMENTWISE: the per-segment min
+    is the elementwise minimum across the W/128 tiles, and removal is a
+    sequential first-hit scan over those tiles — no cross-lane reductions
+    at all. Phase 2 extracts the k smallest of the per_seg*128 finalists
+    in the [candidates-on-sublanes, queries-on-lanes] orientation (the
+    fast one for Mosaic reductions).
+
+    Exact iff the certificate passes (see cellgrid._segmented_smallest_k);
+    rows failing it return ok=0 and must be rescued by the caller.
+    """
+    ntiles = w // 128
+
+    def kernel(w_ref, out_ref):
+        big = jnp.float32(jnp.inf)
+        tiles = [w_ref[:, i * 128 : (i + 1) * 128] for i in range(ntiles)]
+
+        # count_all per query: elementwise finite-count summed across
+        # tiles, then transposed and tree-summed over sublanes.
+        cnt = jnp.zeros((tq, 128), jnp.float32)
+        for t in tiles:
+            cnt = cnt + jnp.where(jnp.isfinite(t), jnp.float32(1.0), jnp.float32(0.0))
+        cnt_t = jnp.transpose(cnt, (1, 0))  # [128, TQ]
+        count_all = jnp.sum(cnt_t, axis=0, keepdims=True)  # [1, TQ]
+
+        # Phase 1: per_seg rounds of segment-min extraction.
+        finalists = []
+        for _ in range(per_seg):
+            m = tiles[0]
+            for t in tiles[1:]:
+                m = jnp.minimum(m, t)
+            finalists.append(m)
+            taken = jnp.zeros((tq, 128), jnp.float32)
+            new_tiles = []
+            for t in tiles:
+                hit = jnp.where(
+                    jnp.logical_and(t == m, taken < 0.5),
+                    jnp.float32(1.0),
+                    jnp.float32(0.0),
+                )
+                new_tiles.append(jnp.where(hit > 0.5, big, t))
+                taken = jnp.maximum(taken, hit)
+            tiles = new_tiles
+
+        seg_last = finalists[-1]  # [TQ, 128] per-segment per_seg-th value
+
+        # Phase 2: k smallest of the finalists, candidates on sublanes.
+        f = jnp.concatenate(
+            [jnp.transpose(x, (1, 0)) for x in finalists], axis=0
+        )  # [per_seg*128, TQ]
+        nf = per_seg * 128
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nf, tq), 0)
+
+        def body(_, state):
+            fw, total, count, kth = state
+            mn = jnp.min(fw, axis=0, keepdims=True)  # [1, TQ]
+            ok = jnp.isfinite(mn)
+            am = jnp.min(
+                jnp.where(fw == mn, rows, jnp.int32(nf)),
+                axis=0,
+                keepdims=True,
+            )
+            total = total + jnp.where(ok, jnp.sqrt(jnp.maximum(mn, 0.0)), 0.0)
+            count = count + jnp.where(ok, jnp.float32(1.0), jnp.float32(0.0))
+            kth = jnp.where(ok, mn, kth)
+            fw = jnp.where(rows == am, big, fw)
+            return fw, total, count, kth
+
+        zf = jnp.zeros((1, tq), jnp.float32)
+        _, total, count, kth = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(k), body, (f, zf, zf, zf)
+        )
+
+        # Certificate: every segment's last extracted value >= kth, and as
+        # many extracted as the true top-k holds.
+        sl_t = jnp.transpose(seg_last, (1, 0))  # [128, TQ]
+        cert1 = jnp.min(
+            jnp.where(sl_t >= kth, jnp.float32(1.0), jnp.float32(0.0)),
+            axis=0,
+            keepdims=True,
+        )
+        cert2 = jnp.where(
+            count >= jnp.minimum(jnp.float32(k), count_all),
+            jnp.float32(1.0),
+            jnp.float32(0.0),
+        )
+        ok_row = cert1 * cert2  # [1, TQ]
+
+        out_ref[0:1, :] = total
+        out_ref[1:2, :] = count
+        out_ref[2:3, :] = kth
+        out_ref[3:4, :] = ok_row
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "per_seg", "tq", "interpret"))
+def segmented_select(work, *, k: int, per_seg: int = 4, tq: int = 256,
+                     interpret: bool = False):
+    """k-smallest selection over work rows [Q, W] (inf-masked squared
+    distances). Returns (total f32[Q], count f32[Q], kth f32[Q], ok bool[Q]).
+    Q must be a multiple of tq; W a multiple of 128.
+    """
+    q, w = work.shape
+    assert q % tq == 0 and w % 128 == 0, (q, w)
+    kern = _segmented_select_kernel(k, w, tq, per_seg)
+    z = np.int32(0)
+    out = pl.pallas_call(
+        kern,
+        grid=(q // tq,),
+        in_specs=[pl.BlockSpec((tq, w), lambda i: (i, z))],
+        out_specs=pl.BlockSpec((4, tq), lambda i: (z, i)),
+        out_shape=jax.ShapeDtypeStruct((4, q), jnp.float32),
+        interpret=interpret,
+    )(work)
+    return out[0], out[1], out[2], out[3] > 0.5
+
+
 def _sor_select_kernel(k: int, ncand: int, m: int):
     def kernel(q_ref, qm_ref, cand_ref, cv_ref, total_ref, count_ref, kth_ref):
         # One cell per grid step. This exact formulation compiles under
