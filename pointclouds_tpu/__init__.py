@@ -30,7 +30,9 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
 from .api import (  # noqa: E402
     IcpResult,
     knn,
+    knn_indices,
     radius_search,
+    radius_search_unsorted,
     PlaneResult,
     PointCloud,
     apply_transform,
@@ -59,7 +61,9 @@ __version__ = "0.1.0"
 __all__ = [
     "IcpResult",
     "knn",
+    "knn_indices",
     "radius_search",
+    "radius_search_unsorted",
     "PlaneResult",
     "PointCloud",
     "apply_transform",

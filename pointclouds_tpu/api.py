@@ -56,7 +56,9 @@ __all__ = [
     "ransac_plane",
     "ransac_plane_seeded",
     "knn",
+    "knn_indices",
     "radius_search",
+    "radius_search_unsorted",
     "read_pcd",
     "write_pcd",
     "write_pcd_binary",
@@ -638,7 +640,11 @@ def knn(cloud: PointCloud, queries, k: int):
 def radius_search(cloud: PointCloud, query, radius: float):
     """Indices of points within ``radius`` (inclusive) of ``query``, sorted
     ascending (ref: crates/spatial/src/kdtree.rs:105-135). Returns [] for
-    empty cloud, non-positive/non-finite radius, or non-finite query."""
+    empty cloud, non-positive/non-finite radius, or non-finite query.
+
+    Runs on device: one streaming distance pass over the cloud, only the
+    match mask returns to host.
+    """
     radius = float(radius)
     q = np.asarray(query, np.float32).reshape(3)
     if (
@@ -648,8 +654,24 @@ def radius_search(cloud: PointCloud, query, radius: float):
         or not np.all(np.isfinite(q))
     ):
         return []
-    pts = cloud.to_numpy()
-    d = np.linalg.norm(
-        pts.astype(np.float64) - q.astype(np.float64), axis=1
-    )
-    return [int(i) for i in np.nonzero(d <= radius)[0]]
+    idx = _engine.radius_indices(cloud._arrs.xyz, cloud._arrs.valid, q, radius)
+    return [int(i) for i in idx]
+
+
+def radius_search_unsorted(cloud: PointCloud, query, radius: float):
+    """Same results as :func:`radius_search` with no ordering guarantee
+    (ref: crates/spatial/src/kdtree.rs:139-163). The batched device search
+    has no per-result sort to skip, so this shares the sorted path."""
+    return radius_search(cloud, query, radius)
+
+
+def knn_indices(cloud: PointCloud, query, k: int):
+    """Indices of the ``k`` nearest neighbors of a single ``query`` point,
+    nearest first (ref: crates/spatial/src/kdtree.rs:82-96). Returns []
+    for k == 0, empty cloud, or non-finite query."""
+    k = int(k)
+    q = np.asarray(query, np.float32).reshape(3)
+    if k <= 0 or cloud.is_empty() or not np.all(np.isfinite(q)):
+        return []
+    idx, _ = knn(cloud, q[None, :], k)
+    return [int(i) for i in idx[0] if i >= 0]

@@ -35,6 +35,7 @@ from .knn import (
     grid_knn,
     grid_radius_count,
     grid_radius_neighbors,
+    radius_within_mask,
 )
 
 # Below this many points the tiled brute-force matmul path is cheaper than
@@ -288,6 +289,21 @@ def cluster_labels(xyz, valid, radius: float):
         adjacency = cell_graph_adjacency(grid, jnp.float32(radius))
         return cell_graph_labels(grid, adjacency)
     return None
+
+
+def radius_indices(pxyz, pvalid, query, radius: float):
+    """Original-order indices of valid points within ``radius`` (inclusive)
+    of one query point, as a host int array (ascending — nonzero order).
+
+    Single-query searches stream the whole cloud once on device
+    (knn.radius_within_mask); only the [N] bool mask returns to host.
+    """
+    mask = np.asarray(
+        radius_within_mask(
+            pxyz, pvalid, jnp.asarray(query, jnp.float32), np.float32(radius)
+        )
+    )
+    return np.nonzero(mask)[0]
 
 
 def radius_neighbors(xyz, valid, radius: float):

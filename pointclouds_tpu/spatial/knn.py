@@ -140,6 +140,24 @@ def bruteforce_radius_count(pxyz, pvalid, qxyz, qvalid, radius):
     return counts.reshape(-1)[:qn]
 
 
+@jax.jit
+def radius_within_mask(pxyz, pvalid, query, radius):
+    """bool[N] mask of valid points with distance <= radius of one query.
+
+    Single-query radius search the TPU way: one streaming pass of direct
+    (translation-safe) f32 differences over the whole cloud beats any tree
+    walk on this hardware — the read is contiguous at HBM speed and the
+    compare is pure VPU. Inclusive boundary in f32 squared distance, like
+    the reference's epsilon-padded search + `<=` post-filter
+    (ref: crates/spatial/src/kdtree.rs:105-163).
+    """
+    pfinite = jnp.all(jnp.isfinite(pxyz), axis=-1)
+    puse = jnp.logical_and(pvalid, pfinite)
+    diff = pxyz - query[None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    return jnp.logical_and(puse, d2 <= radius * radius)
+
+
 # ── Grid backend ─────────────────────────────────────────────────────────────
 
 

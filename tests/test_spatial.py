@@ -143,3 +143,73 @@ def test_engine_knn_with_huge_coordinates():
     np.testing.assert_allclose(
         np.asarray(dists)[: len(data)], expect_d, atol=2e-2
     )  # f32 catastrophic cancellation at 1e6 dominates tolerance
+
+
+# ── Single-query public API: radius_search / radius_search_unsorted /
+#    knn_indices parity (ref: crates/spatial/src/kdtree.rs:82-163 tests
+#    :186-286) ──────────────────────────────────────────────────────────────
+
+
+def _pc(data):
+    import pointclouds_tpu as pc
+
+    return pc.PointCloud.from_numpy(np.ascontiguousarray(data, np.float32))
+
+
+def test_radius_search_finds_points_sorted():
+    import pointclouds_tpu as pc
+
+    cloud = _pc(np.array([[0, 0, 0], [0.5, 0, 0], [2, 0, 0]], np.float32))
+    idx = pc.radius_search(cloud, [0.0, 0.0, 0.0], 0.75)
+    assert idx == [0, 1]
+    assert idx == sorted(idx)
+
+
+def test_radius_search_exact_boundary_inclusive():
+    import pointclouds_tpu as pc
+
+    cloud = _pc(np.array([[1, 0, 0], [5, 0, 0]], np.float32))
+    assert pc.radius_search(cloud, [0.0, 0.0, 0.0], 1.0) == [0]
+
+
+def test_radius_search_edge_cases():
+    import pointclouds_tpu as pc
+
+    empty = pc.PointCloud()
+    assert pc.radius_search(empty, [0, 0, 0], 10.0) == []
+    one = _pc(np.zeros((1, 3), np.float32))
+    assert pc.radius_search(one, [0, 0, 0], -1.0) == []
+    assert pc.radius_search(one, [0, 0, 0], float("inf")) == []
+    assert pc.radius_search(one, [float("nan"), 0, 0], 1.0) == []
+
+
+def test_radius_search_unsorted_same_set():
+    import pointclouds_tpu as pc
+
+    rng = np.random.default_rng(3)
+    data = rng.random((400, 3)).astype(np.float32)
+    cloud = _pc(data)
+    q = [0.5, 0.5, 0.5]
+    s = pc.radius_search(cloud, q, 0.3)
+    u = pc.radius_search_unsorted(cloud, q, 0.3)
+    assert sorted(u) == s
+    d = np.linalg.norm(data - np.asarray(q, np.float32), axis=1)
+    np.testing.assert_array_equal(np.asarray(s), np.nonzero(d <= 0.3)[0])
+
+
+def test_knn_indices_matches_knn():
+    import pointclouds_tpu as pc
+
+    rng = np.random.default_rng(4)
+    data = rng.random((300, 3)).astype(np.float32)
+    cloud = _pc(data)
+    q = np.array([0.2, 0.2, 0.2], np.float32)
+    idx = pc.knn_indices(cloud, q, 5)
+    d = np.linalg.norm(data - q, axis=1)
+    expect = np.argsort(d, kind="stable")[:5]
+    assert idx == [int(i) for i in expect]
+    # edge cases (ref kdtree.rs:88-90)
+    assert pc.knn_indices(cloud, q, 0) == []
+    assert pc.knn_indices(pc.PointCloud(), q, 3) == []
+    assert pc.knn_indices(cloud, [np.nan, 0, 0], 3) == []
+    assert len(pc.knn_indices(_pc(data[:3]), q, 100)) == 3
