@@ -39,6 +39,7 @@ from ..spatial.cellgrid import (
     cell_sor_mean_dists,
     point_sor_mean_dists,
 )
+from ..spatial.sweep import sweep_sor_mean_dists
 
 
 class KittiPipelineOutput(NamedTuple):
@@ -87,7 +88,7 @@ def kitti_obstacle_pipeline(
     cluster_m: int = 24,
     sor_cell_cap: int = 16384,
     cluster_cell_cap: int = 8192,
-    sor_fix_cap: int = 4096,
+    sor_fix_cap: int = 8192,
     sor_backend: str = "auto",
     ds_cap: int | None = None,
 ):
@@ -95,13 +96,13 @@ def kitti_obstacle_pipeline(
     centroids_full, ds_valid_full = voxel_downsample_masked(
         xyz, valid, voxel_size
     )
-    # Voxel output is compacted (valid rows first, ascending cell key); slice
-    # to a smaller capacity so every downstream op runs on fewer rows. The
-    # default halves the input — real Velodyne frames at 0.15 m voxels only
-    # shrink ~1.3x, so callers must pass a larger ds_cap (ds_overflow in
-    # grid_flags[4] reports truncation; bench.py checks it).
+    # Voxel output is compacted (valid rows first, ascending cell key).
+    # The default capacity keeps every voxel (honest workload: real Velodyne
+    # frames at 0.15 m voxels only shrink ~1.3x); callers processing heavily
+    # redundant clouds can pass a smaller ds_cap to cut downstream work
+    # (ds_overflow in grid_flags[4] reports truncation; bench.py checks it).
     if ds_cap is None:
-        ds_cap = xyz.shape[0] // 2
+        ds_cap = xyz.shape[0]
     centroids = centroids_full[:ds_cap]
     ds_valid = ds_valid_full[:ds_cap]
     ds_overflow = jnp.any(ds_valid_full[ds_cap:])
@@ -115,28 +116,39 @@ def kitti_obstacle_pipeline(
     # are all rescued by pass 2 (truncation marks point_slot as
     # out-of-grid, which fails the certificate).
     sor_cell = voxel_size * 4.0
-    grid = build_cellgrid(
-        centroids,
-        ds_valid,
-        sor_cell,
-        m_per_cell=sor_m,
-        cell_cap=sor_cell_cap,
-    )
     if sor_backend == "auto":
-        # Query-centric XLA path by default: the cell-centric Pallas kernel
-        # now compiles reliably (the i64-sentinel lowering bug is fixed) but
-        # its [C, CAND, 3] slab feed tiles to a 128x-padded HBM layout and
-        # OOMs at production shapes; until the slab-free (scalar-prefetch)
-        # kernel lands, "pallas" must be requested explicitly.
-        sor_backend = "xla"
-    if sor_backend == "xla":
-        mean_dists, point_ok, _ = point_sor_mean_dists(
-            grid, centroids, ds_valid, k=sor_k
+        # Sorted-window sweep by default: gather-free, fused Pallas kernel
+        # on TPU (spatial/sweep.py); same formulation through the XLA
+        # mirror elsewhere (CPU tests).
+        sor_backend = "sweep" if jax.default_backend() == "tpu" else "sweep_xla"
+    if sor_backend in ("sweep", "sweep_xla"):
+        mean_dists, point_ok, _ = sweep_sor_mean_dists(
+            centroids,
+            ds_valid,
+            sor_cell,
+            k=sor_k,
+            use_kernel=(sor_backend == "sweep"),
         )
+        grid_overflow = jnp.asarray(False)
+        grid_table_overflow = jnp.asarray(False)
     else:
-        mean_dists, point_ok, _ = cell_sor_mean_dists(
-            grid, k=sor_k, chunk=256, backend=sor_backend
+        grid = build_cellgrid(
+            centroids,
+            ds_valid,
+            sor_cell,
+            m_per_cell=sor_m,
+            cell_cap=sor_cell_cap,
         )
+        if sor_backend == "xla":
+            mean_dists, point_ok, _ = point_sor_mean_dists(
+                grid, centroids, ds_valid, k=sor_k
+            )
+        else:
+            mean_dists, point_ok, _ = cell_sor_mean_dists(
+                grid, k=sor_k, chunk=256, backend=sor_backend
+            )
+        grid_overflow = grid.overflow
+        grid_table_overflow = grid.table_overflow
 
     # Pass 2: the sparse minority (noise points whose kth neighbor lies
     # beyond pass 1's search radius) is compacted into a small batch and
@@ -175,8 +187,8 @@ def kitti_obstacle_pipeline(
             jnp.all(jnp.logical_or(jnp.logical_not(fix_valid), fix_ok)),
         ),
         jnp.logical_not(
-            grid.overflow
-            | grid.table_overflow
+            grid_overflow
+            | grid_table_overflow
             | coarse.overflow
             | coarse.table_overflow
         ),
@@ -222,7 +234,7 @@ def kitti_obstacle_pipeline(
         obstacle_overflow=overflow,
         sor_certified=sor_certified,
         grid_flags=jnp.stack(
-            [grid.overflow, grid.table_overflow, cgrid.overflow,
+            [grid_overflow, grid_table_overflow, cgrid.overflow,
              cgrid.table_overflow, ds_overflow]
         ),
     )

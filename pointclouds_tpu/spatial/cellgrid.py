@@ -546,7 +546,18 @@ def cell_knn_subset(grid: CellGrid, qxyz, qrows, qvalid, *, k: int):
     nbm_flat = jnp.logical_and(nb_mask.reshape(b, kk * m), qvalid[:, None])
     diff = nb_flat - qxyz[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
-    total, count, kth_d2 = _smallest_k_sum_count(d2, nbm_flat, k + 1, None)
+    if k + 1 <= 32 and kk * m >= 512:
+        # Segmented selection: 4 + ~k sweeps over a 512-wide merge instead
+        # of k+1 full-width sweeps (the rescue pass re-streamed its
+        # [B, 27M] work array 21 times from HBM). Rows failing the segment
+        # certificate simply come back ok=False — the same uncertified
+        # verdict this pass already produces for kth > cell width.
+        total, count, kth_d2, seg_ok = _segmented_smallest_k(
+            d2, nbm_flat, k + 1
+        )
+    else:
+        total, count, kth_d2 = _smallest_k_sum_count(d2, nbm_flat, k + 1, None)
+        seg_ok = jnp.ones(total.shape, bool)
     n_neighbors = jnp.maximum(count - 1, 0)
     mean = jnp.where(
         n_neighbors > 0,
@@ -558,6 +569,7 @@ def cell_knn_subset(grid: CellGrid, qxyz, qrows, qvalid, *, k: int):
     mean = jnp.where(count >= want, mean, jnp.inf)
     cell2 = cert_cell2(grid)
     ok = jnp.logical_and(count >= want, kth_d2 <= cell2)
+    ok = jnp.logical_and(ok, seg_ok)
     return mean, ok
 
 

@@ -252,3 +252,209 @@ def sor_select(q, qm, cand, cv, *, k: int, interpret: bool = False):
         cv[:, :, None].astype(jnp.float32),
     )
     return total[:, 0, :], count[:, 0, :], kth[:, 0, :]
+
+
+# ── Sorted-window sweep kernel ───────────────────────────────────────────────
+#
+# The gather-free SOR formulation (spatial/sweep.py): points sorted by
+# linearized cell id (z fastest), packed 128-points-per-row planar
+# [x*128 | y*128 | z*128 | w*128]. For a block of 128 consecutive sorted
+# queries, the union of all 27-cell neighborhoods collapses into NINE
+# CONTIGUOUS row windows (one per (dx, dy) shift; the three z-neighbors
+# merge into the window). The kernel manually DMAs the 9 windows into VMEM
+# (double-buffered across blocks), computes all squared distances, and runs
+# the segmented k-smallest selection entirely on-chip. No gathers, no HBM
+# intermediates: HBM traffic is one streamed read of ~9x the point array.
+
+
+def _select_from_tiles(tiles, tq: int, k: int, per_seg: int):
+    """Shared segmented-selection body: ``tiles`` is a list of [TQ, 128]
+    f32 squared-distance tiles (inf-masked); segment s = lane s across the
+    tiles. Returns (total, count, kth, ok) as [1, TQ] rows (see
+    `_segmented_select_kernel` for the certificate semantics)."""
+    big = jnp.float32(jnp.inf)
+    ntiles = len(tiles)
+
+    cnt = jnp.zeros((tq, 128), jnp.float32)
+    for t in tiles:
+        cnt = cnt + jnp.where(jnp.isfinite(t), jnp.float32(1.0), jnp.float32(0.0))
+    count_all = jnp.sum(jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True)
+
+    finalists = []
+    for _ in range(per_seg):
+        m = tiles[0]
+        for t in tiles[1:]:
+            m = jnp.minimum(m, t)
+        finalists.append(m)
+        taken = jnp.zeros((tq, 128), jnp.float32)
+        new_tiles = []
+        for t in tiles:
+            hit = jnp.where(
+                jnp.logical_and(t == m, taken < 0.5),
+                jnp.float32(1.0),
+                jnp.float32(0.0),
+            )
+            new_tiles.append(jnp.where(hit > 0.5, big, t))
+            taken = jnp.maximum(taken, hit)
+        tiles = new_tiles
+
+    seg_last = finalists[-1]
+
+    f = jnp.concatenate(
+        [jnp.transpose(x, (1, 0)) for x in finalists], axis=0
+    )  # [per_seg*128, TQ]
+    nf = per_seg * 128
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nf, tq), 0)
+
+    def body(_, state):
+        fw, total, count, kth = state
+        mn = jnp.min(fw, axis=0, keepdims=True)
+        ok = jnp.isfinite(mn)
+        am = jnp.min(
+            jnp.where(fw == mn, rows, jnp.int32(nf)), axis=0, keepdims=True
+        )
+        total = total + jnp.where(ok, jnp.sqrt(jnp.maximum(mn, 0.0)), 0.0)
+        count = count + jnp.where(ok, jnp.float32(1.0), jnp.float32(0.0))
+        kth = jnp.where(ok, mn, kth)
+        fw = jnp.where(rows == am, big, fw)
+        return fw, total, count, kth
+
+    zf = jnp.zeros((1, tq), jnp.float32)
+    _, total, count, kth = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(k), body, (f, zf, zf, zf)
+    )
+
+    sl_t = jnp.transpose(seg_last, (1, 0))
+    cert1 = jnp.min(
+        jnp.where(sl_t >= kth, jnp.float32(1.0), jnp.float32(0.0)),
+        axis=0,
+        keepdims=True,
+    )
+    cert2 = jnp.where(
+        count >= jnp.minimum(jnp.float32(k), count_all),
+        jnp.float32(1.0),
+        jnp.float32(0.0),
+    )
+    return total, count, kth, cert1 * cert2
+
+
+def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    nwin = nshift * wr  # scratch rows per buffer slot
+
+    def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
+        # starts_ref i32[NB, 2*nshift]: cols [0, nshift) window start rows,
+        # cols [nshift, 2*nshift) dedup skip counts (rows already covered
+        # by an earlier window — masking them keeps candidates a SET).
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        def dma(blk, j, slot):
+            # All index arithmetic pinned to i32: under the package's x64
+            # mode a bare Python int is a weak i64 and Mosaic's memref
+            # slicing rejects i64 operands.
+            st = starts_ref[blk, j]
+            return pltpu.make_async_copy(
+                pts_ref.at[pl.ds(st, wr), :, :],
+                win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
+                sems.at[slot, jnp.int32(j)],
+            )
+
+        @pl.when(b == jnp.int32(0))
+        def _():
+            for j in range(nshift):
+                dma(jnp.int32(0), j, jnp.int32(0)).start()
+
+        @pl.when(b + jnp.int32(1) < nb)
+        def _():
+            nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
+            for j in range(nshift):
+                dma(b + jnp.int32(1), j, nxt).start()
+
+        slot = jax.lax.rem(b, jnp.int32(2))
+        for j in range(nshift):
+            dma(b, j, slot).wait()
+
+        # Queries: channel rows [1,128] (lane offset 0) -> columns [128,1].
+        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+
+        big = jnp.float32(jnp.inf)
+        base = slot * jnp.int32(nwin)
+        tiles = []
+        for j in range(nshift):
+            sk = starts_ref[b, nshift + j]
+            for r in range(wr):
+                row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
+                cx = row[0, 0:1, :]  # [1, 128], lane offset 0
+                cy = row[0, 1:2, :]
+                cz = row[0, 2:3, :]
+                cw = row[0, 3:4, :]
+                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                keep = jnp.where(
+                    jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                pair = qm * cw * keep  # [128,1]*[1,128]*scalar f32 0/1
+                tiles.append(jnp.where(pair > 0.5, d2, big))
+
+        total, count, kth, ok = _select_from_tiles(tiles, 128, k, per_seg)
+        out_ref[0:1, :] = total
+        out_ref[1:2, :] = count
+        out_ref[2:3, :] = kth
+        out_ref[3:4, :] = ok
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "wr", "per_seg", "interpret"))
+def sweep_select(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 4,
+                 interpret: bool = False):
+    """Fused window-gather + k-smallest selection over sorted planar points.
+
+    pts_planar f32[NR, 4, 128]: row r = points [128r, 128r+128) as channel
+    rows [x | y | z | w], w = 1.0 valid / 0.0 masked. (Channels on the
+    sublane axis keep every in-kernel slice at lane offset 0 — Mosaic
+    cannot broadcast lane-offset slices of dynamically-indexed rows.)
+    starts i32[NB, 2S]: per query-block window start rows (cols [0, S),
+    each in [0, NR - wr]) and dedup skip counts (cols [S, 2S)); query
+    block b = planar row b (NB <= NR; trailing rows are candidates only).
+
+    Returns (total f32[NB*128], count f32[NB*128], kth f32[NB*128],
+    ok bool[NB*128]): sum of the k smallest valid distances per query, the
+    count extracted, the kth squared distance, and the segment certificate
+    (exact iff ok; window-length certification is the caller's).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = pts_planar.shape
+    nb = starts.shape[0]
+    nshift = starts.shape[1] // 2
+    assert (nch, width) == (4, 128) and nb <= nr and nr >= wr, (
+        pts_planar.shape,
+        starts.shape,
+    )
+    kern = _sweep_select_kernel(k, wr, per_seg, nshift)
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b, starts_ref: (b, z, z)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((4, 128), lambda b, starts_ref: (z, b)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * nshift * wr, 4, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nshift)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, nb * 128), jnp.float32),
+        interpret=interpret,
+    )(starts, pts_planar, pts_planar)
+    return out[0], out[1], out[2], out[3] > 0.5

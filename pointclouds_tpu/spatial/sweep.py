@@ -1,0 +1,297 @@
+"""Sorted-window sweep: gather-free neighbor queries for whole-cloud SOR.
+
+The block-engine SOR (`cellgrid.point_sor_mean_dists`) is fetch-bound: every
+query gathers its cell's 27-block slab (~24 KB) from HBM, duplicating the
+fetch for every co-resident point. This module removes the gathers entirely:
+
+1. points are sorted by linearized cell id (z fastest) and packed into a
+   planar row layout ([x*128 | y*128 | z*128 | w*128] per 128 points);
+2. for a block of 128 consecutive sorted queries, the union of all their
+   27-cell neighborhoods collapses into NINE CONTIGUOUS row windows of the
+   sorted array — one per (dx, dy) shift, the z+-1 neighbors merging into
+   the window span (points between needed cells ride along as harmless
+   extra candidates: k-smallest over a superset is still exact);
+3. a fused Pallas kernel (`pallas_kernels.sweep_select`) DMAs the 9 windows
+   into VMEM per block (double-buffered) and runs the segmented k-smallest
+   selection on-chip.
+
+Exactness is certified per query exactly like the block engine: the kth
+squared distance must stay within one (margin-shrunk) cell width, the
+window spans must have covered every needed row (per-block length
+certificate), and the segment certificate must pass. Flagged queries join
+the callers' rescue pass.
+
+Replaces the reference's per-point KD-tree SOR queries
+(ref: crates/filters/src/statistical_outlier.rs:19-39,
+crates/spatial/src/kdtree.rs:64-103) with a formulation whose hot loop is
+pure sequential DMA + VPU work — the TPU-native shape of the problem.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cellgrid import _segmented_smallest_k
+
+SWEEP_TABLE_SIZE = 1 << 21  # dense cell table (i32, 8 MB)
+NSHIFT = 9
+
+
+def _shift_offsets(extent):
+    """[9] linear-id offsets for the (dx, dy) in {-1,0,1}^2 shifts."""
+    sh = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            sh.append((dx * extent[1] + dy) * extent[2])
+    return jnp.stack(sh)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "wr", "per_seg", "table_size", "interpret", "use_kernel"),
+)
+def sweep_sor_mean_dists(
+    xyz,
+    valid,
+    cell_size,
+    *,
+    k: int,
+    wr: int = 4,
+    per_seg: int = 4,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """Mean distance to the k nearest neighbors per point (self included in
+    the k+1 extraction), via the sorted-window sweep.
+
+    Same contract as `cellgrid.point_sor_mean_dists`: returns
+    (means f32[N] (+inf where unresolved/invalid), point_ok bool[N],
+    certified bool[]). ``cell_size`` is the certification radius: a query
+    is certified only if its (k+1)-th neighbor lies within one
+    margin-shrunk cell width.
+
+    ``use_kernel=False`` runs the selection through the XLA segmented path
+    (same math, for CPU tests and as a compile fallback).
+    """
+    n = xyz.shape[0]
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    use = jnp.logical_and(valid, finite)
+    kp1 = k + 1
+
+    # ── Cell ids (mirrors cellgrid.build_cellgrid:87-104) ──
+    c = jnp.floor(xyz / cell_size)
+    c = jnp.clip(c, -1e9, 1e9).astype(jnp.int32)
+    big32 = jnp.int32(2**30)
+    mn = jnp.min(jnp.where(use[:, None], c, big32), axis=0)
+    mn = jnp.minimum(mn, big32 - 1)
+    rel = jnp.clip(c - mn[None, :], 0, None)
+    mx = jnp.max(jnp.where(use[:, None], rel, 0), axis=0)
+    extent = mx + 1
+    ext64 = extent.astype(jnp.int64)
+    lin64 = (
+        rel[:, 0].astype(jnp.int64) * ext64[1] + rel[:, 1].astype(jnp.int64)
+    ) * ext64[2] + rel[:, 2].astype(jnp.int64)
+    table_overflow = (ext64[0] * ext64[1] * ext64[2]) > table_size
+    lin = jnp.where(use, jnp.clip(lin64, 0, table_size - 1), table_size).astype(
+        jnp.int32
+    )
+
+    # ── Sort + planar pack ──
+    order = jnp.argsort(lin, stable=True)
+    slin = jnp.take(lin, order)
+    sxyz = jnp.take(xyz, order, axis=0)
+    suse = slin < table_size
+    sxyz = jnp.where(suse[:, None], sxyz, 0.0)
+
+    pad = (-n) % 128
+    npad = n + pad
+    if pad:
+        slin_p = jnp.concatenate([slin, jnp.full((pad,), table_size, jnp.int32)])
+        sxyz_p = jnp.concatenate([sxyz, jnp.zeros((pad, 3), jnp.float32)])
+        suse_p = jnp.concatenate([suse, jnp.zeros((pad,), bool)])
+    else:
+        slin_p, sxyz_p, suse_p = slin, sxyz, suse
+    nrows = max(npad // 128, wr)
+    rpad = nrows * 128 - npad
+    if rpad:
+        slin_p = jnp.concatenate([slin_p, jnp.full((rpad,), table_size, jnp.int32)])
+        sxyz_p = jnp.concatenate([sxyz_p, jnp.zeros((rpad, 3), jnp.float32)])
+        suse_p = jnp.concatenate([suse_p, jnp.zeros((rpad,), bool)])
+    nb = npad // 128
+
+    planar = jnp.stack(
+        [
+            sxyz_p[:, 0].reshape(nrows, 128),
+            sxyz_p[:, 1].reshape(nrows, 128),
+            sxyz_p[:, 2].reshape(nrows, 128),
+            suse_p.astype(jnp.float32).reshape(nrows, 128),
+        ],
+        axis=1,
+    )  # [NR, 4, 128] (channels on sublanes: see sweep_select docstring)
+
+    # ── Dense prefix table: prefix[e] = first sorted row with id >= e ──
+    # One scatter of segment-first rows (invalid rows all share the
+    # table_size sentinel, so the first of them marks n_use), then a
+    # suffix-min fills the gaps; a trailing npad guards the no-invalid case.
+    pos = jnp.arange(nrows * 128, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), slin_p[1:] != slin_p[:-1]]
+    )
+    raw = (
+        jnp.full((table_size + 1,), jnp.int32(2**30), jnp.int32)
+        .at[jnp.where(first, slin_p, table_size + 1)]
+        .set(jnp.where(first, pos, jnp.int32(2**30)), mode="drop")
+    )
+    raw = jnp.concatenate([raw, jnp.array([slin_p.shape[0]], jnp.int32)])
+    prefix = jax.lax.cummin(raw, axis=0, reverse=True)  # [table_size + 2]
+
+    # ── Per-block window starts + length certificate ──
+    lo = slin_p[: nb * 128].reshape(nb, 128)[:, 0]
+    hi = slin_p[: nb * 128].reshape(nb, 128)[:, -1]
+    # Fully-invalid blocks (lo == sentinel) get harmless clamped windows;
+    # their queries are masked out by w = 0 anyway.
+    sh = _shift_offsets(extent)  # [9]
+    a = jnp.clip(lo[:, None] + sh[None, :] - 1, 0, table_size)  # [NB, 9]
+    zhi = jnp.clip(hi[:, None] + sh[None, :] + 1, 0, table_size)
+    first_row = jnp.take(prefix, a)
+    # Exclusive end; clamp to the real (valid) row count so trailing masked
+    # padding never counts as "needed coverage".
+    n_use_rows = jnp.sum(suse_p.astype(jnp.int32))
+    last_row = jnp.minimum(jnp.take(prefix, zhi + 1), n_use_rows)
+    start = jnp.clip(first_row // 128, 0, nrows - wr).astype(jnp.int32)
+    win_ok = jnp.logical_and(
+        first_row >= start * 128, last_row <= (start + wr) * 128
+    )
+    # Empty windows (first_row >= last_row) are trivially covered.
+    win_ok = jnp.logical_or(win_ok, first_row >= last_row)
+    block_ok = jnp.all(win_ok, axis=1)  # [NB]
+
+    # ── Deduplicate overlapping windows ──
+    # Adjacent shifts can produce overlapping windows (e.g. dy-neighbors
+    # differ by only extent[2] linear ids) and a duplicated candidate would
+    # be DOUBLE-COUNTED by the k-smallest extraction — an exactness bug,
+    # not just wasted work. The shift offsets are ascending, so window
+    # starts are non-decreasing in j; masking each window's rows that a
+    # previous window already covers makes the candidate multiset a set
+    # again (the masked rows remain present as earlier windows' rows).
+    cover_end = jax.lax.cummax(start + wr, axis=1)  # rows covered by <= j
+    prev_end = jnp.concatenate(
+        [jnp.zeros((nb, 1), jnp.int32), cover_end[:, :-1]], axis=1
+    )
+    skip = jnp.clip(prev_end - start, 0, wr).astype(jnp.int32)  # [NB, 9]
+
+    # ── Fused selection ──
+    starts_skip = jnp.concatenate([start, skip], axis=1)  # [NB, 18]
+    if use_kernel:
+        from .pallas_kernels import sweep_select
+
+        total, count_f, kth, seg_ok = sweep_select(
+            planar, starts_skip, k=kp1, wr=wr, per_seg=per_seg,
+            interpret=interpret,
+        )
+        count = count_f.astype(jnp.int32)
+    else:
+        total, count, kth, seg_ok = _sweep_select_xla(
+            planar, starts_skip, k=kp1, wr=wr, per_seg=per_seg
+        )
+
+    ok_sorted = jnp.logical_and(seg_ok, jnp.repeat(block_ok, 128))
+
+    # ── Unsort (outputs are npad-long in sorted order) ──
+    inv = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
+
+    def unsort(arr):
+        return jnp.take(arr[:n], inv)
+
+    total = unsort(total)
+    count = unsort(count)
+    kth = unsort(kth)
+    point_ok = unsort(ok_sorted)
+
+    # ── Mean + certificates (same semantics as point_sor_mean_dists) ──
+    n_neighbors = jnp.maximum(count - 1, 0)
+    mean = jnp.where(
+        n_neighbors > 0,
+        total / jnp.maximum(n_neighbors.astype(jnp.float32), 1.0),
+        jnp.inf,
+    )
+    n_valid_total = jnp.sum(use.astype(jnp.int32))
+    want = jnp.minimum(kp1, n_valid_total)
+    mean = jnp.where(count >= want, mean, jnp.inf)
+    mean = jnp.where(use, mean, jnp.inf)
+
+    # f32 floor-rounding margin (same derivation as cellgrid.cert_cell2):
+    # |coord|/cell bound from the grid's own cell extents.
+    hi_cells = jnp.max(
+        jnp.maximum(jnp.abs(mn), jnp.abs(mn + extent)).astype(jnp.float32)
+    )
+    margin = (hi_cells * 4.0 * 1.2e-7 + 1e-6) * cell_size
+    safe = jnp.maximum(cell_size - margin, 0.0)
+    cell2 = safe * safe
+
+    point_ok = jnp.logical_and(point_ok, count >= want)
+    point_ok = jnp.logical_and(point_ok, kth <= cell2)
+    point_ok = jnp.logical_and(point_ok, use)
+    point_ok = jnp.logical_and(point_ok, jnp.logical_not(table_overflow))
+    certified = jnp.logical_not(
+        jnp.any(jnp.logical_and(use, jnp.logical_not(point_ok)))
+    )
+    return mean, point_ok, certified
+
+
+def _sweep_select_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
+    """XLA mirror of `pallas_kernels.sweep_select`: same windows, same
+    segmented selection (`cellgrid._segmented_smallest_k`), for CPU runs
+    and differential tests."""
+    nb = starts_skip.shape[0]
+    nshift = starts_skip.shape[1] // 2
+
+    def block_fn(args):
+        ss, qrow = args  # ss i32[18], qrow f32[4, 128]
+        st, sk = ss[:nshift], ss[nshift:]
+        qx = qrow[0]
+        qy = qrow[1]
+        qz = qrow[2]
+        qm = qrow[3] > 0.5
+
+        def win_fn(s):
+            return jax.lax.dynamic_slice(
+                planar, (s, jnp.int32(0), jnp.int32(0)), (wr, 4, 128)
+            )
+
+        wins = jax.vmap(win_fn)(st)  # [9, wr, 4, 128]
+        rkeep = (
+            jnp.arange(wr, dtype=jnp.int32)[None, :] >= sk[:, None]
+        )  # [9, wr] dedup row mask
+        cx = wins[:, :, 0, :].reshape(-1)
+        cy = wins[:, :, 1, :].reshape(-1)
+        cz = wins[:, :, 2, :].reshape(-1)
+        cw = jnp.logical_and(
+            wins[:, :, 3, :] > 0.5, rkeep[:, :, None]
+        ).reshape(-1)
+        d2 = (
+            (qx[:, None] - cx[None, :]) ** 2
+            + (qy[:, None] - cy[None, :]) ** 2
+            + (qz[:, None] - cz[None, :]) ** 2
+        )  # [128, 9*wr*128]
+        v = jnp.logical_and(qm[:, None], cw[None, :])
+        return _segmented_smallest_k(d2, v, k, per_seg=per_seg)
+
+    totals, counts, kths, oks = jax.lax.map(
+        block_fn, (starts_skip, planar[:nb])
+    )
+    return (
+        totals.reshape(-1),
+        counts.reshape(-1),
+        kths.reshape(-1),
+        oks.reshape(-1),
+    )

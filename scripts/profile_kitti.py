@@ -33,11 +33,11 @@ from pointclouds_tpu.spatial.cellgrid import (
     cell_sor_mean_dists,
     point_sor_mean_dists,
 )
+from pointclouds_tpu.spatial.sweep import sweep_sor_mean_dists
 
 STAGES = [
     "voxel_downsample",
-    "build_sor_grid",
-    "sor_mean_dists",
+    "sor_sweep",
     "sor_pass2",
     "ransac",
     "compact+cluster_grid",
@@ -53,32 +53,22 @@ def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
            sor_backend="xla"):
     acc = jnp.float32(0.0)
 
-    centroids_full, ds_valid_full = voxel_downsample_masked(xyz, valid, voxel_size)
-    ds_cap = xyz.shape[0] // 2
-    centroids = centroids_full[:ds_cap]
-    ds_valid = ds_valid_full[:ds_cap]
+    centroids, ds_valid = voxel_downsample_masked(xyz, valid, voxel_size)
     acc += jnp.sum(centroids) + jnp.sum(ds_valid)
     if stop == 1:
         return acc
 
     sor_cell = voxel_size * 4.0
-    grid = build_cellgrid(centroids, ds_valid, sor_cell, m_per_cell=56, cell_cap=16384)
-    acc += jnp.sum(grid.cell_xyzw) + jnp.sum(grid.point_slot)
-    if stop == 2:
-        return acc
-
-    if sor_backend == "xla":
-        mean_dists, point_ok, _ = point_sor_mean_dists(grid, centroids, ds_valid, k=sor_k)
-    else:
-        mean_dists, point_ok, _ = cell_sor_mean_dists(grid, k=sor_k, chunk=256,
-                                                      backend=sor_backend)
+    mean_dists, point_ok, _ = sweep_sor_mean_dists(
+        centroids, ds_valid, sor_cell, k=sor_k,
+        use_kernel=(sor_backend != "sweep_xla"))
     acc += jnp.sum(jnp.where(jnp.isfinite(mean_dists), mean_dists, 0.0))
-    if stop == 3:
+    if stop == 2:
         return acc
 
     flagged = jnp.logical_and(ds_valid, jnp.logical_not(point_ok))
     fix_order = compaction_order(flagged)
-    fix_rows = fix_order[:4096].astype(jnp.int32)
+    fix_rows = fix_order[:8192].astype(jnp.int32)
     fix_valid = jnp.take(flagged, fix_rows)
     fix_xyz = jnp.take(centroids, fix_rows, axis=0)
     coarse = build_cellgrid(centroids, ds_valid, sor_cell * 4.0, m_per_cell=128,
@@ -88,13 +78,13 @@ def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
         jnp.where(fix_valid, fix_means, jnp.take(mean_dists, fix_rows)), mode="drop")
     cleaned_valid = sor_keep_mask(mean_dists, ds_valid, sor_std)
     acc += jnp.sum(cleaned_valid)
-    if stop == 4:
+    if stop == 3:
         return acc
 
     normal, d, inlier_mask = ransac_plane_masked(centroids, cleaned_valid,
                                                  ransac_thresh, seed, ransac_iters)
     acc += jnp.sum(normal) + d + jnp.sum(inlier_mask)
-    if stop == 5:
+    if stop == 4:
         return acc
 
     obstacle_mask = jnp.logical_and(cleaned_valid, jnp.logical_not(inlier_mask))
@@ -105,12 +95,12 @@ def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
     cgrid = build_cellgrid(obs_xyz, obs_valid, cluster_r * 0.5, m_per_cell=24,
                            cell_cap=8192, ring=2)
     acc += jnp.sum(cgrid.cell_xyzw)
-    if stop == 6:
+    if stop == 5:
         return acc
 
     adjacency = cell_graph_adjacency(cgrid, cluster_r)
     acc += jnp.sum(adjacency)
-    if stop == 7:
+    if stop == 6:
         return acc
 
     labels = cell_graph_labels(cgrid, adjacency)
@@ -119,7 +109,7 @@ def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
 
 
 def main():
-    backend = sys.argv[1] if len(sys.argv) > 1 else "xla"
+    backend = sys.argv[1] if len(sys.argv) > 1 else "sweep"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     data = velodyne_scene(seed=0, n_points=122_000)
     arrs = make_cloud_arrays(data)

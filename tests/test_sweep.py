@@ -1,0 +1,165 @@
+"""Differential tests for the sorted-window sweep SOR engine
+(spatial/sweep.py) vs float64-free numpy brute force.
+
+The sweep is certified-or-flagged like the block engine: every test checks
+(a) certified rows are EXACT, and (b) flags are sound (a flagged row really
+has its (k+1)-th neighbor beyond the certification radius, or sits in a
+window-overflow / segment-certificate block — never silently wrong).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pointclouds_tpu  # noqa: F401
+from pointclouds_tpu.spatial.sweep import sweep_sor_mean_dists
+
+
+def brute_sor_means(pts, mask, k):
+    """Reference: mean distance to k nearest neighbors (self-skip via k+1
+    extraction), f32 distances like the engine."""
+    ok = mask & np.isfinite(pts).all(axis=1)
+    idx = np.nonzero(ok)[0]
+    P = pts[idx].astype(np.float32)
+    out = np.full(len(pts), np.inf, np.float32)
+    for i, p in zip(idx, P):
+        d = np.sqrt(((P - p) ** 2).sum(axis=1)).astype(np.float32)
+        d.sort()
+        sel = d[: k + 1]
+        if len(sel) >= 2:
+            out[i] = np.float32(sel.sum() / (len(sel) - 1))
+    return out
+
+
+def _padded(pts, cap=None):
+    n = len(pts)
+    cap = cap or 1 << max(8, int(np.ceil(np.log2(max(n, 1)))))
+    xyz = np.zeros((cap, 3), np.float32)
+    xyz[:n] = pts
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+    return xyz, valid
+
+
+def _check(xyz, valid, cell, k, use_kernel, min_certified_frac=0.0):
+    mean, ok, cert = sweep_sor_mean_dists(
+        jnp.asarray(xyz),
+        jnp.asarray(valid),
+        np.float32(cell),
+        k=k,
+        use_kernel=use_kernel,
+        interpret=use_kernel,  # kernel path runs interpreted on CPU
+    )
+    mean = np.asarray(mean)
+    ok = np.asarray(ok)
+    expect = brute_sor_means(xyz, valid, k)
+    np.testing.assert_allclose(mean[ok], expect[ok], rtol=1e-5, atol=1e-6)
+    usable = valid & np.isfinite(xyz).all(axis=1)
+    frac = ok.sum() / max(usable.sum(), 1)
+    assert frac >= min_certified_frac, f"only {frac:.1%} certified"
+    assert bool(cert) == bool(not np.any(usable & ~ok))
+    return mean, ok
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sweep_uniform_exact(use_kernel):
+    rng = np.random.default_rng(0)
+    xyz, valid = _padded((rng.random((3000, 3)) * 5).astype(np.float32))
+    _check(xyz, valid, 0.8, 10, use_kernel, min_certified_frac=0.95)
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sweep_overlapping_windows_dedup(use_kernel):
+    # Tiny extent forces the 9 shift windows to overlap heavily; without
+    # dedup masking, duplicated candidates double-count neighbors
+    # (regression: the k-smallest over a MULTISET is not exact).
+    rng = np.random.default_rng(1)
+    xyz, valid = _padded((rng.random((600, 3)) * 2.0).astype(np.float32))
+    _check(xyz, valid, 0.9, 8, use_kernel, min_certified_frac=0.5)
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sweep_mixed_density_flags_sound(use_kernel):
+    rng = np.random.default_rng(2)
+    pts = np.vstack(
+        [
+            rng.random((1500, 3)) * 5,
+            rng.normal([2, 2, 2], 0.1, (700, 3)),
+            rng.random((800, 3)) * [20, 3, 1],
+        ]
+    ).astype(np.float32)
+    xyz, valid = _padded(pts)
+    _check(xyz, valid, 0.8, 10, use_kernel)
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sweep_georeferenced_offsets(use_kernel):
+    # UTM-easting-scale coordinates: differences stay exact in f32;
+    # certificates must absorb the floor-rounding margin (ADVICE round-1
+    # class of bug). At 4.5e5 m the margin is ~0.22 m < cell, so most rows
+    # still certify; far bigger offsets would (correctly) flag everything.
+    rng = np.random.default_rng(3)
+    pts = (rng.random((2000, 3)) * 8).astype(np.float32) + np.float32(
+        [4.5e5, 1.2e5, 300.0]
+    )
+    xyz, valid = _padded(pts)
+    mean, ok = _check(xyz, valid, 1.5, 10, use_kernel)
+    assert ok.sum() > 1000
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sweep_duplicate_points_ties(use_kernel):
+    # Exact duplicates create distance ties; extraction must count each
+    # point once and equal values give equal sums either way.
+    rng = np.random.default_rng(4)
+    base = (rng.random((400, 3)) * 3).astype(np.float32)
+    pts = np.vstack([base, base[:200]])
+    xyz, valid = _padded(pts)
+    _check(xyz, valid, 0.8, 6, use_kernel, min_certified_frac=0.9)
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sweep_invalid_and_nonfinite_rows(use_kernel):
+    rng = np.random.default_rng(5)
+    xyz, valid = _padded((rng.random((1000, 3)) * 4).astype(np.float32))
+    xyz[17] = np.nan  # valid-but-nonfinite: excluded
+    valid[450] = False
+    mean, ok = _check(xyz, valid, 0.8, 10, use_kernel, min_certified_frac=0.9)
+    assert not ok[17] and not ok[450]
+    assert np.isinf(mean[17]) and np.isinf(mean[450])
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sweep_k_exceeds_population(use_kernel):
+    rng = np.random.default_rng(6)
+    xyz, valid = _padded((rng.random((12, 3)) * 0.2).astype(np.float32))
+    mean, ok, cert = sweep_sor_mean_dists(
+        jnp.asarray(xyz),
+        jnp.asarray(valid),
+        np.float32(1.0),
+        k=20,
+        use_kernel=use_kernel,
+        interpret=use_kernel,
+    )
+    mean = np.asarray(mean)
+    ok = np.asarray(ok)
+    expect = brute_sor_means(xyz, valid, 20)
+    # want = min(k+1, population): all 12 points resolve with 11 neighbors
+    np.testing.assert_allclose(mean[ok], expect[ok], rtol=1e-5, atol=1e-6)
+    assert ok[:12].all()
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sweep_all_invalid(use_kernel):
+    xyz = np.zeros((256, 3), np.float32)
+    valid = np.zeros(256, bool)
+    mean, ok, cert = sweep_sor_mean_dists(
+        jnp.asarray(xyz),
+        jnp.asarray(valid),
+        np.float32(1.0),
+        k=5,
+        use_kernel=use_kernel,
+        interpret=use_kernel,
+    )
+    assert not np.asarray(ok).any()
+    assert np.isinf(np.asarray(mean)).all()
