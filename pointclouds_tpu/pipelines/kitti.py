@@ -39,7 +39,7 @@ from ..spatial.cellgrid import (
     cell_sor_mean_dists,
     point_sor_mean_dists,
 )
-from ..spatial.sweep import sweep_sor_mean_dists
+from ..spatial.sweep import sweep_sor_two_pass
 
 
 class KittiPipelineOutput(NamedTuple):
@@ -122,11 +122,17 @@ def kitti_obstacle_pipeline(
         # mirror elsewhere (CPU tests).
         sor_backend = "sweep" if jax.default_backend() == "tpu" else "sweep_xla"
     if sor_backend in ("sweep", "sweep_xla"):
-        mean_dists, point_ok, _ = sweep_sor_mean_dists(
+        # Pass 1 sweep + exact AABB-pruned brute rescue inside (the rescue
+        # certifies up to 4 cell widths; points isolated beyond that keep
+        # upper-bound means and uncertified status — removed by SOR, which
+        # matches the exact engine's verdict at any practical threshold).
+        mean_dists, point_ok, sor_certified = sweep_sor_two_pass(
             centroids,
             ds_valid,
             sor_cell,
             k=sor_k,
+            fix_cap=sor_fix_cap,
+            rescue_cells=4.0,
             use_kernel=(sor_backend == "sweep"),
         )
         grid_overflow = jnp.asarray(False)
@@ -150,49 +156,50 @@ def kitti_obstacle_pipeline(
         grid_overflow = grid.overflow
         grid_table_overflow = grid.table_overflow
 
-    # Pass 2: the sparse minority (noise points whose kth neighbor lies
-    # beyond pass 1's search radius) is compacted into a small batch and
-    # re-queried per-point against a 4x coarser grid. Points unresolved
-    # even there are isolated beyond ~5 m and keep +inf (removed — which
-    # matches the exact engine's verdict at any practical threshold).
-    flagged = jnp.logical_and(ds_valid, jnp.logical_not(point_ok))
-    fix_order = compaction_order(flagged)
-    fix_rows = fix_order[:sor_fix_cap].astype(jnp.int32)
-    fix_valid = jnp.take(flagged, fix_rows)
-    fix_xyz = jnp.take(centroids, fix_rows, axis=0)
-    coarse = build_cellgrid(
-        centroids,
-        ds_valid,
-        sor_cell * 4.0,
-        m_per_cell=128,
-        cell_cap=2048,
-    )
-    fix_means, fix_ok = cell_knn_subset(
-        coarse, fix_xyz, fix_rows, fix_valid, k=sor_k
-    )
-    mean_dists = mean_dists.at[fix_rows].set(
-        jnp.where(fix_valid, fix_means, jnp.take(mean_dists, fix_rows)),
-        mode="drop",
-    )
-    n_flagged = jnp.sum(flagged.astype(jnp.int32))
-    # Certification must also account for candidate-side truncation: a point
-    # dropped from a full cell block (grid.overflow / coarse.overflow) or a
-    # cell dropped from a full hash table (*.table_overflow) is missing as a
-    # CANDIDATE from other queries' neighborhoods, which the per-query
-    # count/kth-distance certificate cannot detect. Fold all four flags in so
-    # sor_certified=True genuinely implies exact mean distances.
-    sor_certified = jnp.logical_and(
-        jnp.logical_and(
-            n_flagged <= sor_fix_cap,
-            jnp.all(jnp.logical_or(jnp.logical_not(fix_valid), fix_ok)),
-        ),
-        jnp.logical_not(
-            grid_overflow
-            | grid_table_overflow
-            | coarse.overflow
-            | coarse.table_overflow
-        ),
-    )
+        # Pass 2: the sparse minority (noise points whose kth neighbor lies
+        # beyond pass 1's search radius) is compacted into a small batch and
+        # re-queried per-point against a 4x coarser grid. Points unresolved
+        # even there are isolated beyond ~5 m and keep +inf (removed — which
+        # matches the exact engine's verdict at any practical threshold).
+        flagged = jnp.logical_and(ds_valid, jnp.logical_not(point_ok))
+        fix_order = compaction_order(flagged)
+        fix_rows = fix_order[:sor_fix_cap].astype(jnp.int32)
+        fix_valid = jnp.take(flagged, fix_rows)
+        fix_xyz = jnp.take(centroids, fix_rows, axis=0)
+        coarse = build_cellgrid(
+            centroids,
+            ds_valid,
+            sor_cell * 4.0,
+            m_per_cell=128,
+            cell_cap=2048,
+        )
+        fix_means, fix_ok = cell_knn_subset(
+            coarse, fix_xyz, fix_rows, fix_valid, k=sor_k
+        )
+        mean_dists = mean_dists.at[fix_rows].set(
+            jnp.where(fix_valid, fix_means, jnp.take(mean_dists, fix_rows)),
+            mode="drop",
+        )
+        n_flagged = jnp.sum(flagged.astype(jnp.int32))
+        # Certification must also account for candidate-side truncation: a
+        # point dropped from a full cell block (grid.overflow /
+        # coarse.overflow) or a cell dropped from a full hash table
+        # (*.table_overflow) is missing as a CANDIDATE from other queries'
+        # neighborhoods, which the per-query count/kth-distance certificate
+        # cannot detect. Fold all four flags in so sor_certified=True
+        # genuinely implies exact mean distances.
+        sor_certified = jnp.logical_and(
+            jnp.logical_and(
+                n_flagged <= sor_fix_cap,
+                jnp.all(jnp.logical_or(jnp.logical_not(fix_valid), fix_ok)),
+            ),
+            jnp.logical_not(
+                grid_overflow
+                | grid_table_overflow
+                | coarse.overflow
+                | coarse.table_overflow
+            ),
+        )
     cleaned_valid = sor_keep_mask(mean_dists, ds_valid, sor_std)
 
     # ── Step 3: RANSAC ground plane ────────────────────────────────────────

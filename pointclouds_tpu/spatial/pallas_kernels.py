@@ -267,37 +267,32 @@ def sor_select(q, qm, cand, cv, *, k: int, interpret: bool = False):
 # intermediates: HBM traffic is one streamed read of ~9x the point array.
 
 
-def _select_from_tiles(tiles, tq: int, k: int, per_seg: int):
-    """Shared segmented-selection body: ``tiles`` is a list of [TQ, 128]
-    f32 squared-distance tiles (inf-masked); segment s = lane s across the
-    tiles. Returns (total, count, kth, ok) as [1, TQ] rows (see
-    `_segmented_select_kernel` for the certificate semantics)."""
+def _insert_smallest(regs, w):
+    """Insertion network: fold tile ``w`` into the per-(query, segment)
+    running smallest values ``regs`` (ascending). 2 ops per level — the
+    cheapest exact way to track the per-segment smallest values across a
+    tile stream (vs per_seg full extraction rounds). Multiset-correct with
+    duplicates by construction."""
+    cur = w
+    out = []
+    for r in regs:
+        lo = jnp.minimum(r, cur)
+        cur = jnp.maximum(r, cur)
+        out.append(lo)
+    return out
+
+
+def _phase2_from_finalists(finalists, count_all, tq: int, k: int):
+    """Extract the k smallest of the per-segment finalists and certify.
+
+    finalists: list (len per_seg) of [TQ, 128] f32 (ascending per segment);
+    count_all: [1, TQ] finite-candidate count over the full width.
+    Returns (total, count, kth, ok) as [1, TQ] rows. ok certifies that the
+    finalists provably contain the true top-k: every segment's per_seg-th
+    value >= the kth overall, and as many were extracted as the true top-k
+    holds."""
     big = jnp.float32(jnp.inf)
-    ntiles = len(tiles)
-
-    cnt = jnp.zeros((tq, 128), jnp.float32)
-    for t in tiles:
-        cnt = cnt + jnp.where(jnp.isfinite(t), jnp.float32(1.0), jnp.float32(0.0))
-    count_all = jnp.sum(jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True)
-
-    finalists = []
-    for _ in range(per_seg):
-        m = tiles[0]
-        for t in tiles[1:]:
-            m = jnp.minimum(m, t)
-        finalists.append(m)
-        taken = jnp.zeros((tq, 128), jnp.float32)
-        new_tiles = []
-        for t in tiles:
-            hit = jnp.where(
-                jnp.logical_and(t == m, taken < 0.5),
-                jnp.float32(1.0),
-                jnp.float32(0.0),
-            )
-            new_tiles.append(jnp.where(hit > 0.5, big, t))
-            taken = jnp.maximum(taken, hit)
-        tiles = new_tiles
-
+    per_seg = len(finalists)
     seg_last = finalists[-1]
 
     f = jnp.concatenate(
@@ -336,6 +331,25 @@ def _select_from_tiles(tiles, tq: int, k: int, per_seg: int):
         jnp.float32(0.0),
     )
     return total, count, kth, cert1 * cert2
+
+
+def _select_from_tiles(tiles, tq: int, k: int, per_seg: int):
+    """Shared segmented-selection body: ``tiles`` is a list of [TQ, 128]
+    f32 squared-distance tiles (inf-masked); segment s = lane s across the
+    tiles. Returns (total, count, kth, ok) as [1, TQ] rows (see
+    `_segmented_select_kernel` for the certificate semantics)."""
+    big = jnp.float32(jnp.inf)
+
+    cnt = jnp.zeros((tq, 128), jnp.float32)
+    for t in tiles:
+        cnt = cnt + jnp.where(jnp.isfinite(t), jnp.float32(1.0), jnp.float32(0.0))
+    count_all = jnp.sum(jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True)
+
+    regs = [jnp.full((tq, 128), big) for _ in range(per_seg)]
+    for t in tiles:
+        regs = _insert_smallest(regs, t)
+
+    return _phase2_from_finalists(regs, count_all, tq, k)
 
 
 def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int):
@@ -457,4 +471,114 @@ def sweep_select(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 4,
         out_shape=jax.ShapeDtypeStruct((4, nb * 128), jnp.float32),
         interpret=interpret,
     )(starts, pts_planar, pts_planar)
+    return out[0], out[1], out[2], out[3] > 0.5
+
+
+# ── Rescue kernel: AABB-pruned brute force over the resident sorted cloud ──
+#
+# Pass-2 of the sweep SOR (spatial/sweep.py): queries flagged by pass 1
+# (kth neighbor beyond one cell width / window overflow / segment cert) are
+# re-resolved EXACTLY against the whole cloud. The sorted planar array
+# (~2 MB at KITTI scale) is VMEM-resident for the entire kernel; per query
+# block, only candidate row-GROUPS whose bounding box lies within the
+# rescue radius of the block's bounding box are visited (the host computes
+# the active-group lists — compute scales with the true neighborhood, not
+# the cloud). Replaces the coarse block-grid rescue: no second grid build,
+# no per-cell occupancy caps, no candidate truncation.
+
+
+def _rescue_select_kernel(k: int, per_seg: int, gr: int, ng: int):
+    def kernel(active_ref, q_ref, cand_ref, out_ref):
+        # active_ref i32[QB, 1+NG]: col 0 = number of active groups, cols
+        # 1.. = active group indices (ascending; garbage beyond count).
+        b = pl.program_id(0)
+        big = jnp.float32(jnp.inf)
+
+        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
+        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+
+        def group_step(t, state):
+            regs, cnt = state
+            g = active_ref[b, jnp.int32(1) + t]
+            base = g * jnp.int32(gr)
+            for r in range(gr):
+                row = cand_ref[pl.ds(base + jnp.int32(r), 1), :, :]
+                cx = row[0, 0:1, :]
+                cy = row[0, 1:2, :]
+                cz = row[0, 2:3, :]
+                cw = row[0, 3:4, :]
+                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                pair = qm * cw
+                w = jnp.where(pair > 0.5, d2, big)
+                regs = _insert_smallest(regs, w)
+                cnt = cnt + jnp.where(
+                    pair > 0.5, jnp.float32(1.0), jnp.float32(0.0)
+                )
+            return regs, cnt
+
+        regs0 = [jnp.full((128, 128), big) for _ in range(per_seg)]
+        cnt0 = jnp.zeros((128, 128), jnp.float32)
+        regs, cnt = jax.lax.fori_loop(
+            jnp.int32(0),
+            active_ref[b, 0].astype(jnp.int32),
+            group_step,
+            (regs0, cnt0),
+        )
+
+        count_all = jnp.sum(jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True)
+        total, count, kth, ok = _phase2_from_finalists(regs, count_all, 128, k)
+        out_ref[0:1, :] = total
+        out_ref[1:2, :] = count
+        out_ref[2:3, :] = kth
+        out_ref[3:4, :] = ok
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "per_seg", "gr", "interpret"))
+def rescue_select(cand_planar, q_planar, active, *, k: int, per_seg: int = 3,
+                  gr: int = 8, interpret: bool = False):
+    """Exact k-smallest selection of each query against the pruned cloud.
+
+    cand_planar f32[NR, 4, 128] (NR a multiple of gr): the sorted planar
+    cloud, VMEM-resident for the whole kernel.
+    q_planar f32[QB, 4, 128]: query blocks (w channel = validity).
+    active i32[QB, 1+NG]: per block, the count and ascending indices of
+    candidate row-groups to visit (NG = NR / gr). Soundness contract: a
+    pruned group must contain no candidate within the caller's rescue
+    radius of any query in the block — the caller certifies with
+    kth <= radius^2 afterwards.
+
+    Returns (total, count, kth, ok) over [QB*128] queries like
+    `sweep_select` (ok = segment certificate only).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = cand_planar.shape
+    qb = q_planar.shape[0]
+    ng = nr // gr
+    assert (nch, width) == (4, 128) and nr % gr == 0, cand_planar.shape
+    assert active.shape == (qb, 1 + ng), (active.shape, qb, ng)
+    kern = _rescue_select_kernel(k, per_seg, gr, ng)
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b, active_ref: (b, z, z)),
+            # Whole cloud VMEM-resident for every grid step (explicit
+            # identity index map: the auto-generated transform for an
+            # unblocked VMEM spec emits i64 indices Mosaic rejects).
+            pl.BlockSpec((nr, 4, 128), lambda b, active_ref: (z, z, z)),
+        ],
+        out_specs=pl.BlockSpec((4, 128), lambda b, active_ref: (z, b)),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, qb * 128), jnp.float32),
+        interpret=interpret,
+    )(active, q_planar, cand_planar)
     return out[0], out[1], out[2], out[3] > 0.5

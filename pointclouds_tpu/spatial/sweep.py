@@ -50,11 +50,7 @@ def _shift_offsets(extent):
     return jnp.stack(sh)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("k", "wr", "per_seg", "table_size", "interpret", "use_kernel"),
-)
-def sweep_sor_mean_dists(
+def _sweep_pass1(
     xyz,
     valid,
     cell_size,
@@ -66,18 +62,9 @@ def sweep_sor_mean_dists(
     interpret: bool = False,
     use_kernel: bool = True,
 ):
-    """Mean distance to the k nearest neighbors per point (self included in
-    the k+1 extraction), via the sorted-window sweep.
-
-    Same contract as `cellgrid.point_sor_mean_dists`: returns
-    (means f32[N] (+inf where unresolved/invalid), point_ok bool[N],
-    certified bool[]). ``cell_size`` is the certification radius: a query
-    is certified only if its (k+1)-th neighbor lies within one
-    margin-shrunk cell width.
-
-    ``use_kernel=False`` runs the selection through the XLA segmented path
-    (same math, for CPU tests and as a compile fallback).
-    """
+    """Shared pass-1 internals: sort, pack, windows, fused selection, mean
+    + certificates. Returns a dict with the results AND the reusable sorted
+    structure (planar array, permutations) for the rescue pass."""
     n = xyz.shape[0]
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     use = jnp.logical_and(valid, finite)
@@ -245,7 +232,62 @@ def sweep_sor_mean_dists(
     certified = jnp.logical_not(
         jnp.any(jnp.logical_and(use, jnp.logical_not(point_ok)))
     )
-    return mean, point_ok, certified
+    return dict(
+        mean=mean,
+        point_ok=point_ok,
+        certified=certified,
+        planar=planar,
+        order=order,
+        inv=inv,
+        use=use,
+        n_valid_total=n_valid_total,
+        want=want,
+        mn=mn,
+        extent=extent,
+        table_overflow=table_overflow,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "wr", "per_seg", "table_size", "interpret", "use_kernel"),
+)
+def sweep_sor_mean_dists(
+    xyz,
+    valid,
+    cell_size,
+    *,
+    k: int,
+    wr: int = 4,
+    per_seg: int = 4,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """Mean distance to the k nearest neighbors per point (self included in
+    the k+1 extraction), via the sorted-window sweep.
+
+    Same contract as `cellgrid.point_sor_mean_dists`: returns
+    (means f32[N] (+inf where unresolved/invalid), point_ok bool[N],
+    certified bool[]). ``cell_size`` is the certification radius: a query
+    is certified only if its (k+1)-th neighbor lies within one
+    margin-shrunk cell width.
+
+    ``use_kernel=False`` runs the selection through the XLA segmented path
+    (same math, for CPU tests and as a compile fallback).
+    """
+    p = _sweep_pass1(
+        xyz,
+        valid,
+        cell_size,
+        k=k,
+        wr=wr,
+        per_seg=per_seg,
+        table_size=table_size,
+        interpret=interpret,
+        use_kernel=use_kernel,
+    )
+    return p["mean"], p["point_ok"], p["certified"]
 
 
 def _sweep_select_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
@@ -289,6 +331,256 @@ def _sweep_select_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
     totals, counts, kths, oks = jax.lax.map(
         block_fn, (starts_skip, planar[:nb])
     )
+    return (
+        totals.reshape(-1),
+        counts.reshape(-1),
+        kths.reshape(-1),
+        oks.reshape(-1),
+    )
+
+
+RESCUE_GROUP_ROWS = 8  # candidate rows (of 128 points) per prune group
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "wr",
+        "per_seg",
+        "fix_cap",
+        "rescue_cells",
+        "table_size",
+        "interpret",
+        "use_kernel",
+    ),
+)
+def sweep_sor_two_pass(
+    xyz,
+    valid,
+    cell_size,
+    *,
+    k: int,
+    fix_cap: int = 4096,
+    rescue_cells: float = 4.0,
+    wr: int = 4,
+    per_seg: int = 4,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """Pass-1 sweep + exact AABB-pruned brute rescue for flagged queries.
+
+    Same (mean, point_ok, certified) contract as `sweep_sor_mean_dists`,
+    but queries pass 1 could not certify (kth beyond one cell width,
+    window overflow, segment certificate) are re-resolved EXACTLY against
+    the whole cloud, with certification radius ``rescue_cells * cell_size``
+    (the prune radius): up to ``fix_cap`` flagged queries, visiting only
+    candidate row-groups whose bounding box intersects the rescue ball.
+    Queries still uncertified after the rescue (isolated beyond the rescue
+    radius, or more than fix_cap flagged) keep their rescued upper-bound
+    means and point_ok=False — the same removal-biased semantics the coarse
+    block-grid rescue had (pipelines/kitti.py documents it).
+    """
+    p = _sweep_pass1(
+        xyz,
+        valid,
+        cell_size,
+        k=k,
+        wr=wr,
+        per_seg=per_seg,
+        table_size=table_size,
+        interpret=interpret,
+        use_kernel=use_kernel,
+    )
+    from ..core.cloud import compaction_order
+
+    n = xyz.shape[0]
+    kp1 = k + 1
+    planar = p["planar"]
+    order = p["order"]
+    use = p["use"]
+    nrows = planar.shape[0]
+    gr = RESCUE_GROUP_ROWS
+    # planar rows are padded to >= wr; pad further to a group multiple.
+    gpad = (-nrows) % gr
+    if gpad:
+        planar_g = jnp.concatenate(
+            [planar, jnp.zeros((gpad, 4, 128), jnp.float32)], axis=0
+        )
+    else:
+        planar_g = planar
+    ng = planar_g.shape[0] // gr
+
+    flagged = jnp.logical_and(use, jnp.logical_not(p["point_ok"]))
+    n_flagged = jnp.sum(flagged.astype(jnp.int32))
+    # Pack flagged queries in SORTED order: spatially coherent blocks give
+    # tight AABBs and deep pruning.
+    flagged_sorted = jnp.take(flagged, order)  # [n]
+    fq = compaction_order(flagged_sorted)
+    # Clamp the rescue capacity to the (128-rounded) cloud size: small
+    # clouds otherwise under-fill the query blocks.
+    qcap = min(fix_cap, ((n + 127) // 128) * 128)
+    qsel = fq[: min(qcap, n)].astype(jnp.int32)
+    if qcap > n:
+        qsel = jnp.concatenate([qsel, jnp.zeros((qcap - n,), jnp.int32)])
+    qvalid = jnp.take(flagged_sorted, qsel)
+    if qcap > n:
+        qvalid = jnp.logical_and(
+            qvalid, jnp.arange(qcap, dtype=jnp.int32) < n
+        )
+
+    flat = planar.reshape(nrows, 4 * 128)
+    chan = lambda c: planar[:, c, :].reshape(-1)  # noqa: E731
+    del flat
+    qx = jnp.take(chan(0), qsel)
+    qy = jnp.take(chan(1), qsel)
+    qz = jnp.take(chan(2), qsel)
+    qb = qcap // 128
+    q_planar = jnp.stack(
+        [
+            qx.reshape(qb, 128),
+            qy.reshape(qb, 128),
+            qz.reshape(qb, 128),
+            qvalid.astype(jnp.float32).reshape(qb, 128),
+        ],
+        axis=1,
+    )  # [QB, 4, 128]
+
+    # ── AABB prune mask ──
+    radius = rescue_cells * cell_size
+    big = jnp.float32(jnp.inf)
+    gw = planar_g[:, 3, :].reshape(ng, -1) > 0.5  # [NG, gr*128]
+
+    def gminmax(c):
+        v = planar_g[:, c, :].reshape(ng, -1)
+        return (
+            jnp.min(jnp.where(gw, v, big), axis=1),
+            jnp.max(jnp.where(gw, v, -big), axis=1),
+        )
+
+    gxn, gxx = gminmax(0)
+    gyn, gyx = gminmax(1)
+    gzn, gzx = gminmax(2)
+
+    qv = qvalid.reshape(qb, 128)
+
+    def qminmax(a):
+        v = a.reshape(qb, 128)
+        return (
+            jnp.min(jnp.where(qv, v, big), axis=1),
+            jnp.max(jnp.where(qv, v, -big), axis=1),
+        )
+
+    qxn, qxx = qminmax(qx)
+    qyn, qyx = qminmax(qy)
+    qzn, qzx = qminmax(qz)
+
+    def gap(qn, qx_, gn, gx_):
+        return jnp.maximum(
+            0.0, jnp.maximum(qn[:, None] - gx_[None, :], gn[None, :] - qx_[:, None])
+        )
+
+    gap2 = (
+        gap(qxn, qxx, gxn, gxx) ** 2
+        + gap(qyn, qyx, gyn, gyx) ** 2
+        + gap(qzn, qzx, gzn, gzx) ** 2
+    )  # [QB, NG]
+    # fp guard: prune strictly OUTSIDE an inflated ball; certify strictly
+    # INSIDE a deflated one. Empty groups/blocks give gap = +inf - -inf
+    # = nan-free (+inf) and prune away.
+    r2_prune = (radius * 1.00001) ** 2 + 1e-6
+    keep = gap2 <= r2_prune  # [QB, NG]
+    keep = jnp.where(jnp.isnan(gap2), False, keep)
+    # (.astype: jnp.sum would promote i32 to i64 under x64 and i64 scalars
+    # break Mosaic's convert lowering.)
+    counts = jnp.sum(keep.astype(jnp.int32), axis=1).astype(jnp.int32)  # [QB]
+    # Ascending active-group lists (False sorts after True with stable
+    # argsort on ~keep).
+    act = jnp.argsort(jnp.logical_not(keep), axis=1, stable=True).astype(
+        jnp.int32
+    )
+    active = jnp.concatenate([counts[:, None], act], axis=1)  # [QB, 1+NG]
+
+    if use_kernel:
+        from .pallas_kernels import rescue_select
+
+        rtotal, rcount_f, rkth, rseg_ok = rescue_select(
+            planar_g, q_planar, active, k=kp1, per_seg=3, gr=gr,
+            interpret=interpret,
+        )
+        rcount = rcount_f.astype(jnp.int32)
+    else:
+        rtotal, rcount, rkth, rseg_ok = _rescue_select_xla(
+            planar_g, q_planar, active, k=kp1, per_seg=3, gr=gr
+        )
+
+    # ── Rescue means + certificates ──
+    want = p["want"]
+    n_neighbors = jnp.maximum(rcount - 1, 0)
+    rmean = jnp.where(
+        n_neighbors > 0,
+        rtotal / jnp.maximum(n_neighbors.astype(jnp.float32), 1.0),
+        jnp.inf,
+    )
+    rmean = jnp.where(rcount >= want, rmean, jnp.inf)
+    r2_cert = (radius * 0.99999) ** 2
+    rok = jnp.logical_and(rcount >= want, rkth <= r2_cert)
+    rok = jnp.logical_and(rok, rseg_ok)
+    rok = jnp.logical_and(rok, qvalid)
+    rok = jnp.logical_and(rok, jnp.logical_not(p["table_overflow"]))
+
+    # ── Scatter back to original rows ──
+    rows_orig = jnp.take(
+        jnp.concatenate([order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]),
+        jnp.minimum(qsel, n),
+    )
+    rows_orig = jnp.where(qvalid, rows_orig, n)  # drop non-flagged slots
+    mean = p["mean"].at[rows_orig].set(
+        jnp.where(qvalid, rmean, 0.0), mode="drop"
+    )
+    point_ok = p["point_ok"].at[rows_orig].set(
+        jnp.where(qvalid, rok, False), mode="drop"
+    )
+    # Flagged rows beyond fix_cap were never selected and stay
+    # point_ok=False, so `certified` already reflects rescue overflow.
+    certified = jnp.logical_not(
+        jnp.any(jnp.logical_and(use, jnp.logical_not(point_ok)))
+    )
+    return mean, point_ok, certified
+
+
+def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
+                       gr: int):
+    """XLA mirror of `pallas_kernels.rescue_select` (CPU runs and
+    differential tests): same active-group masking, same segmented
+    selection semantics."""
+    ng = planar_g.shape[0] // gr
+    cx = planar_g[:, 0, :].reshape(-1)
+    cy = planar_g[:, 1, :].reshape(-1)
+    cz = planar_g[:, 2, :].reshape(-1)
+    cw = planar_g[:, 3, :].reshape(-1) > 0.5
+
+    def block_fn(args):
+        act, qrow = args  # act i32[1+NG], qrow f32[4, 128]
+        cnt, idx = act[0], act[1:]
+        gmask = (
+            jnp.zeros((ng,), bool)
+            .at[jnp.where(jnp.arange(ng) < cnt, idx, ng)]
+            .set(True, mode="drop")
+        )
+        candmask = jnp.logical_and(cw, jnp.repeat(gmask, gr * 128))
+        qx, qy, qz = qrow[0], qrow[1], qrow[2]
+        qm = qrow[3] > 0.5
+        d2 = (
+            (qx[:, None] - cx[None, :]) ** 2
+            + (qy[:, None] - cy[None, :]) ** 2
+            + (qz[:, None] - cz[None, :]) ** 2
+        )
+        v = jnp.logical_and(qm[:, None], candmask[None, :])
+        return _segmented_smallest_k(d2, v, k, per_seg=per_seg)
+
+    totals, counts, kths, oks = jax.lax.map(block_fn, (active, q_planar))
     return (
         totals.reshape(-1),
         counts.reshape(-1),
