@@ -39,7 +39,7 @@ from ..spatial.cellgrid import (
     cell_sor_mean_dists,
     point_sor_mean_dists,
 )
-from ..spatial.sweep import sweep_sor_two_pass
+from ..spatial.sweep import sweep_cluster_labels, sweep_sor_two_pass
 
 
 class KittiPipelineOutput(NamedTuple):
@@ -216,17 +216,35 @@ def kitti_obstacle_pipeline(
     n_obstacles = jnp.sum(obstacle_mask.astype(jnp.int32))
     overflow = n_obstacles > obstacle_cap
 
-    # ── Step 5: euclidean clustering (collapsed cell graph) ────────────────
-    cgrid = build_cellgrid(
-        obs_xyz,
-        obs_valid,
-        cluster_r * 0.5,
-        m_per_cell=cluster_m,
-        cell_cap=cluster_cell_cap,
-        ring=2,
-    )
-    adjacency = cell_graph_adjacency(cgrid, cluster_r)
-    labels = cell_graph_labels(cgrid, adjacency)
+    # ── Step 5: euclidean clustering ───────────────────────────────────────
+    if sor_backend in ("sweep", "sweep_xla"):
+        # Sweep min-label propagation directly on the cell-sorted obstacle
+        # points (3-5 hop+pointer-jump iterations): no cell grid, no
+        # [C, 125] adjacency matrix, no per-iteration million-element
+        # gathers. cluster_exact=False (window overflow / iteration cap)
+        # surfaces in grid_flags[2] — callers needing guaranteed-exact
+        # clusters then rerun via the engine path.
+        labels, cluster_exact = sweep_cluster_labels(
+            obs_xyz,
+            obs_valid,
+            cluster_r,
+            use_kernel=(sor_backend == "sweep"),
+        )
+        cluster_flag0 = jnp.logical_not(cluster_exact)
+        cluster_flag1 = jnp.asarray(False)
+    else:
+        cgrid = build_cellgrid(
+            obs_xyz,
+            obs_valid,
+            cluster_r * 0.5,
+            m_per_cell=cluster_m,
+            cell_cap=cluster_cell_cap,
+            ring=2,
+        )
+        adjacency = cell_graph_adjacency(cgrid, cluster_r)
+        labels = cell_graph_labels(cgrid, adjacency)
+        cluster_flag0 = cgrid.overflow
+        cluster_flag1 = cgrid.table_overflow
 
     return KittiPipelineOutput(
         centroids=centroids,
@@ -241,8 +259,8 @@ def kitti_obstacle_pipeline(
         obstacle_overflow=overflow,
         sor_certified=sor_certified,
         grid_flags=jnp.stack(
-            [grid_overflow, grid_table_overflow, cgrid.overflow,
-             cgrid.table_overflow, ds_overflow]
+            [grid_overflow, grid_table_overflow, cluster_flag0,
+             cluster_flag1, ds_overflow]
         ),
     )
 

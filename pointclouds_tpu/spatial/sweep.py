@@ -50,6 +50,64 @@ def _shift_offsets(extent):
     return jnp.stack(sh)
 
 
+def _window_starts(slin_p, suse_p, extent, nrows, nb, wr, table_size):
+    """Per-block window start rows, dedup skip counts, and the per-block
+    length certificate, for 128-query blocks of the cell-sorted array.
+
+    Returns (starts_skip i32[NB, 18], block_ok bool[NB]). See the module
+    docstring for the window construction; `starts_skip` packs the 9 start
+    rows and the 9 dedup skip counts the kernels consume.
+    """
+    prefix_len = table_size + 2
+    pos = jnp.arange(nrows * 128, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), slin_p[1:] != slin_p[:-1]]
+    )
+    raw = (
+        jnp.full((table_size + 1,), jnp.int32(2**30), jnp.int32)
+        .at[jnp.where(first, slin_p, table_size + 1)]
+        .set(jnp.where(first, pos, jnp.int32(2**30)), mode="drop")
+    )
+    raw = jnp.concatenate([raw, jnp.array([slin_p.shape[0]], jnp.int32)])
+    prefix = jax.lax.cummin(raw, axis=0, reverse=True)  # [table_size + 2]
+    del prefix_len
+
+    lo = slin_p[: nb * 128].reshape(nb, 128)[:, 0]
+    hi = slin_p[: nb * 128].reshape(nb, 128)[:, -1]
+    # Fully-invalid blocks (lo == sentinel) get harmless clamped windows;
+    # their queries are masked out by w = 0 anyway.
+    sh = _shift_offsets(extent)  # [9]
+    a = jnp.clip(lo[:, None] + sh[None, :] - 1, 0, table_size)  # [NB, 9]
+    zhi = jnp.clip(hi[:, None] + sh[None, :] + 1, 0, table_size)
+    first_row = jnp.take(prefix, a)
+    # Exclusive end; clamp to the real (valid) row count so trailing masked
+    # padding never counts as "needed coverage".
+    n_use_rows = jnp.sum(suse_p.astype(jnp.int32))
+    last_row = jnp.minimum(jnp.take(prefix, zhi + 1), n_use_rows)
+    start = jnp.clip(first_row // 128, 0, nrows - wr).astype(jnp.int32)
+    win_ok = jnp.logical_and(
+        first_row >= start * 128, last_row <= (start + wr) * 128
+    )
+    # Empty windows (first_row >= last_row) are trivially covered.
+    win_ok = jnp.logical_or(win_ok, first_row >= last_row)
+    block_ok = jnp.all(win_ok, axis=1)  # [NB]
+
+    # Deduplicate overlapping windows: adjacent shifts can produce
+    # overlapping windows (e.g. dy-neighbors differ by only extent[2]
+    # linear ids) and a duplicated candidate would be DOUBLE-COUNTED by a
+    # k-smallest extraction — an exactness bug, not just wasted work. The
+    # shift offsets are ascending, so window starts are non-decreasing in
+    # j; masking each window's rows that a previous window already covers
+    # makes the candidate multiset a set again (the masked rows remain
+    # present as earlier windows' rows).
+    cover_end = jax.lax.cummax(start + wr, axis=1)  # rows covered by <= j
+    prev_end = jnp.concatenate(
+        [jnp.zeros((nb, 1), jnp.int32), cover_end[:, :-1]], axis=1
+    )
+    skip = jnp.clip(prev_end - start, 0, wr).astype(jnp.int32)  # [NB, 9]
+    return jnp.concatenate([start, skip], axis=1), block_ok
+
+
 def _sweep_pass1(
     xyz,
     valid,
@@ -121,59 +179,12 @@ def _sweep_pass1(
         axis=1,
     )  # [NR, 4, 128] (channels on sublanes: see sweep_select docstring)
 
-    # ── Dense prefix table: prefix[e] = first sorted row with id >= e ──
-    # One scatter of segment-first rows (invalid rows all share the
-    # table_size sentinel, so the first of them marks n_use), then a
-    # suffix-min fills the gaps; a trailing npad guards the no-invalid case.
-    pos = jnp.arange(nrows * 128, dtype=jnp.int32)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), slin_p[1:] != slin_p[:-1]]
+    # ── Window starts + dedup + length certificate ──
+    starts_skip, block_ok = _window_starts(
+        slin_p, suse_p, extent, nrows, nb, wr, table_size
     )
-    raw = (
-        jnp.full((table_size + 1,), jnp.int32(2**30), jnp.int32)
-        .at[jnp.where(first, slin_p, table_size + 1)]
-        .set(jnp.where(first, pos, jnp.int32(2**30)), mode="drop")
-    )
-    raw = jnp.concatenate([raw, jnp.array([slin_p.shape[0]], jnp.int32)])
-    prefix = jax.lax.cummin(raw, axis=0, reverse=True)  # [table_size + 2]
-
-    # ── Per-block window starts + length certificate ──
-    lo = slin_p[: nb * 128].reshape(nb, 128)[:, 0]
-    hi = slin_p[: nb * 128].reshape(nb, 128)[:, -1]
-    # Fully-invalid blocks (lo == sentinel) get harmless clamped windows;
-    # their queries are masked out by w = 0 anyway.
-    sh = _shift_offsets(extent)  # [9]
-    a = jnp.clip(lo[:, None] + sh[None, :] - 1, 0, table_size)  # [NB, 9]
-    zhi = jnp.clip(hi[:, None] + sh[None, :] + 1, 0, table_size)
-    first_row = jnp.take(prefix, a)
-    # Exclusive end; clamp to the real (valid) row count so trailing masked
-    # padding never counts as "needed coverage".
-    n_use_rows = jnp.sum(suse_p.astype(jnp.int32))
-    last_row = jnp.minimum(jnp.take(prefix, zhi + 1), n_use_rows)
-    start = jnp.clip(first_row // 128, 0, nrows - wr).astype(jnp.int32)
-    win_ok = jnp.logical_and(
-        first_row >= start * 128, last_row <= (start + wr) * 128
-    )
-    # Empty windows (first_row >= last_row) are trivially covered.
-    win_ok = jnp.logical_or(win_ok, first_row >= last_row)
-    block_ok = jnp.all(win_ok, axis=1)  # [NB]
-
-    # ── Deduplicate overlapping windows ──
-    # Adjacent shifts can produce overlapping windows (e.g. dy-neighbors
-    # differ by only extent[2] linear ids) and a duplicated candidate would
-    # be DOUBLE-COUNTED by the k-smallest extraction — an exactness bug,
-    # not just wasted work. The shift offsets are ascending, so window
-    # starts are non-decreasing in j; masking each window's rows that a
-    # previous window already covers makes the candidate multiset a set
-    # again (the masked rows remain present as earlier windows' rows).
-    cover_end = jax.lax.cummax(start + wr, axis=1)  # rows covered by <= j
-    prev_end = jnp.concatenate(
-        [jnp.zeros((nb, 1), jnp.int32), cover_end[:, :-1]], axis=1
-    )
-    skip = jnp.clip(prev_end - start, 0, wr).astype(jnp.int32)  # [NB, 9]
 
     # ── Fused selection ──
-    starts_skip = jnp.concatenate([start, skip], axis=1)  # [NB, 18]
     if use_kernel:
         from .pallas_kernels import sweep_select
 
@@ -587,3 +598,215 @@ def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
         kths.reshape(-1),
         oks.reshape(-1),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("wr", "max_iters", "table_size", "interpret", "use_kernel"),
+)
+def sweep_cluster_labels(
+    xyz,
+    valid,
+    radius,
+    *,
+    wr: int = 7,
+    max_iters: int = 64,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """Euclidean-cluster labels by sweep min-label propagation.
+
+    Connected components under inclusive distance ``radius``, computed by
+    iterated min-label hops over the cell-sorted windows (kernel:
+    `pallas_kernels.cluster_propagate`) with two pointer-jumping rounds
+    between hops — converges in 3-5 iterations on automotive scenes.
+
+    Returns (labels i32[N], exact bool[]): labels in ORIGINAL point order,
+    label = smallest original row in the component (invalid/non-finite
+    points keep their own row) — the `cellgrid.cell_graph_labels` contract.
+    ``exact`` is False when any block's windows overflowed (a candidate
+    neighborhood was truncated, so components may be under-merged) or the
+    iteration cap was hit; callers must then fall back to an exact path.
+    """
+    n = xyz.shape[0]
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    use = jnp.logical_and(valid, finite)
+
+    # Sort cell: one cluster radius plus the floor-rounding margin, so the
+    # 27-cell neighborhood provably contains every within-radius candidate.
+    hi_abs = jnp.max(jnp.where(use[:, None], jnp.abs(xyz), 0.0))
+    cell_size = radius * 1.00002 + hi_abs * 6e-7 + 1e-7
+
+    c = jnp.floor(xyz / cell_size)
+    c = jnp.clip(c, -1e9, 1e9).astype(jnp.int32)
+    big32 = jnp.int32(2**30)
+    mn = jnp.min(jnp.where(use[:, None], c, big32), axis=0)
+    mn = jnp.minimum(mn, big32 - 1)
+    rel = jnp.clip(c - mn[None, :], 0, None)
+    mx = jnp.max(jnp.where(use[:, None], rel, 0), axis=0)
+    extent = mx + 1
+    ext64 = extent.astype(jnp.int64)
+    lin64 = (
+        rel[:, 0].astype(jnp.int64) * ext64[1] + rel[:, 1].astype(jnp.int64)
+    ) * ext64[2] + rel[:, 2].astype(jnp.int64)
+    table_overflow = (ext64[0] * ext64[1] * ext64[2]) > table_size
+    lin = jnp.where(use, jnp.clip(lin64, 0, table_size - 1), table_size).astype(
+        jnp.int32
+    )
+
+    order = jnp.argsort(lin, stable=True)
+    slin = jnp.take(lin, order)
+    sxyz = jnp.take(xyz, order, axis=0)
+    suse = slin < table_size
+    sxyz = jnp.where(suse[:, None], sxyz, 0.0)
+
+    pad = (-n) % 128
+    npad = n + pad
+    if pad:
+        slin_p = jnp.concatenate([slin, jnp.full((pad,), table_size, jnp.int32)])
+        sxyz_p = jnp.concatenate([sxyz, jnp.zeros((pad, 3), jnp.float32)])
+        suse_p = jnp.concatenate([suse, jnp.zeros((pad,), bool)])
+    else:
+        slin_p, sxyz_p, suse_p = slin, sxyz, suse
+    nrows = max(npad // 128, wr)
+    rpad = nrows * 128 - npad
+    if rpad:
+        slin_p = jnp.concatenate([slin_p, jnp.full((rpad,), table_size, jnp.int32)])
+        sxyz_p = jnp.concatenate([sxyz_p, jnp.zeros((rpad, 3), jnp.float32)])
+        suse_p = jnp.concatenate([suse_p, jnp.zeros((rpad,), bool)])
+    nb = npad // 128
+    nall = nrows * 128
+
+    starts_skip, block_ok = _window_starts(
+        slin_p, suse_p, extent, nrows, nb, wr, table_size
+    )
+    exact = jnp.logical_and(
+        jnp.all(block_ok[: nb]), jnp.logical_not(table_overflow)
+    )
+
+    r2 = jnp.float32(radius) * jnp.float32(radius)
+    base6 = jnp.stack(
+        [
+            sxyz_p[:, 0].reshape(nrows, 128),
+            sxyz_p[:, 1].reshape(nrows, 128),
+            sxyz_p[:, 2].reshape(nrows, 128),
+            suse_p.astype(jnp.float32).reshape(nrows, 128),
+            jnp.zeros((nrows, 128), jnp.float32),  # label (per iteration)
+            jnp.full((nrows, 128), r2, jnp.float32),
+            jnp.zeros((nrows, 128), jnp.float32),
+            jnp.zeros((nrows, 128), jnp.float32),
+        ],
+        axis=1,
+    )  # [NR, 8, 128]
+
+    lab0 = jnp.arange(nall, dtype=jnp.int32)
+
+    if use_kernel:
+        from .pallas_kernels import cluster_propagate
+
+        def hop(lab_f):
+            planar = base6.at[:, 4, :].set(lab_f.reshape(nrows, 128))
+            newlab, changed = cluster_propagate(
+                planar, starts_skip, wr=wr, interpret=interpret
+            )
+            return newlab[: nb * 128], changed[: nb * 128]
+    else:
+
+        def hop(lab_f):
+            return _cluster_propagate_xla(
+                base6.at[:, 4, :].set(lab_f.reshape(nrows, 128)),
+                starts_skip,
+                wr=wr,
+            )
+
+    def body(state):
+        lab, _, it = state
+        newq, changed = hop(lab.astype(jnp.float32))
+        new = jnp.minimum(lab[: nb * 128], newq.astype(jnp.int32))
+        if nall > nb * 128:
+            new = jnp.concatenate([new, lab[nb * 128 :]])
+        # Pointer jumping (labels are sorted positions).
+        new = jnp.minimum(new, jnp.take(new, jnp.clip(new, 0, nall - 1)))
+        new = jnp.minimum(new, jnp.take(new, jnp.clip(new, 0, nall - 1)))
+        any_changed = jnp.sum(changed) > 0.5
+        return new, any_changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    lab, still_changed, iters = jax.lax.while_loop(
+        cond, body, (lab0, jnp.asarray(True), jnp.int32(0))
+    )
+    exact = jnp.logical_and(exact, iters < max_iters)
+
+    # Representative = smallest ORIGINAL row in the component (the
+    # cell_graph_labels contract). order maps sorted position -> original
+    # row for positions < n.
+    order_rows = jnp.concatenate(
+        [
+            order.astype(jnp.int32),
+            jnp.full((nall - n,), n, jnp.int32),
+        ]
+    )
+    min_row = (
+        jnp.full((nall + 1,), n, jnp.int32)
+        .at[jnp.where(suse_p, lab, nall)]
+        .min(order_rows, mode="drop")
+    )
+    rep_sorted = jnp.take(min_row, jnp.clip(lab, 0, nall - 1))  # [nall]
+
+    inv = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
+    plab = jnp.take(rep_sorted[:n], inv)
+    own = jnp.arange(n, dtype=jnp.int32)
+    labels = jnp.where(jnp.logical_and(use, plab < n), plab, own)
+    return labels, exact
+
+
+def _cluster_propagate_xla(planar8, starts_skip, *, wr: int):
+    """XLA mirror of `pallas_kernels.cluster_propagate`."""
+    nb = starts_skip.shape[0]
+    nshift = starts_skip.shape[1] // 2
+    biglab = jnp.float32(float(1 << 25))
+
+    def block_fn(args):
+        ss, qrow = args
+        st = ss[:nshift]
+        qx, qy, qz = qrow[0], qrow[1], qrow[2]
+        qm = qrow[3] > 0.5
+        qlab = qrow[4]
+        r2 = qrow[5][0]
+
+        def win_fn(s):
+            return jax.lax.dynamic_slice(
+                planar8, (s, jnp.int32(0), jnp.int32(0)), (wr, 8, 128)
+            )
+
+        wins = jax.vmap(win_fn)(st)  # [9, wr, 8, 128]
+        cx = wins[:, :, 0, :].reshape(-1)
+        cy = wins[:, :, 1, :].reshape(-1)
+        cz = wins[:, :, 2, :].reshape(-1)
+        cw = wins[:, :, 3, :].reshape(-1) > 0.5
+        clab = wins[:, :, 4, :].reshape(-1)
+        d2 = (
+            (qx[:, None] - cx[None, :]) ** 2
+            + (qy[:, None] - cy[None, :]) ** 2
+            + (qz[:, None] - cz[None, :]) ** 2
+        )
+        within = jnp.logical_and(
+            jnp.logical_and(qm[:, None], cw[None, :]), d2 <= r2
+        )
+        best = jnp.min(
+            jnp.where(within, clab[None, :], biglab), axis=1
+        )
+        best = jnp.where(qm, jnp.minimum(best, qlab), biglab)
+        changed = jnp.logical_and(qm, best < qlab).astype(jnp.float32)
+        return best, changed
+
+    labs, changed = jax.lax.map(block_fn, (starts_skip, planar8[:nb]))
+    return labs.reshape(-1), changed.reshape(-1)

@@ -33,16 +33,15 @@ from pointclouds_tpu.spatial.cellgrid import (
     cell_sor_mean_dists,
     point_sor_mean_dists,
 )
-from pointclouds_tpu.spatial.sweep import sweep_sor_mean_dists
+from pointclouds_tpu.spatial.sweep import sweep_cluster_labels, sweep_sor_two_pass
 
 STAGES = [
     "voxel_downsample",
     "sor_sweep",
     "sor_pass2",
     "ransac",
-    "compact+cluster_grid",
-    "adjacency",
-    "labels",
+    "compact",
+    "cluster_sweep",
 ]
 
 
@@ -59,23 +58,19 @@ def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
         return acc
 
     sor_cell = voxel_size * 4.0
-    mean_dists, point_ok, _ = sweep_sor_mean_dists(
-        centroids, ds_valid, sor_cell, k=sor_k,
-        use_kernel=(sor_backend != "sweep_xla"))
-    acc += jnp.sum(jnp.where(jnp.isfinite(mean_dists), mean_dists, 0.0))
+    # Stage 2 measures pass-1 only (two-pass re-run with tiny fix_cap to
+    # approximate pass1 alone is not expressible; report pass1 via
+    # sweep_sor_two_pass with the rescue included at stage 3's delta).
+    from pointclouds_tpu.spatial.sweep import _sweep_pass1
+    p = _sweep_pass1(centroids, ds_valid, sor_cell, k=sor_k,
+                     use_kernel=(sor_backend != "sweep_xla"))
+    acc += jnp.sum(jnp.where(jnp.isfinite(p["mean"]), p["mean"], 0.0))
     if stop == 2:
         return acc
 
-    flagged = jnp.logical_and(ds_valid, jnp.logical_not(point_ok))
-    fix_order = compaction_order(flagged)
-    fix_rows = fix_order[:8192].astype(jnp.int32)
-    fix_valid = jnp.take(flagged, fix_rows)
-    fix_xyz = jnp.take(centroids, fix_rows, axis=0)
-    coarse = build_cellgrid(centroids, ds_valid, sor_cell * 4.0, m_per_cell=128,
-                            cell_cap=2048)
-    fix_means, fix_ok = cell_knn_subset(coarse, fix_xyz, fix_rows, fix_valid, k=sor_k)
-    mean_dists = mean_dists.at[fix_rows].set(
-        jnp.where(fix_valid, fix_means, jnp.take(mean_dists, fix_rows)), mode="drop")
+    mean_dists, point_ok, cert = sweep_sor_two_pass(
+        centroids, ds_valid, sor_cell, k=sor_k, fix_cap=8192,
+        use_kernel=(sor_backend != "sweep_xla"))
     cleaned_valid = sor_keep_mask(mean_dists, ds_valid, sor_std)
     acc += jnp.sum(cleaned_valid)
     if stop == 3:
@@ -92,18 +87,13 @@ def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
     obs_src = order[:obstacle_cap].astype(jnp.int32)
     obs_valid = jnp.take(obstacle_mask, obs_src)
     obs_xyz = jnp.take(centroids, obs_src, axis=0)
-    cgrid = build_cellgrid(obs_xyz, obs_valid, cluster_r * 0.5, m_per_cell=24,
-                           cell_cap=8192, ring=2)
-    acc += jnp.sum(cgrid.cell_xyzw)
+    acc += jnp.sum(obs_xyz)
     if stop == 5:
         return acc
 
-    adjacency = cell_graph_adjacency(cgrid, cluster_r)
-    acc += jnp.sum(adjacency)
-    if stop == 6:
-        return acc
-
-    labels = cell_graph_labels(cgrid, adjacency)
+    labels, cexact = sweep_cluster_labels(
+        obs_xyz, obs_valid, cluster_r,
+        use_kernel=(sor_backend != "sweep_xla"))
     acc += jnp.sum(labels)
     return acc
 
