@@ -29,16 +29,21 @@ sys.path.insert(0, ".")
 
 import jax
 
+import jax.numpy as jnp
+
 from pointclouds_tpu.core.cloud import make_cloud_arrays
+from pointclouds_tpu.pipelines.aerial import aerial_pipeline
 from pointclouds_tpu.pipelines.kitti import (
     extract_clusters,
     kitti_obstacle_pipeline,
 )
-from pointclouds_tpu.pipelines.scenes import velodyne_scene
+from pointclouds_tpu.pipelines.scenes import aerial_scene, velodyne_scene
 
 BASELINE_P50_MS = 89.5
+AERIAL_BASELINE_MS = 87.0  # ref BENCHMARKS.md:123-132 (241K pts, M4 Max CPU)
 N_POINTS = 122_000
 FRAMES = 100
+AERIAL_FRAMES = 30
 
 
 def main():
@@ -97,6 +102,26 @@ def main():
     clusters = extract_clusters(out, 10, 20_000)
     assert len(clusters) >= 3, f"expected >=3 clusters, got {len(clusters)}"
 
+    # Aerial end-to-end (241K pts; ref 87 ms total on M4 Max CPU).
+    adata = aerial_scene(seed=42, scale=1.0)
+    aarrs = make_cloud_arrays(adata)
+    vp = jnp.asarray([0.0, 0.0, 10000.0], jnp.float32)
+
+    def arun(seed):
+        return aerial_pipeline(
+            aarrs.xyz, aarrs.valid, np.float32(0.5), np.float32(3.0),
+            np.float32(0.3), seed, np.float32(2.0), vp,
+            backend="sweep" if backend == "sweep" else "sweep_xla",
+        )
+
+    aout = arun(0)
+    np.asarray(aout.labels)
+    t0 = time.perf_counter()
+    for f in range(AERIAL_FRAMES):
+        aout = arun(f)
+    np.asarray(aout.labels)
+    aerial_ms = (time.perf_counter() - t0) * 1e3 / AERIAL_FRAMES
+
     flags = np.asarray(out.grid_flags)
     print(
         json.dumps(
@@ -113,6 +138,8 @@ def main():
                 "any_grid_overflow": bool(flags[:4].any()),
                 "sor_certified": bool(out.sor_certified),
                 "clusters": [len(c) for c in clusters],
+                "aerial_frame_ms_241k": round(aerial_ms, 3),
+                "aerial_vs_baseline": round(AERIAL_BASELINE_MS / aerial_ms, 3),
             }
         )
     )

@@ -1,0 +1,187 @@
+"""Fused aerial-LiDAR pipeline: one XLA program end-to-end.
+
+The reference aerial demo (examples/python/aerial_lidar.py:143-186) runs
+voxel downsample (0.5 m) -> normal estimation (k = 15) -> RANSAC ground
+plane (0.3, 300) -> ground removal -> euclidean clustering (r = 2.0) as
+separate calls. Here the chain compiles to a single jitted program on the
+sweep engine (spatial/sweep.py):
+
+- normals come from the KNN-moments sweep kernel (query-centered first and
+  second neighbor moments, one fused pass) + the vectorized Cardano
+  eigensolver — no per-point KD-tree queries and no neighbor-index
+  materialization at all;
+- clustering is the sweep min-label propagation.
+
+Per-query exactness flags from both sweeps surface in the output;
+tests/test_aerial.py validates normal/cluster parity against the exact
+per-op engine path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cloud import compaction_order
+from ..ops.filters import voxel_downsample_masked
+from ..ops.normals import cardano_smallest_eigvec
+from ..ops.segmentation import ransac_plane_masked
+from ..spatial.sweep import sweep_cluster_labels, sweep_knn_moments
+
+
+class AerialPipelineOutput(NamedTuple):
+    centroids: jax.Array  # f32[N, 3] voxel centroids (padded)
+    downsampled_valid: jax.Array  # bool[N]
+    normals: jax.Array  # f32[N, 3] per-centroid PCA normals
+    normals_ok: jax.Array  # bool[N] moments certified exact
+    plane_normal: jax.Array  # f32[3]
+    plane_d: jax.Array  # f32
+    inlier_mask: jax.Array  # bool[N]
+    obstacle_src: jax.Array  # i32[CAP]
+    obstacle_valid: jax.Array  # bool[CAP]
+    labels: jax.Array  # i32[CAP]
+    obstacle_overflow: jax.Array  # bool
+    cluster_exact: jax.Array  # bool
+    ds_overflow: jax.Array  # bool
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "normals_k",
+        "ransac_iters",
+        "obstacle_cap",
+        "cluster_wr",
+        "backend",
+    ),
+)
+def aerial_pipeline(
+    xyz,
+    valid,
+    voxel_size,
+    normals_cell,
+    ransac_thresh,
+    seed,
+    cluster_r,
+    viewpoint,
+    *,
+    normals_k: int = 15,
+    ransac_iters: int = 300,
+    obstacle_cap: int = 262_144,
+    cluster_wr: int = 12,
+    backend: str = "auto",
+):
+    """Voxel -> sweep normals -> RANSAC -> ground removal -> sweep cluster.
+
+    ``normals_cell`` is the KNN certification radius for the normals sweep
+    (the k-th neighbor must provably lie within it; the aerial default of
+    ~3 voxel widths certifies >99% of surface points).
+    """
+    if backend == "auto":
+        backend = "sweep" if jax.default_backend() == "tpu" else "sweep_xla"
+    use_kernel = backend == "sweep"
+
+    # ── Step 1: voxel downsample ──
+    centroids, ds_valid = voxel_downsample_masked(xyz, valid, voxel_size)
+    ds_overflow = jnp.asarray(False)  # full-capacity output, never truncated
+
+    # ── Step 2: PCA normals from KNN moments ──
+    m1, m2, cnt, nok = sweep_knn_moments(
+        centroids,
+        ds_valid,
+        normals_cell,
+        k=normals_k,
+        use_kernel=use_kernel,
+    )
+    denom = jnp.maximum(cnt, 1.0)
+    mean = m1 / denom[:, None]  # neighbor centroid, query-relative
+    # cov = sum (rel - mean)(rel - mean)^T = M2 - cnt * mean mean^T
+    cov = jnp.stack(
+        [
+            m2[:, 0] - cnt * mean[:, 0] * mean[:, 0],
+            m2[:, 3] - cnt * mean[:, 0] * mean[:, 1],
+            m2[:, 4] - cnt * mean[:, 0] * mean[:, 2],
+            m2[:, 3] - cnt * mean[:, 0] * mean[:, 1],
+            m2[:, 1] - cnt * mean[:, 1] * mean[:, 1],
+            m2[:, 5] - cnt * mean[:, 1] * mean[:, 2],
+            m2[:, 4] - cnt * mean[:, 0] * mean[:, 2],
+            m2[:, 5] - cnt * mean[:, 1] * mean[:, 2],
+            m2[:, 2] - cnt * mean[:, 2] * mean[:, 2],
+        ],
+        axis=1,
+    ).reshape(-1, 3, 3)
+
+    vec = cardano_smallest_eigvec(cov)
+    length = jnp.linalg.norm(vec, axis=1)
+    unit = jnp.where(
+        (length > 1e-10)[:, None],
+        vec / jnp.maximum(length, 1e-30)[:, None],
+        vec,
+    )
+    to_vp = viewpoint[None, :] - centroids
+    dot = jnp.sum(unit * to_vp, axis=1)
+    oriented = jnp.where((dot < 0.0)[:, None], -unit, unit)
+    normals = jnp.where(
+        (cnt < 1.0)[:, None],
+        jnp.array([0.0, 0.0, 1.0], jnp.float32)[None, :],
+        oriented,
+    )
+
+    # ── Step 3: RANSAC ground plane ──
+    pnormal, d, inlier_mask = ransac_plane_masked(
+        centroids, ds_valid, ransac_thresh, seed, ransac_iters
+    )
+
+    # ── Step 4+5: ground removal + clustering ──
+    obstacle_mask = jnp.logical_and(ds_valid, jnp.logical_not(inlier_mask))
+    order = compaction_order(obstacle_mask)
+    obs_src = order[:obstacle_cap].astype(jnp.int32)
+    obs_valid = jnp.take(obstacle_mask, obs_src)
+    obs_xyz = jnp.take(centroids, obs_src, axis=0)
+    n_obstacles = jnp.sum(obstacle_mask.astype(jnp.int32))
+    overflow = n_obstacles > obstacle_cap
+
+    labels, cluster_exact = sweep_cluster_labels(
+        obs_xyz, obs_valid, cluster_r, wr=cluster_wr, use_kernel=use_kernel
+    )
+
+    return AerialPipelineOutput(
+        centroids=centroids,
+        downsampled_valid=ds_valid,
+        normals=normals,
+        normals_ok=nok,
+        plane_normal=pnormal,
+        plane_d=d,
+        inlier_mask=inlier_mask,
+        obstacle_src=obs_src,
+        obstacle_valid=obs_valid,
+        labels=labels,
+        obstacle_overflow=overflow,
+        cluster_exact=cluster_exact,
+        ds_overflow=ds_overflow,
+    )
+
+
+def extract_clusters(out: AerialPipelineOutput, min_size: int, max_size: int):
+    """Host-side cluster extraction, canonical ordering (size desc,
+    lexicographic tiebreak) — same contract as pipelines.kitti."""
+    import numpy as np
+
+    labels = np.asarray(out.labels)
+    obs_valid = np.asarray(out.obstacle_valid)
+    valid_slots = np.nonzero(obs_valid)[0]
+    lab = labels[valid_slots]
+    order = np.argsort(lab, kind="stable")
+    sl = lab[order]
+    boundaries = np.nonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))[0]
+    clusters = []
+    for i, b in enumerate(boundaries):
+        e = boundaries[i + 1] if i + 1 < len(boundaries) else len(sl)
+        members = valid_slots[order[b:e]]
+        if min_size <= len(members) <= max_size:
+            clusters.append(sorted(int(m) for m in members))
+    clusters.sort(key=lambda c: (-len(c), c))
+    return clusters

@@ -358,9 +358,10 @@ def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int):
     nwin = nshift * wr  # scratch rows per buffer slot
 
     def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
-        # starts_ref i32[NB, 2*nshift]: cols [0, nshift) window start rows,
-        # cols [nshift, 2*nshift) dedup skip counts (rows already covered
-        # by an earlier window — masking them keeps candidates a SET).
+        # starts_ref i32[2*nshift, NB] (TRANSPOSED so SMEM's row padding
+        # stays tiny): rows [0, nshift) window start rows, rows
+        # [nshift, 2*nshift) dedup skip counts (rows already covered by an
+        # earlier window — masking them keeps candidates a SET).
         b = pl.program_id(0)
         nb = pl.num_programs(0)
 
@@ -368,7 +369,7 @@ def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int):
             # All index arithmetic pinned to i32: under the package's x64
             # mode a bare Python int is a weak i64 and Mosaic's memref
             # slicing rejects i64 operands.
-            st = starts_ref[blk, j]
+            st = starts_ref[j, blk]
             return pltpu.make_async_copy(
                 pts_ref.at[pl.ds(st, wr), :, :],
                 win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
@@ -400,7 +401,7 @@ def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int):
         base = slot * jnp.int32(nwin)
         tiles = []
         for j in range(nshift):
-            sk = starts_ref[b, nshift + j]
+            sk = starts_ref[nshift + j, b]
             for r in range(wr):
                 row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
                 cx = row[0, 0:1, :]  # [1, 128], lane offset 0
@@ -450,6 +451,7 @@ def sweep_select(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 4,
         pts_planar.shape,
         starts.shape,
     )
+    starts = jnp.transpose(starts)  # [2S, NB]: SMEM pads rows, not columns
     kern = _sweep_select_kernel(k, wr, per_seg, nshift)
     z = np.int32(0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -603,11 +605,12 @@ def _cluster_propagate_kernel(wr: int, nshift: int):
 
     def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
         # q/pts rows: channels [x, y, z, w, label, r2, 0, 0].
+        # starts_ref i32[2*nshift, NB] (transposed; skip rows unused).
         b = pl.program_id(0)
         nb = pl.num_programs(0)
 
         def dma(blk, j, slot):
-            st = starts_ref[blk, j]
+            st = starts_ref[j, blk]
             return pltpu.make_async_copy(
                 pts_ref.at[pl.ds(st, wr), :, :],
                 win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
@@ -693,6 +696,7 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
         pts_planar.shape,
         starts.shape,
     )
+    starts = jnp.transpose(starts)  # [2S, NB]
     kern = _cluster_propagate_kernel(wr, nshift)
     z = np.int32(0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -715,3 +719,184 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
         interpret=interpret,
     )(starts, pts_planar, pts_planar)
     return out[0], out[1]
+
+
+# ── KNN-moments kernel (normal estimation) ───────────────────────────────────
+#
+# PCA normal estimation needs, per point, the first and second moments of
+# its k nearest neighbors (self included, ref:
+# crates/normals/src/estimate.rs:42-107). Same sorted-window structure as
+# the SOR sweep; after the segmented k-smallest selection fixes the kth
+# distance, a second in-VMEM sweep over the same tiles accumulates
+# QUERY-CENTERED moments (sum of c-q and (c-q)x(c-q)) of all candidates
+# with d2 <= kth. Query-centering keeps the accumulation exact at
+# georeferenced offsets (the covariance is translation-invariant; the
+# reference's absolute-coordinate accumulation loses it in f32 — one of
+# the deliberate fixes). Ties AT the kth distance are included and
+# reported (count_le): rows where count_le exceeds the selection count are
+# flagged for the caller.
+
+
+def _sweep_moments_kernel(k: int, wr: int, per_seg: int, nshift: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    nwin = nshift * wr
+
+    def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
+        # starts_ref i32[2*nshift, NB] (transposed, like sweep_select).
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        def dma(blk, j, slot):
+            st = starts_ref[j, blk]
+            return pltpu.make_async_copy(
+                pts_ref.at[pl.ds(st, wr), :, :],
+                win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
+                sems.at[slot, jnp.int32(j)],
+            )
+
+        @pl.when(b == jnp.int32(0))
+        def _():
+            for j in range(nshift):
+                dma(jnp.int32(0), j, jnp.int32(0)).start()
+
+        @pl.when(b + jnp.int32(1) < nb)
+        def _():
+            nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
+            for j in range(nshift):
+                dma(b + jnp.int32(1), j, nxt).start()
+
+        slot = jax.lax.rem(b, jnp.int32(2))
+        for j in range(nshift):
+            dma(b, j, slot).wait()
+
+        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+
+        big = jnp.float32(jnp.inf)
+        base = slot * jnp.int32(nwin)
+
+        def tile(idx):
+            row = win[pl.ds(base + jnp.int32(idx), 1), :, :]
+            return (row[0, 0:1, :], row[0, 1:2, :], row[0, 2:3, :],
+                    row[0, 3:4, :])
+
+        # Pass A: segmented k-smallest selection (dedup-masked).
+        tiles = []
+        for j in range(nshift):
+            sk = starts_ref[nshift + j, b]
+            for r in range(wr):
+                cx, cy, cz, cw = tile(j * wr + r)
+                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                keep = jnp.where(
+                    jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                pair = qm * cw * keep
+                tiles.append(jnp.where(pair > 0.5, d2, big))
+        total, count, kth, ok = _select_from_tiles(tiles, 128, k, per_seg)
+        del total
+        # Threshold inflated by ~8 ulp: pass B recomputes d2 with (c - q)
+        # differences whose FMA rounding can differ from pass A's
+        # (q - c)-based selection by a couple of ulp, which would silently
+        # drop the kth neighbor at exact equality. Genuine candidates
+        # inside the inflated band surface as count_le > count and flag
+        # the row instead.
+        kth_col = jnp.transpose(kth, (1, 0)) * jnp.float32(1.000001) + jnp.float32(1e-12)
+
+        # Pass B: query-centered moments of candidates with d2 <= kth.
+        z = jnp.zeros((128, 128), jnp.float32)
+        m1x = z; m1y = z; m1z = z
+        mxx = z; myy = z; mzz = z
+        mxy = z; mxz = z; myz = z
+        cle = z
+        for j in range(nshift):
+            sk = starts_ref[nshift + j, b]
+            for r in range(wr):
+                cx, cy, cz, cw = tile(j * wr + r)
+                rx = cx - qx  # [128, 128] (c - q)
+                ry = cy - qy
+                rz = cz - qz
+                d2 = rx * rx + ry * ry + rz * rz
+                keep = jnp.where(
+                    jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                m = jnp.where(
+                    jnp.logical_and((qm * cw * keep) > 0.5, d2 <= kth_col),
+                    jnp.float32(1.0),
+                    jnp.float32(0.0),
+                )
+                cle = cle + m
+                rx = rx * m; ry = ry * m; rz = rz * m
+                m1x = m1x + rx; m1y = m1y + ry; m1z = m1z + rz
+                mxx = mxx + rx * rx; myy = myy + ry * ry; mzz = mzz + rz * rz
+                mxy = mxy + rx * ry; mxz = mxz + rx * rz; myz = myz + ry * rz
+
+        def rowsum(a):  # [128q, 128] -> [1, 128q]
+            return jnp.transpose(
+                jnp.sum(a, axis=1, keepdims=True), (1, 0)
+            )
+
+        out_ref[0:1, :] = rowsum(m1x)
+        out_ref[1:2, :] = rowsum(m1y)
+        out_ref[2:3, :] = rowsum(m1z)
+        out_ref[3:4, :] = rowsum(mxx)
+        out_ref[4:5, :] = rowsum(myy)
+        out_ref[5:6, :] = rowsum(mzz)
+        out_ref[6:7, :] = rowsum(mxy)
+        out_ref[7:8, :] = rowsum(mxz)
+        out_ref[8:9, :] = rowsum(myz)
+        out_ref[9:10, :] = rowsum(cle)
+        out_ref[10:11, :] = count
+        out_ref[11:12, :] = kth
+        out_ref[12:13, :] = ok
+        out_ref[13:14, :] = jnp.zeros((1, 128), jnp.float32)
+        out_ref[14:15, :] = jnp.zeros((1, 128), jnp.float32)
+        out_ref[15:16, :] = jnp.zeros((1, 128), jnp.float32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "wr", "per_seg", "interpret"))
+def sweep_moments(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 3,
+                  interpret: bool = False):
+    """Selection + neighbor-moment accumulation over sorted windows.
+
+    Same inputs as `sweep_select`. Returns a [16, NB*128] f32 array:
+    rows 0-2  sum of (c - q) over selected neighbors,
+    rows 3-8  sum of outer products (xx, yy, zz, xy, xz, yz),
+    row  9    count_le (candidates with d2 <= kth — includes kth ties),
+    row 10    selection count (<= k), row 11 kth d2, row 12 segment cert.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = pts_planar.shape
+    nb = starts.shape[0]
+    nshift = starts.shape[1] // 2
+    assert (nch, width) == (4, 128) and nb <= nr and nr >= wr, (
+        pts_planar.shape,
+        starts.shape,
+    )
+    starts = jnp.transpose(starts)  # [2S, NB]
+    kern = _sweep_moments_kernel(k, wr, per_seg, nshift)
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b, starts_ref: (b, z, z)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((16, 128), lambda b, starts_ref: (z, b)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * nshift * wr, 4, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nshift)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, nb * 128), jnp.float32),
+        interpret=interpret,
+    )(starts, pts_planar, pts_planar)

@@ -723,9 +723,17 @@ def sweep_cluster_labels(
     def body(state):
         lab, _, it = state
         newq, changed = hop(lab.astype(jnp.float32))
-        new = jnp.minimum(lab[: nb * 128], newq.astype(jnp.int32))
+        m = newq.astype(jnp.int32)
         if nall > nb * 128:
-            new = jnp.concatenate([new, lab[nb * 128 :]])
+            m = jnp.concatenate([m, lab[nb * 128 :]])
+        new = jnp.minimum(lab, m)
+        # HOOK (Shiloach-Vishkin style): each point's discovery also
+        # updates its current root's label via scatter-min, so label trees
+        # merge at the roots and pointer jumping then compresses them —
+        # gather-only hops spread the min one graph edge per iteration
+        # (diameter-bound: 22 iterations on aerial blobs), hop+hook+jump
+        # converges in O(log): 5 on the same scene.
+        new = new.at[jnp.clip(lab, 0, nall - 1)].min(m)
         # Pointer jumping (labels are sorted positions).
         new = jnp.minimum(new, jnp.take(new, jnp.clip(new, 0, nall - 1)))
         new = jnp.minimum(new, jnp.take(new, jnp.clip(new, 0, nall - 1)))
@@ -810,3 +818,214 @@ def _cluster_propagate_xla(planar8, starts_skip, *, wr: int):
 
     labs, changed = jax.lax.map(block_fn, (starts_skip, planar8[:nb]))
     return labs.reshape(-1), changed.reshape(-1)
+
+
+def _sorted_structure(xyz, valid, cell_size, wr, table_size):
+    """Sort, pack, and window-compute: the shared front half of every sweep.
+
+    Returns a dict with the planar array, permutation, window starts, and
+    grid metadata. (The SOR/cluster entry points predate this helper and
+    keep their inline copies.)"""
+    n = xyz.shape[0]
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    use = jnp.logical_and(valid, finite)
+
+    c = jnp.floor(xyz / cell_size)
+    c = jnp.clip(c, -1e9, 1e9).astype(jnp.int32)
+    big32 = jnp.int32(2**30)
+    mn = jnp.min(jnp.where(use[:, None], c, big32), axis=0)
+    mn = jnp.minimum(mn, big32 - 1)
+    rel = jnp.clip(c - mn[None, :], 0, None)
+    mx = jnp.max(jnp.where(use[:, None], rel, 0), axis=0)
+    extent = mx + 1
+    ext64 = extent.astype(jnp.int64)
+    lin64 = (
+        rel[:, 0].astype(jnp.int64) * ext64[1] + rel[:, 1].astype(jnp.int64)
+    ) * ext64[2] + rel[:, 2].astype(jnp.int64)
+    table_overflow = (ext64[0] * ext64[1] * ext64[2]) > table_size
+    lin = jnp.where(use, jnp.clip(lin64, 0, table_size - 1), table_size).astype(
+        jnp.int32
+    )
+
+    order = jnp.argsort(lin, stable=True)
+    slin = jnp.take(lin, order)
+    sxyz = jnp.take(xyz, order, axis=0)
+    suse = slin < table_size
+    sxyz = jnp.where(suse[:, None], sxyz, 0.0)
+
+    pad = (-n) % 128
+    npad = n + pad
+    if pad:
+        slin_p = jnp.concatenate([slin, jnp.full((pad,), table_size, jnp.int32)])
+        sxyz_p = jnp.concatenate([sxyz, jnp.zeros((pad, 3), jnp.float32)])
+        suse_p = jnp.concatenate([suse, jnp.zeros((pad,), bool)])
+    else:
+        slin_p, sxyz_p, suse_p = slin, sxyz, suse
+    nrows = max(npad // 128, wr)
+    rpad = nrows * 128 - npad
+    if rpad:
+        slin_p = jnp.concatenate([slin_p, jnp.full((rpad,), table_size, jnp.int32)])
+        sxyz_p = jnp.concatenate([sxyz_p, jnp.zeros((rpad, 3), jnp.float32)])
+        suse_p = jnp.concatenate([suse_p, jnp.zeros((rpad,), bool)])
+    nb = npad // 128
+
+    planar = jnp.stack(
+        [
+            sxyz_p[:, 0].reshape(nrows, 128),
+            sxyz_p[:, 1].reshape(nrows, 128),
+            sxyz_p[:, 2].reshape(nrows, 128),
+            suse_p.astype(jnp.float32).reshape(nrows, 128),
+        ],
+        axis=1,
+    )
+
+    starts_skip, block_ok = _window_starts(
+        slin_p, suse_p, extent, nrows, nb, wr, table_size
+    )
+    inv = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
+    return dict(
+        planar=planar,
+        order=order,
+        inv=inv,
+        use=use,
+        starts_skip=starts_skip,
+        block_ok=block_ok,
+        mn=mn,
+        extent=extent,
+        nrows=nrows,
+        nb=nb,
+        table_overflow=table_overflow,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "wr", "per_seg", "table_size", "interpret", "use_kernel"),
+)
+def sweep_knn_moments(
+    xyz,
+    valid,
+    cell_size,
+    *,
+    k: int,
+    wr: int = 4,
+    per_seg: int = 3,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """Query-centered moments of each point's k nearest neighbors (self
+    included), via the sorted-window sweep.
+
+    Returns (m1 f32[N, 3], m2 f32[N, 6] (xx, yy, zz, xy, xz, yz),
+    count f32[N], point_ok bool[N]): sums of (c - q) and its outer product
+    over the k nearest neighbors. ``point_ok`` certifies the neighbor set
+    is provably the true k nearest AND tie-free at the kth distance
+    (count_le == count); flagged rows' moments cover the candidates found
+    (callers decide whether that tolerance is acceptable — the aerial
+    pipeline validates output parity against the exact engine).
+    """
+    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    n = xyz.shape[0]
+
+    if use_kernel:
+        from .pallas_kernels import sweep_moments
+
+        out = sweep_moments(
+            s["planar"], s["starts_skip"], k=k, wr=wr, per_seg=per_seg,
+            interpret=interpret,
+        )
+    else:
+        out = _sweep_moments_xla(
+            s["planar"], s["starts_skip"], k=k, wr=wr, per_seg=per_seg
+        )
+
+    ok_sorted = jnp.logical_and(
+        out[12] > 0.5, jnp.repeat(s["block_ok"], 128)
+    )
+    ok_sorted = jnp.logical_and(ok_sorted, out[9] == out[10])  # tie-free
+
+    def unsort(arr):
+        return jnp.take(arr[:n], s["inv"])
+
+    m1 = jnp.stack([unsort(out[0]), unsort(out[1]), unsort(out[2])], axis=1)
+    m2 = jnp.stack(
+        [unsort(out[i]) for i in range(3, 9)], axis=1
+    )
+    count = unsort(out[10])
+    kth = unsort(out[11])
+    point_ok = unsort(ok_sorted)
+
+    # kth-within-cell certificate (same margin as the SOR sweep).
+    hi_cells = jnp.max(
+        jnp.maximum(jnp.abs(s["mn"]), jnp.abs(s["mn"] + s["extent"])).astype(
+            jnp.float32
+        )
+    )
+    margin = (hi_cells * 4.0 * 1.2e-7 + 1e-6) * cell_size
+    safe = jnp.maximum(cell_size - margin, 0.0)
+    point_ok = jnp.logical_and(point_ok, kth <= safe * safe)
+    point_ok = jnp.logical_and(point_ok, s["use"])
+    point_ok = jnp.logical_and(
+        point_ok, jnp.logical_not(s["table_overflow"])
+    )
+    return m1, m2, count, point_ok
+
+
+def _sweep_moments_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
+    """XLA mirror of `pallas_kernels.sweep_moments`."""
+    nb = starts_skip.shape[0]
+    nshift = starts_skip.shape[1] // 2
+
+    def block_fn(args):
+        ss, qrow = args
+        st, sk = ss[:nshift], ss[nshift:]
+        qx, qy, qz = qrow[0], qrow[1], qrow[2]
+        qm = qrow[3] > 0.5
+
+        def win_fn(sv):
+            return jax.lax.dynamic_slice(
+                planar, (sv, jnp.int32(0), jnp.int32(0)), (wr, 4, 128)
+            )
+
+        wins = jax.vmap(win_fn)(st)  # [9, wr, 4, 128]
+        rkeep = jnp.arange(wr, dtype=jnp.int32)[None, :] >= sk[:, None]
+        cx = wins[:, :, 0, :].reshape(-1)
+        cy = wins[:, :, 1, :].reshape(-1)
+        cz = wins[:, :, 2, :].reshape(-1)
+        cw = jnp.logical_and(
+            wins[:, :, 3, :] > 0.5, rkeep[:, :, None]
+        ).reshape(-1)
+        rx = cx[None, :] - qx[:, None]
+        ry = cy[None, :] - qy[:, None]
+        rz = cz[None, :] - qz[:, None]
+        d2 = rx * rx + ry * ry + rz * rz
+        v = jnp.logical_and(qm[:, None], cw[None, :])
+        total, count, kth, ok = _segmented_smallest_k(d2, v, k, per_seg=per_seg)
+        # Same ~8-ulp inflated threshold as the kernel (see
+        # _sweep_moments_kernel): guards against FMA rounding differences
+        # between the selection's d2 and this recomputation.
+        thr = kth * jnp.float32(1.000001) + jnp.float32(1e-12)
+        le = jnp.logical_and(v, d2 <= thr[:, None]).astype(jnp.float32)
+        cle = jnp.sum(le, axis=1)
+        m1x = jnp.sum(le * rx, axis=1)
+        m1y = jnp.sum(le * ry, axis=1)
+        m1z = jnp.sum(le * rz, axis=1)
+        mxx = jnp.sum(le * rx * rx, axis=1)
+        myy = jnp.sum(le * ry * ry, axis=1)
+        mzz = jnp.sum(le * rz * rz, axis=1)
+        mxy = jnp.sum(le * rx * ry, axis=1)
+        mxz = jnp.sum(le * rx * rz, axis=1)
+        myz = jnp.sum(le * ry * rz, axis=1)
+        z = jnp.zeros_like(cle)
+        return jnp.stack(
+            [m1x, m1y, m1z, mxx, myy, mzz, mxy, mxz, myz, cle,
+             count.astype(jnp.float32), kth, ok.astype(jnp.float32), z, z, z]
+        )
+
+    out = jax.lax.map(block_fn, (starts_skip, planar[:nb]))  # [NB, 16, 128]
+    return jnp.transpose(out, (1, 0, 2)).reshape(16, -1)
