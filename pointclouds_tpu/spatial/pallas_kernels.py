@@ -590,47 +590,22 @@ def rescue_select(cand_planar, q_planar, active, *, k: int, per_seg: int = 3,
 #
 # Euclidean clustering as iterated min-label propagation DIRECTLY on the
 # cell-sorted points (spatial/sweep.sweep_cluster_labels): per 128-query
-# block, DMA the 9 contiguous windows (like the SOR sweep) and take, for
-# each query, the minimum label among candidates within the cluster radius.
-# The host loop alternates kernel hops with pointer jumping until no label
-# changes — 3-5 iterations on automotive scenes. Replaces the collapsed
-# cell-graph (adjacency matrix + per-cell gathers): no cell grid, no
-# [C, 125] adjacency, no per-iteration 1M-element gathers.
+# block, read the 9 contiguous windows from the VMEM-RESIDENT planar
+# array (cluster-scale clouds fit whole: 8 MB at 262K points — window
+# DMAs would re-stream ~1 GB per hop) and take, for each query, the
+# minimum label among candidates within the cluster radius. The host loop
+# alternates kernel hops with root hooking + pointer jumping until no
+# label changes — 3-5 iterations. Replaces the collapsed cell-graph
+# (adjacency matrix + per-cell gathers): no cell grid, no [C, 125]
+# adjacency, no per-iteration 1M-element gathers.
 
 
 def _cluster_propagate_kernel(wr: int, nshift: int):
-    from jax.experimental.pallas import tpu as pltpu
-
-    nwin = nshift * wr
-
-    def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
+    def kernel(starts_ref, q_ref, pts_ref, out_ref):
         # q/pts rows: channels [x, y, z, w, label, r2, 0, 0].
-        # starts_ref i32[2*nshift, NB] (transposed; skip rows unused).
+        # starts_ref i32[2*nshift, NB] (transposed; skip rows unused:
+        # duplicated candidates are harmless to min).
         b = pl.program_id(0)
-        nb = pl.num_programs(0)
-
-        def dma(blk, j, slot):
-            st = starts_ref[j, blk]
-            return pltpu.make_async_copy(
-                pts_ref.at[pl.ds(st, wr), :, :],
-                win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
-                sems.at[slot, jnp.int32(j)],
-            )
-
-        @pl.when(b == jnp.int32(0))
-        def _():
-            for j in range(nshift):
-                dma(jnp.int32(0), j, jnp.int32(0)).start()
-
-        @pl.when(b + jnp.int32(1) < nb)
-        def _():
-            nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
-            for j in range(nshift):
-                dma(b + jnp.int32(1), j, nxt).start()
-
-        slot = jax.lax.rem(b, jnp.int32(2))
-        for j in range(nshift):
-            dma(b, j, slot).wait()
 
         qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
         qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
@@ -641,12 +616,10 @@ def _cluster_propagate_kernel(wr: int, nshift: int):
 
         biglab = jnp.float32(float(1 << 25))
         best = jnp.where(qm > 0.5, qlab, biglab)  # [128, 1]
-        base = slot * jnp.int32(nwin)
-        # Duplicated candidates are harmless here (min is idempotent), so
-        # the dedup skip counts in starts_ref are not consulted.
         for j in range(nshift):
+            st = starts_ref[j, b]
             for r in range(wr):
-                row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
+                row = pts_ref[pl.ds(st + jnp.int32(r), 1), :, :]
                 cx = row[0, 0:1, :]
                 cy = row[0, 1:2, :]
                 cz = row[0, 2:3, :]
@@ -681,8 +654,8 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
 
     pts_planar f32[NR, 8, 128]: channels [x, y, z, w, label, r2, 0, 0]
     (w = validity, label = current component label as exact-int f32, r2 =
-    squared cluster radius broadcast). starts i32[NB, 2S] as in
-    `sweep_select` (skip columns unused: duplicates are harmless to min).
+    squared cluster radius broadcast); held fully VMEM-resident. starts
+    i32[NB, 2S] as in `sweep_select` (skip columns unused).
 
     Returns (labels f32[NB*128] new per-query labels, changed f32[NB*128]
     1.0 where a label decreased).
@@ -704,13 +677,9 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda b, starts_ref: (b, z, z)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((nr, 8, 128), lambda b, starts_ref: (z, z, z)),
         ],
         out_specs=pl.BlockSpec((2, 128), lambda b, starts_ref: (z, b)),
-        scratch_shapes=[
-            pltpu.VMEM((2 * nshift * wr, 8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, nshift)),
-        ],
     )
     out = pl.pallas_call(
         kern,
