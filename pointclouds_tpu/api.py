@@ -318,16 +318,16 @@ def statistical_outlier_removal(
         return cloud.select([0])
 
     xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
-    dists, _, nvalid = _engine.knn(xyz, valid, xyz, valid, k + 1)
-    keep = _jit_sor_keep(xyz, valid, dists, nvalid, jnp.float32(std_mul))
+    # Sweep engine + exact brute rescue for the flagged residual
+    # (engine.sor_means); small clouds take the always-exact brute path.
+    means = _engine.sor_means(xyz, valid, k)
+    keep = _jit_sor_keep(means, valid, jnp.float32(std_mul))
     return PointCloud._from_masked(mask_cloud(cloud._arrs, keep))
 
 
 @jax.jit
-def _jit_sor_keep(xyz, valid, dists, nvalid, std_mul):
-    q_finite = jnp.all(jnp.isfinite(xyz), axis=-1)
-    mean = _filters.sor_mean_dists_from_knn(dists, nvalid, q_finite)
-    return _filters.sor_keep_mask(mean, valid, std_mul)
+def _jit_sor_keep(means, valid, std_mul):
+    return _filters.sor_keep_mask(means, valid, std_mul)
 
 
 def radius_outlier_removal(
@@ -340,7 +340,7 @@ def radius_outlier_removal(
     if cloud.is_empty():
         return PointCloud()
     xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
-    counts = _engine.radius_count(xyz, valid, xyz, valid, radius)
+    counts = _engine.radius_count_sweep(xyz, valid, radius)
     keep = jnp.logical_and(valid, counts >= min_neighbors)
     return PointCloud._from_masked(mask_cloud(cloud._arrs, keep))
 
@@ -365,10 +365,7 @@ def estimate_normals_with_viewpoint(
         return PointCloud._from(dataclasses.replace(cloud._arrs, normals=None),
                                 cloud.len())
     xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
-    _, idx, nvalid = _engine.knn(xyz, valid, xyz, valid, k)
-    normals = _normals.normals_from_knn(
-        xyz, idx, nvalid, jnp.asarray(viewpoint, jnp.float32)
-    )
+    normals = _engine.normals(xyz, valid, k, viewpoint)
     return PointCloud._from(
         dataclasses.replace(cloud._arrs, normals=normals), cloud.len()
     )

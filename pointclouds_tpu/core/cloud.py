@@ -157,4 +157,7 @@ def aabb(xyz: jax.Array, valid: jax.Array):
 
 def apply_rigid(xyz: jax.Array, rotation: jax.Array, translation: jax.Array) -> jax.Array:
     """R @ p + t for every point (ref: crates/registration/src/icp.rs:39-47)."""
-    return xyz @ rotation.T + translation[None, :]
+    return (
+        jax.lax.dot(xyz, rotation.T, precision=jax.lax.Precision.HIGHEST)
+        + translation[None, :]
+    )

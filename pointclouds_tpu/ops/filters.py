@@ -52,14 +52,40 @@ def voxel_downsample_masked(xyz, valid, voxel_size):
     first = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
     )
-    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # [N], 0-based, ascending
 
-    sums = jax.ops.segment_sum(
-        jnp.where(suse[:, None], sxyz, 0.0), seg_id, num_segments=n
-    )
-    counts = jax.ops.segment_sum(
-        suse.astype(jnp.float32), seg_id, num_segments=n
-    )
+    # Per-segment sums via a SEGMENTED prefix scan + one gather at segment
+    # ends. The obvious jax.ops.segment_sum is a million-element
+    # scatter-add (~90 ms at 1M points on TPU). A plain cumsum+diff loses
+    # precision (the f32 prefix reaches ~1e7 where one ulp is meters, and
+    # f64 scans are emulated and slow); the segmented scan RESETS at every
+    # voxel boundary, so prefixes stay at per-voxel magnitude and the
+    # result is the same f32 accumulation the reference performs.
+    is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+    vals = jnp.concatenate(
+        [
+            jnp.where(suse[:, None], sxyz, 0.0),
+            suse.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # [N, 4]: xyz + count
+
+    def seg_op(a, b):
+        af, av = a
+        bf, bv = b
+        return jnp.logical_or(af, bf), bv + jnp.where(bf[:, None], 0.0, av)
+
+    _, seg_cs = jax.lax.associative_scan(seg_op, (first, vals), axis=0)
+
+    # j-th True in is_end = end row of segment j (compaction is stable).
+    from ..core.cloud import compaction_order
+
+    ends = compaction_order(is_end).astype(jnp.int32)  # [N]; tail garbage
+    seg_totals = jnp.take(seg_cs, ends, axis=0)
+    sums = seg_totals[:, :3]
+    counts = seg_totals[:, 3]
+    nseg = jnp.sum(first.astype(jnp.int32))
+    in_range = jnp.arange(n, dtype=jnp.int32) < nseg
+    counts = jnp.where(in_range, counts, 0.0)
 
     centroids = sums / jnp.maximum(counts, 1.0)[:, None]
     out_valid = counts > 0.0

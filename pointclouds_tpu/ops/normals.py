@@ -127,21 +127,28 @@ def cardano_smallest_eigvec(cov):
 
 
 @jax.jit
-def normals_from_knn(xyz, nbr_idx, nbr_valid, viewpoint):
+def normals_from_knn(xyz, nbr_idx, nbr_valid, viewpoint, query_xyz=None):
     """Per-point PCA normals from precomputed KNN neighbor lists.
 
     Mirrors the reference per-point pipeline: neighbor centroid ->
     3x3 covariance -> smallest eigenvector -> unit normalize -> flip toward
     viewpoint (ref: crates/normals/src/estimate.rs:42-107). Points with zero
     neighbors get (0, 0, 1) without orientation (ref :49-51).
+
+    ``query_xyz`` (defaults to ``xyz``) holds the query positions when the
+    neighbor lists belong to a SUBSET of the cloud (engine rescue path).
     """
+    if query_xyz is None:
+        query_xyz = xyz
     pts = jnp.take(xyz, nbr_idx, axis=0)  # [N, k, 3]
     use = nbr_valid[:, :, None]
     cnt = jnp.sum(nbr_valid.astype(jnp.float32), axis=1)
     denom = jnp.maximum(cnt, 1.0)
     centroid = jnp.sum(jnp.where(use, pts, 0.0), axis=1) / denom[:, None]
     d = jnp.where(use, pts - centroid[:, None, :], 0.0)
-    cov = jnp.einsum("nki,nkj->nij", d, d)
+    cov = jnp.einsum(
+        "nki,nkj->nij", d, d, precision=jax.lax.Precision.HIGHEST
+    )
 
     vec = cardano_smallest_eigvec(cov)
     length = jnp.linalg.norm(vec, axis=1)
@@ -149,7 +156,7 @@ def normals_from_knn(xyz, nbr_idx, nbr_valid, viewpoint):
         (length > 1e-10)[:, None], vec / jnp.maximum(length, 1e-30)[:, None], vec
     )
 
-    to_vp = viewpoint[None, :] - xyz
+    to_vp = viewpoint[None, :] - query_xyz
     dot = jnp.sum(unit * to_vp, axis=1)
     oriented = jnp.where((dot < 0.0)[:, None], -unit, unit)
 

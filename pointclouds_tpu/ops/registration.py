@@ -65,7 +65,7 @@ def _nn_1(qxyz, q_use, pxyz, p_use):
         d2 = (
             jnp.sum(qcc * qcc, axis=-1)[:, None]
             + p2[None, :]
-            - 2.0 * (qcc @ pc.T)
+            - 2.0 * jax.lax.dot(qcc, pc.T, precision=jax.lax.Precision.HIGHEST)
         )
         d2 = d2 + pmask[None, :]
         # Tie-break toward the last index: exact distance ties occur in
@@ -185,7 +185,8 @@ def _svd_rigid_solve(src, tgt_pts, w):
     tgt_c = jnp.sum(ws * tgt_pts, axis=0) / wsum
     sc = src - src_c
     tc = tgt_pts - tgt_c
-    h = (ws * sc).T @ tc  # H = sum w (s - s_c)(t - t_c)^T
+    # (HIGHEST: bf16 MXU default would corrupt the correlation sums)
+    h = jax.lax.dot((ws * sc).T, tc, precision=jax.lax.Precision.HIGHEST)
 
     q = _quat_from_cross_covariance(h)
     rot = _quat_to_rot(q)
@@ -205,8 +206,8 @@ def _plane_solve(src, tgt_pts, tgt_nrm, w):
     # keeps |delta rmse| above the convergence tolerance forever. The big
     # N-point accumulation stays f32 (XLA's tree reduction keeps it
     # accurate); only the tiny 6x6 solve is promoted.
-    ata = ((ws * a).T @ a).astype(jnp.float64)
-    atb = ((ws * a).T @ b).astype(jnp.float64)
+    ata = jax.lax.dot((ws * a).T, a, precision=jax.lax.Precision.HIGHEST).astype(jnp.float64)
+    atb = jax.lax.dot((ws * a).T, b, precision=jax.lax.Precision.HIGHEST).astype(jnp.float64)
 
     diag_max = jnp.max(jnp.abs(jnp.diagonal(ata)))
     lam = 1e-6 * jnp.maximum(diag_max, 1e-12)

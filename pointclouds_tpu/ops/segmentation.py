@@ -84,7 +84,12 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int):
 
     def score_chunk(args):
         nc, dc = args  # [C, 3], [C]
-        dist = jnp.abs(xyz @ nc.T + dc[None, :])  # [N, C]
+        # (HIGHEST: bf16 MXU default costs ~1e-2 m at 10-m coordinates —
+        # larger than typical RANSAC thresholds)
+        dist = jnp.abs(
+            jax.lax.dot(xyz, nc.T, precision=jax.lax.Precision.HIGHEST)
+            + dc[None, :]
+        )  # [N, C]
         ok = jnp.logical_and(use_pt[:, None], dist <= threshold)
         return jnp.sum(ok.astype(jnp.int32), axis=0)
 
@@ -111,7 +116,11 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int):
     # Final inliers recomputed over the full cloud (ref :124-128). The
     # reference indexes raw point data (finite check is implicit: NaN
     # distances fail <=).
-    dist = jnp.abs(xyz @ best_normal + best_d)
+    dist = jnp.abs(
+        jax.lax.dot(xyz, best_normal[:, None],
+                    precision=jax.lax.Precision.HIGHEST)[:, 0]
+        + best_d
+    )
     inlier_mask = jnp.logical_and(valid, dist <= threshold)
     inlier_mask = jnp.logical_and(inlier_mask, enough)
     return best_normal, best_d, inlier_mask

@@ -17,6 +17,9 @@ batched on the TPU.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,18 +51,25 @@ MAX_TRIES = 4
 CELLGRID_MAX_N = 1 << 24
 
 
+@jax.jit
+def _extent_device(xyz, valid):
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    use = jnp.logical_and(valid, finite)
+    big = jnp.float32(jnp.inf)
+    mn = jnp.min(jnp.where(use[:, None], xyz, big), axis=0)
+    mx = jnp.max(jnp.where(use[:, None], xyz, -big), axis=0)
+    mabs = jnp.max(jnp.where(use[:, None], jnp.abs(xyz), 0.0))
+    cnt = jnp.sum(use.astype(jnp.int32))
+    return jnp.concatenate([mn, mx, mabs[None], cnt.astype(jnp.float32)[None]])
+
+
 def _extent(xyz, valid):
-    x = np.asarray(xyz)
-    v = np.asarray(valid) & np.all(np.isfinite(x), axis=-1)
-    if not v.any():
+    # One 8-scalar transfer — np.asarray(xyz) here used to ship the WHOLE
+    # cloud to host on every engine call (~100 ms per op on the tunnel).
+    stats = np.asarray(_extent_device(xyz, valid))
+    if stats[7] < 1:
         return None
-    pts = x[v]
-    return (
-        pts.min(axis=0),
-        pts.max(axis=0),
-        float(np.abs(pts).max()),
-        int(v.sum()),
-    )
+    return stats[0:3], stats[3:6], float(stats[6]), int(stats[7])
 
 
 def estimate_cell_size(xyz, valid, k: int) -> float:
@@ -110,6 +120,14 @@ def knn(pxyz, pvalid, qxyz, qvalid, k: int):
         return bruteforce_knn(pxyz, pvalid, qxyz, qvalid, k)
     if n >= CELLGRID_MAX_N:
         return _knn_int64(pxyz, pvalid, qxyz, qvalid, k)
+
+    if qxyz is pxyz and qvalid is pvalid and k <= 24:
+        # Same-cloud all-points KNN: one fused sweep pass + brute rescue of
+        # the flagged residual (sparse queries) — no grid builds, no
+        # per-retry host syncs.
+        out = _knn_sweep_same_cloud(pxyz, pvalid, k)
+        if out is not None:
+            return out
 
     cell = estimate_cell_size(pxyz, pvalid, k)
     cap = _cell_cap(n)
@@ -325,3 +343,240 @@ def radius_neighbors(xyz, valid, radius: float):
         if not bool(overflow):
             return idx, within
     return None
+
+
+# ── Sweep-backed whole-cloud ops (exact-or-brute-rescued) ────────────────────
+#
+# The sorted-window sweep resolves the overwhelming majority of queries in
+# one fused device pass; the residual flagged rows (sparse-region points,
+# window overflows) are re-resolved EXACTLY by the tiled brute-force path
+# on a compacted subset. One boolean-mask transfer per call.
+
+_RESCUE_BUCKETS = (1024, 4096, 16384, 65536, 262144)
+
+
+def _rescue_cap(count: int, n: int) -> int:
+    for b in _RESCUE_BUCKETS:
+        if count <= b:
+            return min(b, n)
+    return n
+
+
+def sor_means(xyz, valid, k: int):
+    """Exact mean distance to the k nearest non-self neighbors per point
+    (+inf for isolated/invalid), KD-tree parity
+    (ref: crates/filters/src/statistical_outlier.rs:19-39)."""
+    from .sweep import sweep_sor_two_pass
+
+    n = xyz.shape[0]
+    if n <= BRUTE_THRESHOLD:
+        return _brute_sor_means(xyz, valid, k)
+    cell = estimate_cell_size(xyz, valid, k + 1)
+    mean, point_ok, certified = sweep_sor_two_pass(
+        xyz, valid, np.float32(cell), k=k,
+        use_kernel=(jax.default_backend() == "tpu"),
+    )
+    if bool(certified):
+        return mean
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    residual = np.asarray(jnp.logical_and(valid & finite, ~point_ok))
+    rows = np.nonzero(residual)[0]
+    cap = _rescue_cap(len(rows), n)
+    if len(rows) > cap:  # enormous residual: full brute instead
+        return _brute_sor_means(xyz, valid, k)
+    # Padding slots point at the out-of-bounds drop index: a zero-padded
+    # index array would scatter STALE values back over row 0.
+    sub = np.full((cap,), n, np.int32)
+    sub[: len(rows)] = rows
+    sub_valid = np.zeros((cap,), bool)
+    sub_valid[: len(rows)] = True
+    sub_means = _brute_sor_means_subset(
+        xyz, valid, jnp.asarray(np.minimum(sub, n - 1)),
+        jnp.asarray(sub_valid), k
+    )
+    return jnp.asarray(mean).at[jnp.asarray(sub)].set(
+        sub_means, mode="drop"
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _brute_sor_means(xyz, valid, k: int):
+    from ..ops.filters import sor_mean_dists_from_knn
+
+    dists, _, nvalid = bruteforce_knn(xyz, valid, xyz, valid, k + 1)
+    q_finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    return sor_mean_dists_from_knn(dists, nvalid, q_finite)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _brute_sor_means_subset(xyz, valid, sub_rows, sub_valid, k: int):
+    from ..ops.filters import sor_mean_dists_from_knn
+
+    qxyz = jnp.take(xyz, sub_rows, axis=0)
+    dists, _, nvalid = bruteforce_knn(xyz, valid, qxyz, sub_valid, k + 1)
+    q_finite = jnp.all(jnp.isfinite(qxyz), axis=-1)
+    return sor_mean_dists_from_knn(dists, nvalid, q_finite)
+
+
+def radius_count_sweep(pxyz, pvalid, radius: float):
+    """Exact within-radius counts (self included) for every point of one
+    cloud against itself — the radius-outlier-removal query
+    (ref: crates/filters/src/radius_outlier.rs). Sweep + brute rescue."""
+    from .sweep import sweep_radius_count
+
+    n = pxyz.shape[0]
+    if radius <= 0 or not np.isfinite(radius) or n <= BRUTE_THRESHOLD:
+        return bruteforce_radius_count(pxyz, pvalid, pxyz, pvalid, radius)
+    counts, point_ok = sweep_radius_count(
+        pxyz, pvalid, np.float32(radius),
+        use_kernel=(jax.default_backend() == "tpu"),
+    )
+    finite = jnp.all(jnp.isfinite(pxyz), axis=-1)
+    residual = np.asarray(jnp.logical_and(pvalid & finite, ~point_ok))
+    if not residual.any():
+        return counts
+    rows = np.nonzero(residual)[0]
+    cap = _rescue_cap(len(rows), n)
+    if len(rows) > cap:
+        return bruteforce_radius_count(pxyz, pvalid, pxyz, pvalid, radius)
+    sub = np.full((cap,), n, np.int32)  # padding -> drop index (see sor_means)
+    sub[: len(rows)] = rows
+    sub_valid = np.zeros((cap,), bool)
+    sub_valid[: len(rows)] = True
+    sub_counts = bruteforce_radius_count(
+        pxyz,
+        pvalid,
+        jnp.take(pxyz, jnp.asarray(np.minimum(sub, n - 1)), axis=0),
+        jnp.asarray(sub_valid),
+        radius,
+    ).astype(jnp.int32)
+    return jnp.asarray(counts).at[jnp.asarray(sub)].set(
+        sub_counts, mode="drop"
+    )
+
+
+def normals(xyz, valid, k: int, viewpoint):
+    """Exact PCA normals (k nearest incl. self, smallest eigenvector,
+    viewpoint-oriented; ref: crates/normals/src/estimate.rs:42-107).
+    Sweep KNN-moments + per-row exact rescue through the KNN engine."""
+    from ..ops.normals import cardano_smallest_eigvec, normals_from_knn
+    from .sweep import sweep_knn_moments
+
+    n = xyz.shape[0]
+    vp = jnp.asarray(viewpoint, jnp.float32)
+    if n <= BRUTE_THRESHOLD or k >= n:
+        dists, idx, nvalid = knn(xyz, valid, xyz, valid, min(k, max(n, 1)))
+        return normals_from_knn(xyz, idx, nvalid, vp)
+    cell = estimate_cell_size(xyz, valid, k)
+    m1, m2, cnt, point_ok = sweep_knn_moments(
+        xyz, valid, np.float32(cell), k=k,
+        use_kernel=(jax.default_backend() == "tpu"),
+    )
+    nrm = _normals_from_moments(xyz, m1, m2, cnt, vp)
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    residual = np.asarray(jnp.logical_and(valid & finite, ~point_ok))
+    if not residual.any():
+        return nrm
+    rows = np.nonzero(residual)[0]
+    cap = _rescue_cap(len(rows), n)
+    if len(rows) > cap:
+        dists, idx, nvalid = knn(xyz, valid, xyz, valid, k)
+        return normals_from_knn(xyz, idx, nvalid, vp)
+    sub = np.full((cap,), n, np.int32)  # padding -> drop index (see sor_means)
+    sub[: len(rows)] = rows
+    sub_valid = np.zeros((cap,), bool)
+    sub_valid[: len(rows)] = True
+    # Single-dispatch exact rescue: tiled brute force (the grid-ladder
+    # engine.knn would cost 10+ host round-trips on the subset).
+    sub_n = _normals_rescue(
+        xyz, valid, jnp.asarray(np.minimum(sub, n - 1)),
+        jnp.asarray(sub_valid), vp, k
+    )
+    return jnp.asarray(nrm).at[jnp.asarray(sub)].set(sub_n, mode="drop")
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _normals_rescue(xyz, valid, sub_rows, sub_valid, vp, k: int):
+    from ..ops.normals import normals_from_knn
+
+    sub_xyz = jnp.take(xyz, sub_rows, axis=0)
+    dists, idx, nvalid = bruteforce_knn(xyz, valid, sub_xyz, sub_valid, k)
+    return normals_from_knn(xyz, idx, nvalid, vp, query_xyz=sub_xyz)
+
+
+@jax.jit
+def _normals_from_moments(xyz, m1, m2, cnt, viewpoint):
+    from ..ops.normals import cardano_smallest_eigvec
+
+    denom = jnp.maximum(cnt, 1.0)
+    mean = m1 / denom[:, None]
+    cov = jnp.stack(
+        [
+            m2[:, 0] - cnt * mean[:, 0] * mean[:, 0],
+            m2[:, 3] - cnt * mean[:, 0] * mean[:, 1],
+            m2[:, 4] - cnt * mean[:, 0] * mean[:, 2],
+            m2[:, 3] - cnt * mean[:, 0] * mean[:, 1],
+            m2[:, 1] - cnt * mean[:, 1] * mean[:, 1],
+            m2[:, 5] - cnt * mean[:, 1] * mean[:, 2],
+            m2[:, 4] - cnt * mean[:, 0] * mean[:, 2],
+            m2[:, 5] - cnt * mean[:, 1] * mean[:, 2],
+            m2[:, 2] - cnt * mean[:, 2] * mean[:, 2],
+        ],
+        axis=1,
+    ).reshape(-1, 3, 3)
+    vec = cardano_smallest_eigvec(cov)
+    length = jnp.linalg.norm(vec, axis=1)
+    unit = jnp.where(
+        (length > 1e-10)[:, None],
+        vec / jnp.maximum(length, 1e-30)[:, None],
+        vec,
+    )
+    to_vp = viewpoint[None, :] - xyz
+    dot = jnp.sum(unit * to_vp, axis=1)
+    oriented = jnp.where((dot < 0.0)[:, None], -unit, unit)
+    return jnp.where(
+        (cnt < 1.0)[:, None],
+        jnp.array([0.0, 0.0, 1.0], jnp.float32)[None, :],
+        oriented,
+    )
+
+
+def _knn_sweep_same_cloud(pxyz, pvalid, k: int):
+    """All-points KNN via the sorted-window sweep + exact brute rescue.
+    Returns None when the residual is too large to rescue (caller falls
+    back to the grid/brute ladder)."""
+    from .sweep import sweep_knn
+
+    n = pxyz.shape[0]
+    cell = estimate_cell_size(pxyz, pvalid, k)
+    dists, idx, nvalid, point_ok = sweep_knn(
+        pxyz, pvalid, np.float32(cell), k=k,
+        use_kernel=(jax.default_backend() == "tpu"),
+    )
+    finite = jnp.all(jnp.isfinite(pxyz), axis=-1)
+    residual = np.asarray(jnp.logical_and(pvalid & finite, ~point_ok))
+    if not residual.any():
+        return dists, idx, nvalid
+    rows = np.nonzero(residual)[0]
+    cap = _rescue_cap(len(rows), n)
+    if len(rows) > cap // 2 and len(rows) > 16384:
+        return None  # sweep was a bad fit for this cloud
+    sub = np.full((cap,), n, np.int32)
+    sub[: len(rows)] = rows
+    sub_valid = np.zeros((cap,), bool)
+    sub_valid[: len(rows)] = True
+    return _knn_rescue_merge(
+        pxyz, pvalid, dists, idx, nvalid,
+        jnp.asarray(sub), jnp.asarray(sub_valid), k
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_rescue_merge(pxyz, pvalid, dists, idx, nvalid, sub, sub_valid, k: int):
+    n = pxyz.shape[0]
+    sq = jnp.take(pxyz, jnp.minimum(sub, n - 1), axis=0)
+    d2_, i2_, v2_ = bruteforce_knn(pxyz, pvalid, sq, sub_valid, k)
+    dists = dists.at[sub].set(d2_, mode="drop")
+    idx = idx.at[sub].set(i2_.astype(idx.dtype), mode="drop")
+    nvalid = nvalid.at[sub].set(v2_, mode="drop")
+    return dists, idx, nvalid

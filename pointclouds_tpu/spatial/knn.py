@@ -78,7 +78,11 @@ def bruteforce_knn(pxyz, pvalid, qxyz, qvalid, k: int):
         qc, uc = args
         qcc = jnp.where(uc[:, None], qc - center, 0.0)
         # |q-p|^2 = |q|^2 + |p|^2 - 2 q.p ; the q.p term is an MXU matmul.
-        qp = qcc @ pc_xyz.T
+        # HIGHEST precision: the TPU MXU computes f32 matmuls in bf16 by
+        # default — a ~0.4% relative error on |q.p| (~0.3 absolute at
+        # 10-m coordinates) that silently drops true neighbors from the
+        # preselection, which the exact recompute can then never recover.
+        qp = jax.lax.dot(qcc, pc_xyz.T, precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.sum(qcc * qcc, axis=-1)[:, None] + p2[None, :] - 2.0 * qp
         d2 = jnp.where(jnp.logical_and(uc[:, None], puse[None, :]), d2, jnp.inf)
         neg, pre_idx = jax.lax.top_k(-d2, k_sel)

@@ -869,3 +869,314 @@ def sweep_moments(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 3,
         out_shape=jax.ShapeDtypeStruct((16, nb * 128), jnp.float32),
         interpret=interpret,
     )(starts, pts_planar, pts_planar)
+
+
+# ── Radius-count kernel ──────────────────────────────────────────────────────
+#
+# Radius outlier removal / radius_count: per point, the number of cloud
+# points within the radius (self included). One masked-count pass over the
+# sorted windows — no selection at all. The squared radius rides the w
+# channel (w = r2 for valid points, 0 for masked), so validity and the
+# threshold share one comparison chain. Exact BY CONSTRUCTION when the
+# sort cell >= radius + fp margin and the window certificate holds.
+
+
+def _count_within_kernel(wr: int, nshift: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    nwin = nshift * wr
+
+    def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        def dma(blk, j, slot):
+            st = starts_ref[j, blk]
+            return pltpu.make_async_copy(
+                pts_ref.at[pl.ds(st, wr), :, :],
+                win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
+                sems.at[slot, jnp.int32(j)],
+            )
+
+        @pl.when(b == jnp.int32(0))
+        def _():
+            for j in range(nshift):
+                dma(jnp.int32(0), j, jnp.int32(0)).start()
+
+        @pl.when(b + jnp.int32(1) < nb)
+        def _():
+            nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
+            for j in range(nshift):
+                dma(b + jnp.int32(1), j, nxt).start()
+
+        slot = jax.lax.rem(b, jnp.int32(2))
+        for j in range(nshift):
+            dma(b, j, slot).wait()
+
+        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))  # r2 or 0
+
+        cnt = jnp.zeros((128, 128), jnp.float32)
+        base = slot * jnp.int32(nwin)
+        for j in range(nshift):
+            sk = starts_ref[nshift + j, b]
+            for r in range(wr):
+                row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
+                cx = row[0, 0:1, :]
+                cy = row[0, 1:2, :]
+                cz = row[0, 2:3, :]
+                cw = row[0, 3:4, :]  # r2 (valid) or 0
+                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                keep = jnp.where(
+                    jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                hit = jnp.where(
+                    jnp.logical_and(
+                        jnp.logical_and(qm > 0.0, cw > 0.0), d2 <= cw
+                    ),
+                    keep,
+                    jnp.float32(0.0),
+                )
+                cnt = cnt + hit
+
+        out_ref[0:1, :] = jnp.transpose(
+            jnp.sum(cnt, axis=1, keepdims=True), (1, 0)
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("wr", "interpret"))
+def count_within(pts_planar, starts, *, wr: int = 4, interpret: bool = False):
+    """Per-query count of candidates within the radius over sorted windows.
+
+    pts_planar f32[NR, 4, 128] with w = r2 (valid) / 0 (masked);
+    starts as in `sweep_select` (dedup skip consulted — duplicated window
+    candidates would double-count). Returns counts f32[NB*128]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = pts_planar.shape
+    nb = starts.shape[0]
+    nshift = starts.shape[1] // 2
+    assert (nch, width) == (4, 128) and nb <= nr and nr >= wr, (
+        pts_planar.shape,
+        starts.shape,
+    )
+    starts = jnp.transpose(starts)
+    kern = _count_within_kernel(wr, nshift)
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b, starts_ref: (b, z, z)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda b, starts_ref: (z, b)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * nshift * wr, 4, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nshift)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, nb * 128), jnp.float32),
+        interpret=interpret,
+    )(starts, pts_planar, pts_planar)
+    return out[0]
+
+
+# ── KNN kernel (indices + distances) ─────────────────────────────────────────
+#
+# Same-cloud k-nearest-neighbors with INDICES: the insertion network runs
+# on (value, index) register pairs — indices ride as exact-int f32 global
+# candidate positions (tile row * 128 + lane), a [1, 128] row vector per
+# tile since a tile's candidates share one planar row. Phase 2 extracts
+# the k smallest (value, index) pairs into the output rows. Tie order is
+# first-encountered (window order) — deterministic, but not the
+# reference's internal KD-tree order; distances are identical.
+
+
+def _insert_smallest_with_idx(regs_v, regs_i, v, i):
+    out_v, out_i = [], []
+    cur_v, cur_i = v, i
+    for rv, ri in zip(regs_v, regs_i):
+        swap = cur_v < rv  # strict: ties keep the earlier-seen register
+        lo_v = jnp.minimum(rv, cur_v)
+        hi_v = jnp.maximum(rv, cur_v)
+        lo_i = jnp.where(swap, cur_i, ri)
+        hi_i = jnp.where(swap, ri, cur_i)
+        out_v.append(lo_v)
+        out_i.append(lo_i)
+        cur_v, cur_i = hi_v, hi_i
+    return out_v, out_i
+
+
+def _sweep_knn_kernel(k: int, wr: int, per_seg: int, nshift: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    nwin = nshift * wr
+
+    def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        def dma(blk, j, slot):
+            st = starts_ref[j, blk]
+            return pltpu.make_async_copy(
+                pts_ref.at[pl.ds(st, wr), :, :],
+                win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
+                sems.at[slot, jnp.int32(j)],
+            )
+
+        @pl.when(b == jnp.int32(0))
+        def _():
+            for j in range(nshift):
+                dma(jnp.int32(0), j, jnp.int32(0)).start()
+
+        @pl.when(b + jnp.int32(1) < nb)
+        def _():
+            nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
+            for j in range(nshift):
+                dma(b + jnp.int32(1), j, nxt).start()
+
+        slot = jax.lax.rem(b, jnp.int32(2))
+        for j in range(nshift):
+            dma(b, j, slot).wait()
+
+        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+
+        big = jnp.float32(jnp.inf)
+        base = slot * jnp.int32(nwin)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+            jnp.float32
+        )  # (f32 iota is not a legal tpu.iota result type)
+
+        regs_v = [jnp.full((128, 128), big) for _ in range(per_seg)]
+        regs_i = [jnp.full((128, 128), jnp.float32(-1.0)) for _ in range(per_seg)]
+        cnt = jnp.zeros((128, 128), jnp.float32)
+        for j in range(nshift):
+            sk = starts_ref[nshift + j, b]
+            for r in range(wr):
+                st = starts_ref[j, b]
+                row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
+                cx = row[0, 0:1, :]
+                cy = row[0, 1:2, :]
+                cz = row[0, 2:3, :]
+                cw = row[0, 3:4, :]
+                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                keep = jnp.where(
+                    jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                pair = qm * cw * keep
+                w = jnp.where(pair > 0.5, d2, big)
+                gidx = (
+                    (st + jnp.int32(r)).astype(jnp.float32) * jnp.float32(128.0)
+                    + lane
+                )  # [1, 128] global sorted position, exact-int f32
+                regs_v, regs_i = _insert_smallest_with_idx(
+                    regs_v, regs_i, w, gidx + 0.0 * d2
+                )
+                cnt = cnt + jnp.where(pair > 0.5, jnp.float32(1.0), 0.0)
+
+        count_all = jnp.sum(jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True)
+        seg_last = regs_v[-1]
+
+        fv = jnp.concatenate(
+            [jnp.transpose(x, (1, 0)) for x in regs_v], axis=0
+        )  # [per_seg*128, 128]
+        fi = jnp.concatenate(
+            [jnp.transpose(x, (1, 0)) for x in regs_i], axis=0
+        )
+        nf = per_seg * 128
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nf, 128), 0)
+
+        # Phase 2 unrolled with STATIC output rows: dynamic-index stores
+        # (out_ref[pl.ds(traced_i)]) trip a Mosaic masked-swap lowering bug.
+        zf = jnp.zeros((1, 128), jnp.float32)
+        fw, fidx, count, kth = fv, fi, zf, zf
+        for i in range(k):
+            mn = jnp.min(fw, axis=0, keepdims=True)
+            ok = jnp.isfinite(mn)
+            am = jnp.min(
+                jnp.where(fw == mn, rows, jnp.int32(nf)), axis=0, keepdims=True
+            )
+            hitm = jnp.where(rows == am, jnp.float32(1.0), jnp.float32(0.0))
+            idx_val = jnp.sum(hitm * fidx, axis=0, keepdims=True)
+            out_ref[i : i + 1, :] = jnp.where(
+                ok, jnp.sqrt(jnp.maximum(mn, 0.0)), big
+            )
+            out_ref[k + i : k + i + 1, :] = jnp.where(
+                ok, idx_val, jnp.float32(-1.0)
+            )
+            count = count + jnp.where(ok, jnp.float32(1.0), 0.0)
+            kth = jnp.where(ok, mn, kth)
+            fw = jnp.where(rows == am, big, fw)
+
+        sl_t = jnp.transpose(seg_last, (1, 0))
+        cert1 = jnp.min(
+            jnp.where(sl_t >= kth, jnp.float32(1.0), jnp.float32(0.0)),
+            axis=0,
+            keepdims=True,
+        )
+        cert2 = jnp.where(
+            count >= jnp.minimum(jnp.float32(k), count_all),
+            jnp.float32(1.0),
+            jnp.float32(0.0),
+        )
+        out_ref[2 * k : 2 * k + 1, :] = count
+        out_ref[2 * k + 1 : 2 * k + 2, :] = kth
+        out_ref[2 * k + 2 : 2 * k + 3, :] = cert1 * cert2
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "wr", "per_seg", "interpret"))
+def sweep_knn_select(pts_planar, starts, *, k: int, wr: int = 4,
+                     per_seg: int = 4, interpret: bool = False):
+    """KNN distances + global sorted positions over sorted windows.
+
+    Returns a [2k+3, NB*128] f32 array: rows [0, k) Euclidean distances
+    ascending (+inf pad), rows [k, 2k) candidate positions in the SORTED
+    frame (-1 pad), rows 2k..2k+2 = count / kth d2 / segment certificate.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = pts_planar.shape
+    nb = starts.shape[0]
+    nshift = starts.shape[1] // 2
+    assert (nch, width) == (4, 128) and nb <= nr and nr >= wr, (
+        pts_planar.shape,
+        starts.shape,
+    )
+    starts = jnp.transpose(starts)
+    kern = _sweep_knn_kernel(k, wr, per_seg, nshift)
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b, starts_ref: (b, z, z)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((2 * k + 3, 128), lambda b, starts_ref: (z, b)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * nshift * wr, 4, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nshift)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2 * k + 3, nb * 128), jnp.float32),
+        # The unrolled phase-2 extraction keeps many live [512, 128]
+        # intermediates; the default 16 MB scoped-vmem cap is too tight.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(starts, pts_planar, pts_planar)

@@ -1029,3 +1029,239 @@ def _sweep_moments_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
 
     out = jax.lax.map(block_fn, (starts_skip, planar[:nb]))  # [NB, 16, 128]
     return jnp.transpose(out, (1, 0, 2)).reshape(16, -1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("wr", "table_size", "interpret", "use_kernel"),
+)
+def sweep_radius_count(
+    xyz,
+    valid,
+    radius,
+    *,
+    wr: int = 4,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """Count of points within ``radius`` (inclusive, self included) of each
+    point, via the sorted-window sweep.
+
+    Returns (counts i32[N], point_ok bool[N]): exact BY CONSTRUCTION for
+    certified rows (the sort cell exceeds radius + fp margin, so the
+    27-cell neighborhood covers the ball; only window overflow or a table
+    overflow can flag a row).
+    """
+    n = xyz.shape[0]
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    use = jnp.logical_and(valid, finite)
+
+    hi_abs = jnp.max(jnp.where(use[:, None], jnp.abs(xyz), 0.0))
+    cell_size = radius * 1.00002 + hi_abs * 6e-7 + 1e-7
+
+    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    r2 = jnp.float32(radius) * jnp.float32(radius)
+    planar = s["planar"].at[:, 3, :].multiply(r2)  # w: 1 -> r2, 0 stays 0
+
+    if use_kernel:
+        from .pallas_kernels import count_within
+
+        counts_f = count_within(
+            planar, s["starts_skip"], wr=wr, interpret=interpret
+        )
+    else:
+        counts_f = _count_within_xla(planar, s["starts_skip"], wr=wr)
+
+    ok_sorted = jnp.repeat(s["block_ok"], 128)
+
+    def unsort(arr):
+        return jnp.take(arr[:n], s["inv"])
+
+    counts = unsort(counts_f).astype(jnp.int32)
+    point_ok = jnp.logical_and(unsort(ok_sorted), s["use"])
+    point_ok = jnp.logical_and(point_ok, jnp.logical_not(s["table_overflow"]))
+    counts = jnp.where(s["use"], counts, 0)
+    return counts, point_ok
+
+
+def _count_within_xla(planar, starts_skip, *, wr: int):
+    """XLA mirror of `pallas_kernels.count_within`."""
+    nb = starts_skip.shape[0]
+    nshift = starts_skip.shape[1] // 2
+
+    def block_fn(args):
+        ss, qrow = args
+        st, sk = ss[:nshift], ss[nshift:]
+        qx, qy, qz = qrow[0], qrow[1], qrow[2]
+        qm = qrow[3]  # r2 or 0
+
+        def win_fn(sv):
+            return jax.lax.dynamic_slice(
+                planar, (sv, jnp.int32(0), jnp.int32(0)), (wr, 4, 128)
+            )
+
+        wins = jax.vmap(win_fn)(st)
+        rkeep = jnp.arange(wr, dtype=jnp.int32)[None, :] >= sk[:, None]
+        cx = wins[:, :, 0, :].reshape(-1)
+        cy = wins[:, :, 1, :].reshape(-1)
+        cz = wins[:, :, 2, :].reshape(-1)
+        cw = jnp.where(rkeep[:, :, None], wins[:, :, 3, :], 0.0).reshape(-1)
+        d2 = (
+            (qx[:, None] - cx[None, :]) ** 2
+            + (qy[:, None] - cy[None, :]) ** 2
+            + (qz[:, None] - cz[None, :]) ** 2
+        )
+        hit = jnp.logical_and(
+            jnp.logical_and(qm[:, None] > 0.0, cw[None, :] > 0.0),
+            d2 <= cw[None, :],
+        )
+        return jnp.sum(hit.astype(jnp.float32), axis=1)
+
+    out = jax.lax.map(block_fn, (starts_skip, planar[:nb]))
+    return out.reshape(-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "wr", "per_seg", "table_size", "interpret", "use_kernel"),
+)
+def sweep_knn(
+    xyz,
+    valid,
+    cell_size,
+    *,
+    k: int,
+    wr: int = 4,
+    per_seg: int = 4,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """All-points KNN (distances + ORIGINAL indices) via the sorted-window
+    sweep (kernel: `pallas_kernels.sweep_knn_select`).
+
+    Returns (dists f32[N, k] Euclidean ascending (+inf pad),
+    idx i32[N, k] (-1 pad), nvalid bool[N, k], point_ok bool[N]).
+    Certified rows are exactly the true k nearest (tie ORDER at equal
+    distances is first-encountered window order, not the reference
+    KD-tree's internal order; distances are identical).
+    """
+    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    n = xyz.shape[0]
+
+    if use_kernel:
+        from .pallas_kernels import sweep_knn_select
+
+        out = sweep_knn_select(
+            s["planar"], s["starts_skip"], k=k, wr=wr, per_seg=per_seg,
+            interpret=interpret,
+        )
+    else:
+        out = _sweep_knn_xla(s["planar"], s["starts_skip"], k=k, wr=wr)
+
+    dists_s = jnp.transpose(out[:k])  # [npad, k]
+    pos_s = jnp.transpose(out[k : 2 * k])
+    count_s = out[2 * k]
+    kth_s = out[2 * k + 1]
+    seg_ok_s = out[2 * k + 2] > 0.5
+    ok_sorted = jnp.logical_and(seg_ok_s, jnp.repeat(s["block_ok"], 128))
+
+    def unsort(arr):
+        return jnp.take(arr[:n], s["inv"], axis=0)
+
+    dists = unsort(dists_s)
+    pos = unsort(pos_s)
+    count = unsort(count_s)
+    kth = unsort(kth_s)
+    point_ok = unsort(ok_sorted)
+
+    # sorted position -> original row id
+    order_pad = jnp.concatenate(
+        [s["order"].astype(jnp.int32), jnp.full((1,), -1, jnp.int32)]
+    )
+    pos_i = jnp.clip(pos.astype(jnp.int32), -1, n - 1)
+    idx = jnp.where(
+        pos_i >= 0, jnp.take(order_pad, jnp.clip(pos_i, 0, n - 1)), -1
+    )
+    nvalid = jnp.isfinite(dists)
+
+    hi_cells = jnp.max(
+        jnp.maximum(jnp.abs(s["mn"]), jnp.abs(s["mn"] + s["extent"])).astype(
+            jnp.float32
+        )
+    )
+    margin = (hi_cells * 4.0 * 1.2e-7 + 1e-6) * cell_size
+    safe = jnp.maximum(cell_size - margin, 0.0)
+    n_valid_total = jnp.sum(s["use"].astype(jnp.int32))
+    want = jnp.minimum(k, n_valid_total)
+    point_ok = jnp.logical_and(point_ok, count >= want.astype(jnp.float32))
+    point_ok = jnp.logical_and(point_ok, kth <= safe * safe)
+    point_ok = jnp.logical_and(point_ok, s["use"])
+    point_ok = jnp.logical_and(point_ok, jnp.logical_not(s["table_overflow"]))
+    return dists, idx, nvalid, point_ok
+
+
+def _sweep_knn_xla(planar, starts_skip, *, k: int, wr: int):
+    """XLA mirror of `pallas_kernels.sweep_knn_select` (top_k based; tie
+    order may differ from the kernel — distances are identical)."""
+    nrows = planar.shape[0]
+    nb = starts_skip.shape[0]
+    nshift = starts_skip.shape[1] // 2
+    big = jnp.float32(jnp.inf)
+
+    def block_fn(args):
+        ss, qrow = args
+        st, sk = ss[:nshift], ss[nshift:]
+        qx, qy, qz = qrow[0], qrow[1], qrow[2]
+        qm = qrow[3] > 0.5
+
+        def win_fn(sv):
+            return jax.lax.dynamic_slice(
+                planar, (sv, jnp.int32(0), jnp.int32(0)), (wr, 4, 128)
+            )
+
+        wins = jax.vmap(win_fn)(st)
+        rkeep = jnp.arange(wr, dtype=jnp.int32)[None, :] >= sk[:, None]
+        cx = wins[:, :, 0, :].reshape(-1)
+        cy = wins[:, :, 1, :].reshape(-1)
+        cz = wins[:, :, 2, :].reshape(-1)
+        cw = jnp.logical_and(
+            wins[:, :, 3, :] > 0.5, rkeep[:, :, None]
+        ).reshape(-1)
+        gpos = (
+            (st[:, None] + jnp.arange(wr, dtype=jnp.int32)[None, :])[
+                :, :, None
+            ]
+            * 128
+            + jnp.arange(128, dtype=jnp.int32)[None, None, :]
+        ).reshape(-1)
+        d2 = (
+            (qx[:, None] - cx[None, :]) ** 2
+            + (qy[:, None] - cy[None, :]) ** 2
+            + (qz[:, None] - cz[None, :]) ** 2
+        )
+        w = jnp.where(
+            jnp.logical_and(qm[:, None], cw[None, :]), d2, big
+        )
+        neg_top, arg = jax.lax.top_k(-w, k)
+        vals = -neg_top  # [128, k] ascending
+        okv = jnp.isfinite(vals)
+        pos = jnp.where(okv, jnp.take(gpos, arg), -1)
+        count = jnp.sum(okv.astype(jnp.float32), axis=1)
+        kth = jnp.where(count >= 1, vals[jnp.arange(128), jnp.clip(count, 1, k).astype(jnp.int32) - 1], 0.0)
+        dists = jnp.where(okv, jnp.sqrt(jnp.maximum(vals, 0.0)), big)
+        seg_ok = jnp.ones((128,), jnp.float32)  # exact top_k: no segment cert
+        return jnp.concatenate(
+            [
+                jnp.transpose(dists),
+                jnp.transpose(pos.astype(jnp.float32)),
+                count[None, :],
+                kth[None, :],
+                seg_ok[None, :],
+            ],
+            axis=0,
+        )
+
+    out = jax.lax.map(block_fn, (starts_skip, planar[:nb]))  # [NB, 2k+3, 128]
+    return jnp.transpose(out, (1, 0, 2)).reshape(2 * k + 3, -1)

@@ -1,0 +1,127 @@
+"""Large-cloud differential tests for the sweep-backed engine ops
+(engine.sor_means / radius_count_sweep / normals): clouds above
+BRUTE_THRESHOLD so the sweep + brute-rescue path actually runs, including
+scattered sparse points that force the rescue."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pointclouds_tpu as pc
+from pointclouds_tpu.core.cloud import make_cloud_arrays
+from pointclouds_tpu.spatial import engine
+
+
+def _make_cloud(n=6000, seed=0, with_sparse=True):
+    rng = np.random.default_rng(seed)
+    parts = [
+        (rng.random((n // 2, 3)) * 8).astype(np.float32),
+        rng.normal([4, 4, 1], 0.2, (n // 4, 3)).astype(np.float32),
+    ]
+    rest = n - n // 2 - n // 4
+    if with_sparse:
+        # isolated far-field points: guaranteed sweep-certificate failures
+        parts.append((rng.random((rest, 3)) * 200 - 100).astype(np.float32))
+    else:
+        parts.append((rng.random((rest, 3)) * 8).astype(np.float32))
+    return np.vstack(parts).astype(np.float32)
+
+
+def test_sor_means_matches_brute():
+    pts = _make_cloud()
+    arrs = make_cloud_arrays(pts)
+    k = 12
+    means = np.asarray(engine.sor_means(arrs.xyz, arrs.valid, k))
+    expect = np.asarray(
+        engine._brute_sor_means(arrs.xyz, arrs.valid, k)
+    )
+    n = len(pts)
+    np.testing.assert_allclose(means[:n], expect[:n], rtol=1e-5, atol=1e-6)
+
+
+def test_radius_count_sweep_matches_brute():
+    pts = _make_cloud(seed=1)
+    arrs = make_cloud_arrays(pts)
+    r = 0.7
+    counts = np.asarray(engine.radius_count_sweep(arrs.xyz, arrs.valid, r))
+    expect = np.asarray(
+        engine.bruteforce_radius_count(
+            arrs.xyz, arrs.valid, arrs.xyz, arrs.valid, r
+        )
+    )
+    n = len(pts)
+    np.testing.assert_array_equal(counts[:n], expect[:n])
+
+
+def test_normals_match_brute_knn():
+    pts = _make_cloud(seed=2, with_sparse=False)
+    arrs = make_cloud_arrays(pts)
+    k = 10
+    vp = (0.0, 0.0, 100.0)
+    nrm = np.asarray(engine.normals(arrs.xyz, arrs.valid, k, vp))
+    from pointclouds_tpu.ops.normals import normals_from_knn
+    from pointclouds_tpu.spatial.knn import bruteforce_knn
+
+    _, idx, nvalid = bruteforce_knn(
+        arrs.xyz, arrs.valid, arrs.xyz, arrs.valid, k
+    )
+    expect = np.asarray(
+        normals_from_knn(arrs.xyz, idx, nvalid, jnp.asarray(vp, jnp.float32))
+    )
+    n = len(pts)
+    dots = np.abs(np.sum(nrm[:n] * expect[:n], axis=1))
+    assert np.percentile(dots, 2) > 0.999
+
+
+def test_api_sor_large_cloud_matches_small_path():
+    # Public API on a >threshold cloud must equal the brute verdict.
+    pts = _make_cloud(seed=3)
+    cloud = pc.PointCloud.from_numpy(pts)
+    out = pc.statistical_outlier_removal(cloud, 10, 2.0)
+    means = np.asarray(
+        engine._brute_sor_means(cloud._arrs.xyz, cloud._arrs.valid, 10)
+    )[: len(pts)]
+    finite = np.isfinite(means)
+    mu = means[finite].mean()
+    sd = np.sqrt(((means[finite] - mu) ** 2).mean())
+    expect_keep = means <= mu + 2.0 * sd
+    assert out.len() == int(expect_keep.sum())
+
+
+def test_api_ror_large_cloud():
+    pts = _make_cloud(seed=4)
+    cloud = pc.PointCloud.from_numpy(pts)
+    r, m = 0.6, 8
+    out = pc.radius_outlier_removal(cloud, r, m)
+    counts = np.asarray(
+        engine.bruteforce_radius_count(
+            cloud._arrs.xyz, cloud._arrs.valid,
+            cloud._arrs.xyz, cloud._arrs.valid, r,
+        )
+    )[: len(pts)]
+    assert out.len() == int((counts >= m).sum())
+
+
+def test_engine_knn_sweep_path_matches_oracle():
+    # Same-cloud all-points KNN: the sweep fast path must return exactly
+    # the brute-force distances (indices may reorder only at exact ties).
+    pts = _make_cloud(seed=5)
+    arrs = make_cloud_arrays(pts)
+    k = 8
+    dists, idx, nvalid = engine.knn(arrs.xyz, arrs.valid, arrs.xyz, arrs.valid, k)
+    ed, ei, ev = engine.bruteforce_knn(
+        arrs.xyz, arrs.valid, arrs.xyz, arrs.valid, k
+    )
+    n = len(pts)
+    np.testing.assert_allclose(
+        np.asarray(dists)[:n], np.asarray(ed)[:n], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nvalid)[:n], np.asarray(ev)[:n]
+    )
+    # indices agree wherever the (k)th distance is strictly unique
+    d = np.asarray(dists)[:n]
+    same = np.asarray(idx)[:n] == np.asarray(ei)[:n]
+    uniq = np.ones_like(same)
+    uniq[:, :-1] &= d[:, :-1] != d[:, 1:]
+    uniq[:, 1:] &= d[:, 1:] != d[:, :-1]
+    assert (same | ~uniq).all()
