@@ -25,6 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+# Planar arrays at or below this size stay fully VMEM-resident inside the
+# window kernels (no per-block window DMAs). 8 MB leaves ample headroom on
+# a v5e's VMEM next to the kernels' own scratch.
+RESIDENT_PLANAR_BYTES = 8 * 1024 * 1024
+
 
 def _segmented_select_kernel(k: int, w: int, tq: int, per_seg: int):
     """Per-query sum/count/kth of the k smallest + segment certificate.
@@ -352,44 +357,65 @@ def _select_from_tiles(tiles, tq: int, k: int, per_seg: int):
     return _phase2_from_finalists(regs, count_all, tq, k)
 
 
-def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int):
+def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int,
+                         resident: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     nwin = nshift * wr  # scratch rows per buffer slot
 
-    def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
+    def kernel(starts_ref, q_ref, pts_ref, out_ref, *scratch):
         # starts_ref i32[2*nshift, NB] (TRANSPOSED so SMEM's row padding
         # stays tiny): rows [0, nshift) window start rows, rows
         # [nshift, 2*nshift) dedup skip counts (rows already covered by an
         # earlier window — masking them keeps candidates a SET).
+        # resident=True: the whole planar array is a VMEM input and windows
+        # are read in place; else they are DMA'd (double-buffered).
         b = pl.program_id(0)
         nb = pl.num_programs(0)
 
-        def dma(blk, j, slot):
-            # All index arithmetic pinned to i32: under the package's x64
-            # mode a bare Python int is a weak i64 and Mosaic's memref
-            # slicing rejects i64 operands.
-            st = starts_ref[j, blk]
-            return pltpu.make_async_copy(
-                pts_ref.at[pl.ds(st, wr), :, :],
-                win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
-                sems.at[slot, jnp.int32(j)],
-            )
+        if resident:
+            base = jnp.int32(0)
 
-        @pl.when(b == jnp.int32(0))
-        def _():
+            def tile_row(j, r):
+                st = starts_ref[j, b]
+                return pts_ref[pl.ds(st + jnp.int32(r), 1), :, :]
+
+        else:
+            win, sems = scratch
+
+            def dma(blk, j, slot):
+                # All index arithmetic pinned to i32: under the package's
+                # x64 mode a bare Python int is a weak i64 and Mosaic's
+                # memref slicing rejects i64 operands.
+                st = starts_ref[j, blk]
+                return pltpu.make_async_copy(
+                    pts_ref.at[pl.ds(st, wr), :, :],
+                    win.at[
+                        pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr),
+                        :,
+                        :,
+                    ],
+                    sems.at[slot, jnp.int32(j)],
+                )
+
+            @pl.when(b == jnp.int32(0))
+            def _():
+                for j in range(nshift):
+                    dma(jnp.int32(0), j, jnp.int32(0)).start()
+
+            @pl.when(b + jnp.int32(1) < nb)
+            def _():
+                nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
+                for j in range(nshift):
+                    dma(b + jnp.int32(1), j, nxt).start()
+
+            slot = jax.lax.rem(b, jnp.int32(2))
             for j in range(nshift):
-                dma(jnp.int32(0), j, jnp.int32(0)).start()
+                dma(b, j, slot).wait()
+            base = slot * jnp.int32(nwin)
 
-        @pl.when(b + jnp.int32(1) < nb)
-        def _():
-            nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
-            for j in range(nshift):
-                dma(b + jnp.int32(1), j, nxt).start()
-
-        slot = jax.lax.rem(b, jnp.int32(2))
-        for j in range(nshift):
-            dma(b, j, slot).wait()
+            def tile_row(j, r):
+                return win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
 
         # Queries: channel rows [1,128] (lane offset 0) -> columns [128,1].
         qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
@@ -398,12 +424,11 @@ def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int):
         qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
 
         big = jnp.float32(jnp.inf)
-        base = slot * jnp.int32(nwin)
         tiles = []
         for j in range(nshift):
             sk = starts_ref[nshift + j, b]
             for r in range(wr):
-                row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
+                row = tile_row(j, r)
                 cx = row[0, 0:1, :]  # [1, 128], lane offset 0
                 cy = row[0, 1:2, :]
                 cz = row[0, 2:3, :]
@@ -452,17 +477,28 @@ def sweep_select(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 4,
         starts.shape,
     )
     starts = jnp.transpose(starts)  # [2S, NB]: SMEM pads rows, not columns
-    kern = _sweep_select_kernel(k, wr, per_seg, nshift)
+    # Clouds whose planar array fits comfortably in VMEM skip the window
+    # DMAs entirely and read candidates in place (same trick as
+    # cluster_propagate); larger clouds keep the double-buffered DMA path.
+    resident = nr * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES
+    kern = _sweep_select_kernel(k, wr, per_seg, nshift, resident)
     z = np.int32(0)
+    pts_spec = (
+        pl.BlockSpec((nr, 4, 128), lambda b, starts_ref: (z, z, z))
+        if resident
+        else pl.BlockSpec(memory_space=pl.ANY)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 4, 128), lambda b, starts_ref: (b, z, z)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pts_spec,
         ],
         out_specs=pl.BlockSpec((4, 128), lambda b, starts_ref: (z, b)),
-        scratch_shapes=[
+        scratch_shapes=[]
+        if resident
+        else [
             pltpu.VMEM((2 * nshift * wr, 4, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, nshift)),
         ],
