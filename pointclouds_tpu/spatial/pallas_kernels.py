@@ -788,34 +788,16 @@ def _sweep_moments_kernel(k: int, wr: int, per_seg: int, nshift: int):
             return (row[0, 0:1, :], row[0, 1:2, :], row[0, 2:3, :],
                     row[0, 3:4, :])
 
-        # Pass A: segmented k-smallest selection (dedup-masked).
-        tiles = []
-        for j in range(nshift):
-            sk = starts_ref[nshift + j, b]
-            for r in range(wr):
-                cx, cy, cz, cw = tile(j * wr + r)
-                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-                keep = jnp.where(
-                    jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
-                )
-                pair = qm * cw * keep
-                tiles.append(jnp.where(pair > 0.5, d2, big))
-        total, count, kth, ok = _select_from_tiles(tiles, 128, k, per_seg)
-        del total
-        # Threshold inflated by ~8 ulp: pass B recomputes d2 with (c - q)
-        # differences whose FMA rounding can differ from pass A's
-        # (q - c)-based selection by a couple of ulp, which would silently
-        # drop the kth neighbor at exact equality. Genuine candidates
-        # inside the inflated band surface as count_le > count and flag
-        # the row instead.
-        kth_col = jnp.transpose(kth, (1, 0)) * jnp.float32(1.000001) + jnp.float32(1e-12)
-
-        # Pass B: query-centered moments of candidates with d2 <= kth.
-        z = jnp.zeros((128, 128), jnp.float32)
-        m1x = z; m1y = z; m1z = z
-        mxx = z; myy = z; mzz = z
-        mxy = z; mxz = z; myz = z
-        cle = z
+        # Single pass: insertion selection with the query-centered relative
+        # coordinates riding as payloads — the moments then come from the
+        # per_seg finalist tiles alone (no second sweep, no d2 recompute,
+        # so selection and moment masks share EXACT values).
+        regs_v = [jnp.full((128, 128), big) for _ in range(per_seg)]
+        regs_p = [
+            [jnp.zeros((128, 128), jnp.float32) for _ in range(per_seg)]
+            for _ in range(3)
+        ]
+        cnt_all = jnp.zeros((128, 128), jnp.float32)
         for j in range(nshift):
             sk = starts_ref[nshift + j, b]
             for r in range(wr):
@@ -827,16 +809,41 @@ def _sweep_moments_kernel(k: int, wr: int, per_seg: int, nshift: int):
                 keep = jnp.where(
                     jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
                 )
-                m = jnp.where(
-                    jnp.logical_and((qm * cw * keep) > 0.5, d2 <= kth_col),
-                    jnp.float32(1.0),
-                    jnp.float32(0.0),
+                pair = qm * cw * keep
+                w = jnp.where(pair > 0.5, d2, big)
+                regs_v, regs_p = _insert_smallest_with_payloads(
+                    regs_v, regs_p, w, (rx, ry, rz)
                 )
-                cle = cle + m
-                rx = rx * m; ry = ry * m; rz = rz * m
-                m1x = m1x + rx; m1y = m1y + ry; m1z = m1z + rz
-                mxx = mxx + rx * rx; myy = myy + ry * ry; mzz = mzz + rz * rz
-                mxy = mxy + rx * ry; mxz = mxz + rx * rz; myz = myz + ry * rz
+                cnt_all = cnt_all + jnp.where(pair > 0.5, jnp.float32(1.0), 0.0)
+
+        count_all = jnp.sum(jnp.transpose(cnt_all, (1, 0)), axis=0, keepdims=True)
+        total, count, kth, ok = _phase2_from_finalists(
+            regs_v, count_all, 128, k
+        )
+        del total
+        kth_col = jnp.transpose(kth, (1, 0))  # [128, 1], exact same values
+
+        # Moments over finalists with d2 <= kth (inclusive: extracted set
+        # plus any finalist tied at kth; count_le > count flags the row).
+        z = jnp.zeros((128, 128), jnp.float32)
+        m1x = z; m1y = z; m1z = z
+        mxx = z; myy = z; mzz = z
+        mxy = z; mxz = z; myz = z
+        cle = z
+        for lvl in range(per_seg):
+            v = regs_v[lvl]
+            m = jnp.where(
+                jnp.logical_and(jnp.isfinite(v), v <= kth_col),
+                jnp.float32(1.0),
+                jnp.float32(0.0),
+            )
+            rx = regs_p[0][lvl] * m
+            ry = regs_p[1][lvl] * m
+            rz = regs_p[2][lvl] * m
+            cle = cle + m
+            m1x = m1x + rx; m1y = m1y + ry; m1z = m1z + rz
+            mxx = mxx + rx * rx; myy = myy + ry * ry; mzz = mzz + rz * rz
+            mxy = mxy + rx * ry; mxz = mxz + rx * rz; myz = myz + ry * rz
 
         def rowsum(a):  # [128q, 128] -> [1, 128q]
             return jnp.transpose(
@@ -903,6 +910,8 @@ def sweep_moments(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 3,
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((16, nb * 128), jnp.float32),
+        # 16 live payload registers exceed the default 16 MB scoped cap.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(starts, pts_planar, pts_planar)
 
@@ -1034,6 +1043,26 @@ def count_within(pts_planar, starts, *, wr: int = 4, interpret: bool = False):
 # the k smallest (value, index) pairs into the output rows. Tie order is
 # first-encountered (window order) — deterministic, but not the
 # reference's internal KD-tree order; distances are identical.
+
+
+def _insert_smallest_with_payloads(regs_v, regs_p, v, p):
+    """Insertion network on (value, payload...) tuples: regs_p is a list of
+    payload register lists (one per payload channel), p the new tile's
+    payload channels. Ties keep the earlier-seen register."""
+    out_v = []
+    out_p = [[] for _ in regs_p]
+    cur_v, cur_p = v, list(p)
+    for lvl, rv in enumerate(regs_v):
+        swap = cur_v < rv
+        lo_v = jnp.minimum(rv, cur_v)
+        hi_v = jnp.maximum(rv, cur_v)
+        out_v.append(lo_v)
+        for c, channel in enumerate(regs_p):
+            rp = channel[lvl]
+            out_p[c].append(jnp.where(swap, cur_p[c], rp))
+            cur_p[c] = jnp.where(swap, rp, cur_p[c])
+        cur_v = hi_v
+    return out_v, out_p
 
 
 def _insert_smallest_with_idx(regs_v, regs_i, v, i):
