@@ -34,6 +34,8 @@ def sync(x):
         return
     if hasattr(x, "num_iterations"):  # IcpResult: already host values
         return
+    if hasattr(x, "inliers"):  # PlaneResult: already host values
+        return
     if isinstance(x, (list, tuple)) and x and not hasattr(x[0], "ndim"):
         return  # host lists (cluster output) are already materialized
     leaf = jax.tree_util.tree_leaves(x)[0]
