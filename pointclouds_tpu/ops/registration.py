@@ -142,7 +142,8 @@ def _quat_from_cross_covariance(h):
     q0 = q0 / jnp.linalg.norm(q0)
 
     def body(_, q):
-        q = ns @ q
+        # HIGHEST: the bf16 MXU default injects ~0.4% error per power step
+        q = jax.lax.dot(ns, q[:, None], precision=jax.lax.Precision.HIGHEST)[:, 0]
         return q / jnp.maximum(jnp.linalg.norm(q), 1e-30)
 
     return jax.lax.fori_loop(0, 40, body, q0)
@@ -190,7 +191,9 @@ def _svd_rigid_solve(src, tgt_pts, w):
 
     q = _quat_from_cross_covariance(h)
     rot = _quat_to_rot(q)
-    trans = tgt_c - rot @ src_c
+    trans = tgt_c - jax.lax.dot(
+        rot, src_c[:, None], precision=jax.lax.Precision.HIGHEST
+    )[:, 0]
     return rot, trans
 
 
@@ -310,9 +313,14 @@ def _icp_loop(
         rot_i = jnp.where(do_solve, rot_i, jnp.eye(3, dtype=jnp.float32))
         trans_i = jnp.where(do_solve, trans_i, jnp.zeros(3, jnp.float32))
 
-        new_rot = rot_i @ c.rot
-        new_trans = rot_i @ c.trans + trans_i
-        new_current = c.current @ rot_i.T + trans_i[None, :]
+        # (all HIGHEST: bf16 rounding here accumulates across iterations
+        # and stalls convergence — 36 iters vs 4 on the translation test)
+        hi = jax.lax.Precision.HIGHEST
+        new_rot = jax.lax.dot(rot_i, c.rot, precision=hi)
+        new_trans = jax.lax.dot(rot_i, c.trans[:, None], precision=hi)[:, 0] + trans_i
+        new_current = (
+            jax.lax.dot(c.current, rot_i.T, precision=hi) + trans_i[None, :]
+        )
 
         return IcpCarry(
             current=new_current,
