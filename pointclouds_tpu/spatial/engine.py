@@ -280,11 +280,27 @@ def radius_count(pxyz, pvalid, qxyz, qvalid, radius: float):
 
 
 def cluster_labels(xyz, valid, radius: float):
-    """Connected-component labels under inclusive distance ``radius``
-    (collapsed cell-graph propagation). Returns int32[N] labels in original
-    point order (non-finite/invalid points keep their own row), or None if
-    the grid backends can't certify exactness (caller falls back)."""
+    """Connected-component labels under inclusive distance ``radius``.
+    Returns int32[N] labels in original point order (non-finite/invalid
+    points keep their own row), or None if no backend can certify
+    exactness (caller falls back).
+
+    Primary backend: sweep min-label propagation (hook + pointer jumping,
+    `sweep.sweep_cluster_labels`); the collapsed cell-graph path remains
+    as the second attempt for window-overflow cases."""
     n = xyz.shape[0]
+    if n < CELLGRID_MAX_N and n > BRUTE_THRESHOLD // 4:
+        from .sweep import sweep_cluster_labels
+
+        # wr ladder: one over-dense block overflowing its windows must not
+        # dump the whole call into the slow cell-graph fallback.
+        for wr in (7, 14, 28):
+            labels, exact = sweep_cluster_labels(
+                xyz, valid, np.float32(radius), wr=wr,
+                use_kernel=(jax.default_backend() == "tpu"),
+            )
+            if bool(exact):
+                return labels
     ext = _extent(xyz, valid)
     max_abs = ext[2] if ext else 0.0
     # cell = r/2 keeps the cell diagonal below r (same-cell points are all
