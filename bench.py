@@ -123,6 +123,7 @@ def main():
     aerial_ms = (time.perf_counter() - t0) * 1e3 / AERIAL_FRAMES
 
     flags = np.asarray(out.grid_flags)
+    ds_points = int(np.asarray(out.downsampled_valid).sum())
     print(
         json.dumps(
             {
@@ -133,7 +134,7 @@ def main():
                 "sequential_p50_ms": round(p50, 3),
                 "frames": FRAMES,
                 "sor_backend": backend,
-                "ds_points": 93033,
+                "ds_points": ds_points,
                 "ds_truncated": bool(flags[4]),
                 "any_grid_overflow": bool(flags[:4].any()),
                 "sor_certified": bool(out.sor_certified),

@@ -279,6 +279,25 @@ def radius_count(pxyz, pvalid, qxyz, qvalid, radius: float):
     return bruteforce_radius_count(pxyz, pvalid, qxyz, qvalid, radius)
 
 
+def _kernel_preference() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _degrade_to_xla(run, use_kernel: bool):
+    """Run a sweep attempt (``run(use_kernel)`` must include its first host
+    sync so compile/execute errors surface inside). The remote Mosaic
+    compiler intermittently rejects valid kernels, and the VMEM-resident
+    kernels can exceed their budget on huge clouds — degrade to the XLA
+    mirror (same math, HBM-streamed) instead of raising through the public
+    API."""
+    try:
+        return run(use_kernel)
+    except Exception:
+        if not use_kernel:
+            raise
+        return run(False)
+
+
 def cluster_labels(xyz, valid, radius: float):
     """Connected-component labels under inclusive distance ``radius``.
     Returns int32[N] labels in original point order (non-finite/invalid
@@ -295,11 +314,15 @@ def cluster_labels(xyz, valid, radius: float):
         # wr ladder: one over-dense block overflowing its windows must not
         # dump the whole call into the slow cell-graph fallback.
         for wr in (7, 14, 28):
-            labels, exact = sweep_cluster_labels(
-                xyz, valid, np.float32(radius), wr=wr,
-                use_kernel=(jax.default_backend() == "tpu"),
-            )
-            if bool(exact):
+
+            def run(uk, wr=wr):
+                labels, exact = sweep_cluster_labels(
+                    xyz, valid, np.float32(radius), wr=wr, use_kernel=uk
+                )
+                return labels, bool(exact)
+
+            labels, exact = _degrade_to_xla(run, _kernel_preference())
+            if exact:
                 return labels
     ext = _extent(xyz, valid)
     max_abs = ext[2] if ext else 0.0
@@ -388,11 +411,15 @@ def sor_means(xyz, valid, k: int):
     if n <= BRUTE_THRESHOLD:
         return _brute_sor_means(xyz, valid, k)
     cell = estimate_cell_size(xyz, valid, k + 1)
-    mean, point_ok, certified = sweep_sor_two_pass(
-        xyz, valid, np.float32(cell), k=k,
-        use_kernel=(jax.default_backend() == "tpu"),
-    )
-    if bool(certified):
+
+    def run(uk):
+        m, ok, cert = sweep_sor_two_pass(
+            xyz, valid, np.float32(cell), k=k, use_kernel=uk
+        )
+        return m, ok, bool(cert)
+
+    mean, point_ok, certified = _degrade_to_xla(run, _kernel_preference())
+    if certified:
         return mean
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     residual = np.asarray(jnp.logical_and(valid & finite, ~point_ok))
@@ -443,12 +470,14 @@ def radius_count_sweep(pxyz, pvalid, radius: float):
     n = pxyz.shape[0]
     if radius <= 0 or not np.isfinite(radius) or n <= BRUTE_THRESHOLD:
         return bruteforce_radius_count(pxyz, pvalid, pxyz, pvalid, radius)
-    counts, point_ok = sweep_radius_count(
-        pxyz, pvalid, np.float32(radius),
-        use_kernel=(jax.default_backend() == "tpu"),
-    )
-    finite = jnp.all(jnp.isfinite(pxyz), axis=-1)
-    residual = np.asarray(jnp.logical_and(pvalid & finite, ~point_ok))
+    def run(uk):
+        c, ok = sweep_radius_count(
+            pxyz, pvalid, np.float32(radius), use_kernel=uk
+        )
+        finite = jnp.all(jnp.isfinite(pxyz), axis=-1)
+        return c, ok, np.asarray(jnp.logical_and(pvalid & finite, ~ok))
+
+    counts, point_ok, residual = _degrade_to_xla(run, _kernel_preference())
     if not residual.any():
         return counts
     rows = np.nonzero(residual)[0]
@@ -484,13 +513,20 @@ def normals(xyz, valid, k: int, viewpoint):
         dists, idx, nvalid = knn(xyz, valid, xyz, valid, min(k, max(n, 1)))
         return normals_from_knn(xyz, idx, nvalid, vp)
     cell = estimate_cell_size(xyz, valid, k)
-    m1, m2, cnt, point_ok = sweep_knn_moments(
-        xyz, valid, np.float32(cell), k=k,
-        use_kernel=(jax.default_backend() == "tpu"),
+
+    def run(uk):
+        m1, m2, cnt, ok = sweep_knn_moments(
+            xyz, valid, np.float32(cell), k=k, use_kernel=uk
+        )
+        finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+        return m1, m2, cnt, ok, np.asarray(
+            jnp.logical_and(valid & finite, ~ok)
+        )
+
+    m1, m2, cnt, point_ok, residual = _degrade_to_xla(
+        run, _kernel_preference()
     )
     nrm = _normals_from_moments(xyz, m1, m2, cnt, vp)
-    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
-    residual = np.asarray(jnp.logical_and(valid & finite, ~point_ok))
     if not residual.any():
         return nrm
     rows = np.nonzero(residual)[0]
@@ -565,12 +601,15 @@ def _knn_sweep_same_cloud(pxyz, pvalid, k: int):
 
     n = pxyz.shape[0]
     cell = estimate_cell_size(pxyz, pvalid, k)
-    dists, idx, nvalid, point_ok = sweep_knn(
-        pxyz, pvalid, np.float32(cell), k=k,
-        use_kernel=(jax.default_backend() == "tpu"),
-    )
-    finite = jnp.all(jnp.isfinite(pxyz), axis=-1)
-    residual = np.asarray(jnp.logical_and(pvalid & finite, ~point_ok))
+
+    def run(uk):
+        d, i, nv, ok = sweep_knn(
+            pxyz, pvalid, np.float32(cell), k=k, use_kernel=uk
+        )
+        finite = jnp.all(jnp.isfinite(pxyz), axis=-1)
+        return d, i, nv, np.asarray(jnp.logical_and(pvalid & finite, ~ok))
+
+    dists, idx, nvalid, residual = _degrade_to_xla(run, _kernel_preference())
     if not residual.any():
         return dists, idx, nvalid
     rows = np.nonzero(residual)[0]

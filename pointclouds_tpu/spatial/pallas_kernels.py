@@ -364,23 +364,21 @@ def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int,
     nwin = nshift * wr  # scratch rows per buffer slot
 
     def kernel(starts_ref, q_ref, pts_ref, out_ref, *scratch):
-        # starts_ref i32[2*nshift, NB] (TRANSPOSED so SMEM's row padding
-        # stays tiny): rows [0, nshift) window start rows, rows
-        # [nshift, 2*nshift) dedup skip counts (rows already covered by an
-        # earlier window — masking them keeps candidates a SET).
+        # starts_ref i32[3*nshift + 1, NB] (TRANSPOSED so SMEM's row
+        # padding stays tiny): rows [0, S) window start rows, [S, 2S) dedup
+        # skip counts (rows an earlier window already read — masking them
+        # keeps candidates a SET), [2S, 3S) window lengths (a window covers
+        # rows [start + skip, start + len)), row 3S = block-has-valid flag.
         # resident=True: the whole planar array is a VMEM input and windows
-        # are read in place; else they are DMA'd (double-buffered).
+        # are walked in place with DYNAMIC per-shift loop bounds — work
+        # scales with the actual candidate count, not nshift * wr; else
+        # windows are DMA'd at full wr (double-buffered) and masked.
         b = pl.program_id(0)
         nb = pl.num_programs(0)
+        big = jnp.float32(jnp.inf)
+        bv = starts_ref[3 * nshift, b]
 
-        if resident:
-            base = jnp.int32(0)
-
-            def tile_row(j, r):
-                st = starts_ref[j, b]
-                return pts_ref[pl.ds(st + jnp.int32(r), 1), :, :]
-
-        else:
+        if not resident:
             win, sems = scratch
 
             def dma(blk, j, slot):
@@ -398,53 +396,109 @@ def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int,
                     sems.at[slot, jnp.int32(j)],
                 )
 
-            @pl.when(b == jnp.int32(0))
+            # DMA issue/wait are conditioned on the TARGET block's valid
+            # flag (consistent per block, so no semaphore leaks): fully
+            # invalid blocks move no window bytes at all.
+            @pl.when(jnp.logical_and(b == jnp.int32(0), bv != 0))
             def _():
                 for j in range(nshift):
                     dma(jnp.int32(0), j, jnp.int32(0)).start()
 
-            @pl.when(b + jnp.int32(1) < nb)
+            nxt_b = jnp.minimum(b + jnp.int32(1), nb - jnp.int32(1))
+
+            @pl.when(
+                jnp.logical_and(
+                    b + jnp.int32(1) < nb, starts_ref[3 * nshift, nxt_b] != 0
+                )
+            )
             def _():
                 nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
                 for j in range(nshift):
-                    dma(b + jnp.int32(1), j, nxt).start()
+                    dma(nxt_b, j, nxt).start()
 
-            slot = jax.lax.rem(b, jnp.int32(2))
-            for j in range(nshift):
-                dma(b, j, slot).wait()
-            base = slot * jnp.int32(nwin)
+        @pl.when(bv == 0)
+        def _():
+            z = jnp.zeros((1, 128), jnp.float32)
+            out_ref[0:1, :] = z
+            out_ref[1:2, :] = z
+            out_ref[2:3, :] = z
+            out_ref[3:4, :] = z + jnp.float32(1.0)
 
-            def tile_row(j, r):
-                return win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
+        @pl.when(bv != 0)
+        def _():
+            # Queries: channel rows [1,128] (lane offset 0) -> [128,1].
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+            qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+            qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+            qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
 
-        # Queries: channel rows [1,128] (lane offset 0) -> columns [128,1].
-        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
-        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
-        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
-        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
-
-        big = jnp.float32(jnp.inf)
-        tiles = []
-        for j in range(nshift):
-            sk = starts_ref[nshift + j, b]
-            for r in range(wr):
-                row = tile_row(j, r)
-                cx = row[0, 0:1, :]  # [1, 128], lane offset 0
-                cy = row[0, 1:2, :]
-                cz = row[0, 2:3, :]
-                cw = row[0, 3:4, :]
-                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-                keep = jnp.where(
-                    jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
+            if resident:
+                regs0 = tuple(
+                    jnp.full((128, 128), big) for _ in range(per_seg)
                 )
-                pair = qm * cw * keep  # [128,1]*[1,128]*scalar f32 0/1
-                tiles.append(jnp.where(pair > 0.5, d2, big))
+                state = (regs0, jnp.zeros((128, 128), jnp.float32))
+                for j in range(nshift):
+                    st = starts_ref[j, b]
+                    sk = starts_ref[nshift + j, b]
+                    ln = starts_ref[2 * nshift + j, b]
 
-        total, count, kth, ok = _select_from_tiles(tiles, 128, k, per_seg)
-        out_ref[0:1, :] = total
-        out_ref[1:2, :] = count
-        out_ref[2:3, :] = kth
-        out_ref[3:4, :] = ok
+                    def body(r, s, st=st):
+                        regs, cnt = s
+                        row = pts_ref[pl.ds(st + r, 1), :, :]
+                        cx = row[0, 0:1, :]
+                        cy = row[0, 1:2, :]
+                        cz = row[0, 2:3, :]
+                        cw = row[0, 3:4, :]
+                        d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                        pair = qm * cw
+                        w = jnp.where(pair > 0.5, d2, big)
+                        regs = tuple(_insert_smallest(list(regs), w))
+                        cnt = cnt + jnp.where(
+                            pair > 0.5, jnp.float32(1.0), jnp.float32(0.0)
+                        )
+                        return (regs, cnt)
+
+                    state = jax.lax.fori_loop(sk, ln, body, state)
+                regs, cnt = state
+                count_all = jnp.sum(
+                    jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True
+                )
+                total, count, kth, ok = _phase2_from_finalists(
+                    list(regs), count_all, 128, k
+                )
+            else:
+                slot = jax.lax.rem(b, jnp.int32(2))
+                for j in range(nshift):
+                    dma(b, j, slot).wait()
+                base = slot * jnp.int32(nwin)
+                tiles = []
+                for j in range(nshift):
+                    sk = starts_ref[nshift + j, b]
+                    ln = starts_ref[2 * nshift + j, b]
+                    for r in range(wr):
+                        row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
+                        cx = row[0, 0:1, :]  # [1, 128], lane offset 0
+                        cy = row[0, 1:2, :]
+                        cz = row[0, 2:3, :]
+                        cw = row[0, 3:4, :]
+                        d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                        keep = jnp.where(
+                            jnp.logical_and(
+                                jnp.int32(r) >= sk, jnp.int32(r) < ln
+                            ),
+                            jnp.float32(1.0),
+                            jnp.float32(0.0),
+                        )
+                        pair = qm * cw * keep  # [128,1]*[1,128]*scalar
+                        tiles.append(jnp.where(pair > 0.5, d2, big))
+
+                total, count, kth, ok = _select_from_tiles(
+                    tiles, 128, k, per_seg
+                )
+            out_ref[0:1, :] = total
+            out_ref[1:2, :] = count
+            out_ref[2:3, :] = kth
+            out_ref[3:4, :] = ok
 
     return kernel
 
@@ -458,9 +512,11 @@ def sweep_select(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 4,
     rows [x | y | z | w], w = 1.0 valid / 0.0 masked. (Channels on the
     sublane axis keep every in-kernel slice at lane offset 0 — Mosaic
     cannot broadcast lane-offset slices of dynamically-indexed rows.)
-    starts i32[NB, 2S]: per query-block window start rows (cols [0, S),
-    each in [0, NR - wr]) and dedup skip counts (cols [S, 2S)); query
-    block b = planar row b (NB <= NR; trailing rows are candidates only).
+    starts i32[NB, 3S + 1]: per query-block window start rows (cols [0, S),
+    each in [0, NR - wr]), dedup skip counts (cols [S, 2S)), window lengths
+    (cols [2S, 3S); a window covers rows [start+skip, start+len)), and the
+    block-has-valid flag (col 3S); query block b = planar row b (NB <= NR;
+    trailing rows are candidates only).
 
     Returns (total f32[NB*128], count f32[NB*128], kth f32[NB*128],
     ok bool[NB*128]): sum of the k smallest valid distances per query, the
@@ -471,7 +527,7 @@ def sweep_select(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 4,
 
     nr, nch, width = pts_planar.shape
     nb = starts.shape[0]
-    nshift = starts.shape[1] // 2
+    nshift = (starts.shape[1] - 1) // 3
     assert (nch, width) == (4, 128) and nb <= nr and nr >= wr, (
         pts_planar.shape,
         starts.shape,
@@ -639,46 +695,64 @@ def rescue_select(cand_planar, q_planar, active, *, k: int, per_seg: int = 3,
 def _cluster_propagate_kernel(wr: int, nshift: int):
     def kernel(starts_ref, q_ref, pts_ref, out_ref):
         # q/pts rows: channels [x, y, z, w, label, r2, 0, 0].
-        # starts_ref i32[2*nshift, NB] (transposed; skip rows unused:
-        # duplicated candidates are harmless to min).
+        # starts_ref i32[3*nshift + 1, NB] (transposed): starts / skips /
+        # lengths / block-valid. Skips are unused (duplicated candidates
+        # are harmless to min); per-shift loops run start..start+len with
+        # DYNAMIC bounds, so work scales with the actual candidate count.
         b = pl.program_id(0)
+        bv = starts_ref[3 * nshift, b]
 
-        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
-        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
-        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
-        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
-        qlab = jnp.transpose(q_ref[0, 4:5, :], (1, 0))
-        r2 = q_ref[0, 5:6, :]  # [1, 128] (whole channel holds r2)
+        @pl.when(bv == 0)
+        def _():
+            # Fully-invalid block: labels pass through unchanged.
+            out_ref[0:1, :] = q_ref[0, 4:5, :]
+            out_ref[1:2, :] = jnp.zeros((1, 128), jnp.float32)
 
-        biglab = jnp.float32(float(1 << 25))
-        best = jnp.where(qm > 0.5, qlab, biglab)  # [128, 1]
-        for j in range(nshift):
-            st = starts_ref[j, b]
-            for r in range(wr):
-                row = pts_ref[pl.ds(st + jnp.int32(r), 1), :, :]
-                cx = row[0, 0:1, :]
-                cy = row[0, 1:2, :]
-                cz = row[0, 2:3, :]
-                cw = row[0, 3:4, :]
-                clab = row[0, 4:5, :]
-                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-                pair = qm * cw  # [128, 128] f32 0/1
-                within = jnp.where(
-                    jnp.logical_and(pair > 0.5, d2 <= r2), clab + 0.0 * d2, biglab
-                )
-                # (clab broadcasts [1,128] over queries; + 0*d2 keeps the
-                # where operands shape-aligned at [128,128].)
-                best = jnp.minimum(
-                    best, jnp.min(within, axis=1, keepdims=True)
-                )
+        @pl.when(bv != 0)
+        def _():
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
+            qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+            qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+            qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+            qlab = jnp.transpose(q_ref[0, 4:5, :], (1, 0))
+            r2 = q_ref[0, 5:6, :]  # [1, 128] (whole channel holds r2)
 
-        changed = jnp.where(
-            jnp.logical_and(qm > 0.5, best < qlab),
-            jnp.float32(1.0),
-            jnp.float32(0.0),
-        )  # [128, 1]
-        out_ref[0:1, :] = jnp.transpose(best, (1, 0))
-        out_ref[1:2, :] = jnp.transpose(changed, (1, 0))
+            biglab = jnp.float32(float(1 << 25))
+            best0 = jnp.where(qm > 0.5, qlab, biglab)  # [128, 1]
+            best = best0
+            for j in range(nshift):
+                st = starts_ref[j, b]
+                ln = starts_ref[2 * nshift + j, b]
+
+                def body(r, best, st=st):
+                    row = pts_ref[pl.ds(st + r, 1), :, :]
+                    cx = row[0, 0:1, :]
+                    cy = row[0, 1:2, :]
+                    cz = row[0, 2:3, :]
+                    cw = row[0, 3:4, :]
+                    clab = row[0, 4:5, :]
+                    d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                    pair = qm * cw  # [128, 128] f32 0/1
+                    within = jnp.where(
+                        jnp.logical_and(pair > 0.5, d2 <= r2),
+                        clab + 0.0 * d2,
+                        biglab,
+                    )
+                    # (clab broadcasts [1,128] over queries; + 0*d2 keeps
+                    # the where operands shape-aligned at [128,128].)
+                    return jnp.minimum(
+                        best, jnp.min(within, axis=1, keepdims=True)
+                    )
+
+                best = jax.lax.fori_loop(jnp.int32(0), ln, body, best)
+
+            changed = jnp.where(
+                jnp.logical_and(qm > 0.5, best < qlab),
+                jnp.float32(1.0),
+                jnp.float32(0.0),
+            )  # [128, 1]
+            out_ref[0:1, :] = jnp.transpose(best, (1, 0))
+            out_ref[1:2, :] = jnp.transpose(changed, (1, 0))
 
     return kernel
 
@@ -691,7 +765,8 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
     pts_planar f32[NR, 8, 128]: channels [x, y, z, w, label, r2, 0, 0]
     (w = validity, label = current component label as exact-int f32, r2 =
     squared cluster radius broadcast); held fully VMEM-resident. starts
-    i32[NB, 2S] as in `sweep_select` (skip columns unused).
+    i32[NB, 3S + 1] as in `sweep_select` (skip columns unused; length
+    columns bound the dynamic per-shift loops).
 
     Returns (labels f32[NB*128] new per-query labels, changed f32[NB*128]
     1.0 where a label decreased).
@@ -700,7 +775,7 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
 
     nr, nch, width = pts_planar.shape
     nb = starts.shape[0]
-    nshift = starts.shape[1] // 2
+    nshift = (starts.shape[1] - 1) // 3
     assert (nch, width) == (8, 128) and nb <= nr and nr >= wr, (
         pts_planar.shape,
         starts.shape,
@@ -742,130 +817,216 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
 # flagged for the caller.
 
 
-def _sweep_moments_kernel(k: int, wr: int, per_seg: int, nshift: int):
+def _sweep_moments_kernel(k: int, wr: int, per_seg: int, nshift: int,
+                          resident: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     nwin = nshift * wr
 
-    def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
-        # starts_ref i32[2*nshift, NB] (transposed, like sweep_select).
+    def kernel(starts_ref, q_ref, pts_ref, out_ref, *scratch):
+        # starts_ref i32[3*nshift + 1, NB] (transposed, like sweep_select).
         b = pl.program_id(0)
         nb = pl.num_programs(0)
-
-        def dma(blk, j, slot):
-            st = starts_ref[j, blk]
-            return pltpu.make_async_copy(
-                pts_ref.at[pl.ds(st, wr), :, :],
-                win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
-                sems.at[slot, jnp.int32(j)],
-            )
-
-        @pl.when(b == jnp.int32(0))
-        def _():
-            for j in range(nshift):
-                dma(jnp.int32(0), j, jnp.int32(0)).start()
-
-        @pl.when(b + jnp.int32(1) < nb)
-        def _():
-            nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
-            for j in range(nshift):
-                dma(b + jnp.int32(1), j, nxt).start()
-
-        slot = jax.lax.rem(b, jnp.int32(2))
-        for j in range(nshift):
-            dma(b, j, slot).wait()
-
-        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
-        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
-        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
-        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
-
+        bv = starts_ref[3 * nshift, b]
         big = jnp.float32(jnp.inf)
-        base = slot * jnp.int32(nwin)
 
-        def tile(idx):
-            row = win[pl.ds(base + jnp.int32(idx), 1), :, :]
-            return (row[0, 0:1, :], row[0, 1:2, :], row[0, 2:3, :],
-                    row[0, 3:4, :])
+        if not resident:
+            win, sems = scratch
 
-        # Single pass: insertion selection with the query-centered relative
-        # coordinates riding as payloads — the moments then come from the
-        # per_seg finalist tiles alone (no second sweep, no d2 recompute,
-        # so selection and moment masks share EXACT values).
-        regs_v = [jnp.full((128, 128), big) for _ in range(per_seg)]
-        regs_p = [
-            [jnp.zeros((128, 128), jnp.float32) for _ in range(per_seg)]
-            for _ in range(3)
-        ]
-        cnt_all = jnp.zeros((128, 128), jnp.float32)
-        for j in range(nshift):
-            sk = starts_ref[nshift + j, b]
-            for r in range(wr):
-                cx, cy, cz, cw = tile(j * wr + r)
+            def dma(blk, j, slot):
+                st = starts_ref[j, blk]
+                return pltpu.make_async_copy(
+                    pts_ref.at[pl.ds(st, wr), :, :],
+                    win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
+                    sems.at[slot, jnp.int32(j)],
+                )
+
+            @pl.when(jnp.logical_and(b == jnp.int32(0), bv != 0))
+            def _():
+                for j in range(nshift):
+                    dma(jnp.int32(0), j, jnp.int32(0)).start()
+
+            nxt_b = jnp.minimum(b + jnp.int32(1), nb - jnp.int32(1))
+
+            @pl.when(
+                jnp.logical_and(
+                    b + jnp.int32(1) < nb, starts_ref[3 * nshift, nxt_b] != 0
+                )
+            )
+            def _():
+                nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
+                for j in range(nshift):
+                    dma(nxt_b, j, nxt).start()
+
+        @pl.when(bv == 0)
+        def _():
+            z = jnp.zeros((1, 128), jnp.float32)
+            for row_i in range(12):
+                out_ref[row_i : row_i + 1, :] = z
+            out_ref[12:13, :] = z + jnp.float32(1.0)  # ok (masked anyway)
+            for row_i in range(13, 16):
+                out_ref[row_i : row_i + 1, :] = z
+
+        @pl.when(bv != 0)
+        def _():
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+            qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+            qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+            qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+
+            # Single pass: insertion selection with the query-centered
+            # relative coordinates riding as payloads — the moments then
+            # come from the per_seg finalist tiles alone (no second sweep,
+            # no d2 recompute, so selection and moment masks share EXACT
+            # values).
+            def fold(state, cx, cy, cz, cw, keep):
+                regs_v, regs_p, cnt_all = state
                 rx = cx - qx  # [128, 128] (c - q)
                 ry = cy - qy
                 rz = cz - qz
                 d2 = rx * rx + ry * ry + rz * rz
-                keep = jnp.where(
-                    jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
-                )
                 pair = qm * cw * keep
                 w = jnp.where(pair > 0.5, d2, big)
-                regs_v, regs_p = _insert_smallest_with_payloads(
-                    regs_v, regs_p, w, (rx, ry, rz)
+                rv, rp = _insert_smallest_with_payloads(
+                    list(regs_v),
+                    [list(ch) for ch in regs_p],
+                    w,
+                    (rx, ry, rz),
                 )
-                cnt_all = cnt_all + jnp.where(pair > 0.5, jnp.float32(1.0), 0.0)
+                cnt_all = cnt_all + jnp.where(
+                    pair > 0.5, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                return (
+                    tuple(rv),
+                    tuple(tuple(ch) for ch in rp),
+                    cnt_all,
+                )
 
-        count_all = jnp.sum(jnp.transpose(cnt_all, (1, 0)), axis=0, keepdims=True)
-        total, count, kth, ok = _phase2_from_finalists(
-            regs_v, count_all, 128, k
-        )
-        del total
-        kth_col = jnp.transpose(kth, (1, 0))  # [128, 1], exact same values
-
-        # Moments over finalists with d2 <= kth (inclusive: extracted set
-        # plus any finalist tied at kth; count_le > count flags the row).
-        z = jnp.zeros((128, 128), jnp.float32)
-        m1x = z; m1y = z; m1z = z
-        mxx = z; myy = z; mzz = z
-        mxy = z; mxz = z; myz = z
-        cle = z
-        for lvl in range(per_seg):
-            v = regs_v[lvl]
-            m = jnp.where(
-                jnp.logical_and(jnp.isfinite(v), v <= kth_col),
-                jnp.float32(1.0),
-                jnp.float32(0.0),
+            state = (
+                tuple(jnp.full((128, 128), big) for _ in range(per_seg)),
+                tuple(
+                    tuple(
+                        jnp.zeros((128, 128), jnp.float32)
+                        for _ in range(per_seg)
+                    )
+                    for _ in range(3)
+                ),
+                jnp.zeros((128, 128), jnp.float32),
             )
-            rx = regs_p[0][lvl] * m
-            ry = regs_p[1][lvl] * m
-            rz = regs_p[2][lvl] * m
-            cle = cle + m
-            m1x = m1x + rx; m1y = m1y + ry; m1z = m1z + rz
-            mxx = mxx + rx * rx; myy = myy + ry * ry; mzz = mzz + rz * rz
-            mxy = mxy + rx * ry; mxz = mxz + rx * rz; myz = myz + ry * rz
+            if resident:
+                for j in range(nshift):
+                    st = starts_ref[j, b]
+                    sk = starts_ref[nshift + j, b]
+                    ln = starts_ref[2 * nshift + j, b]
 
-        def rowsum(a):  # [128q, 128] -> [1, 128q]
-            return jnp.transpose(
-                jnp.sum(a, axis=1, keepdims=True), (1, 0)
+                    def body(r, s, st=st):
+                        row = pts_ref[pl.ds(st + r, 1), :, :]
+                        return fold(
+                            s,
+                            row[0, 0:1, :],
+                            row[0, 1:2, :],
+                            row[0, 2:3, :],
+                            row[0, 3:4, :],
+                            jnp.float32(1.0),
+                        )
+
+                    state = jax.lax.fori_loop(sk, ln, body, state)
+            else:
+                slot = jax.lax.rem(b, jnp.int32(2))
+                for j in range(nshift):
+                    dma(b, j, slot).wait()
+                base = slot * jnp.int32(nwin)
+                for j in range(nshift):
+                    sk = starts_ref[nshift + j, b]
+                    ln = starts_ref[2 * nshift + j, b]
+                    for r in range(wr):
+                        row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
+                        keep = jnp.where(
+                            jnp.logical_and(
+                                jnp.int32(r) >= sk, jnp.int32(r) < ln
+                            ),
+                            jnp.float32(1.0),
+                            jnp.float32(0.0),
+                        )
+                        state = fold(
+                            state,
+                            row[0, 0:1, :],
+                            row[0, 1:2, :],
+                            row[0, 2:3, :],
+                            row[0, 3:4, :],
+                            keep,
+                        )
+            regs_v, regs_p, cnt_all = state
+            regs_v = list(regs_v)
+            regs_p = [list(ch) for ch in regs_p]
+
+            count_all = jnp.sum(
+                jnp.transpose(cnt_all, (1, 0)), axis=0, keepdims=True
             )
+            total, count, kth, ok = _phase2_from_finalists(
+                regs_v, count_all, 128, k
+            )
+            del total
+            # Tie-free certificate must be STRICT here: a candidate tied
+            # exactly at kth but squeezed out of a segment's per_seg
+            # finalists is invisible to cle below (which scans finalists
+            # only), while the >= cert in _phase2_from_finalists still
+            # passes when seg_last == kth. Require seg_last > kth so any
+            # possibly-hidden equal-distance candidate flags the row for
+            # exact rescue.
+            sl_t = jnp.transpose(regs_v[-1], (1, 0))  # [128, TQ]
+            strict = jnp.min(
+                jnp.where(sl_t > kth, jnp.float32(1.0), jnp.float32(0.0)),
+                axis=0,
+                keepdims=True,
+            )
+            ok = ok * strict
+            kth_col = jnp.transpose(kth, (1, 0))  # [128, 1], same values
 
-        out_ref[0:1, :] = rowsum(m1x)
-        out_ref[1:2, :] = rowsum(m1y)
-        out_ref[2:3, :] = rowsum(m1z)
-        out_ref[3:4, :] = rowsum(mxx)
-        out_ref[4:5, :] = rowsum(myy)
-        out_ref[5:6, :] = rowsum(mzz)
-        out_ref[6:7, :] = rowsum(mxy)
-        out_ref[7:8, :] = rowsum(mxz)
-        out_ref[8:9, :] = rowsum(myz)
-        out_ref[9:10, :] = rowsum(cle)
-        out_ref[10:11, :] = count
-        out_ref[11:12, :] = kth
-        out_ref[12:13, :] = ok
-        out_ref[13:14, :] = jnp.zeros((1, 128), jnp.float32)
-        out_ref[14:15, :] = jnp.zeros((1, 128), jnp.float32)
-        out_ref[15:16, :] = jnp.zeros((1, 128), jnp.float32)
+            # Moments over finalists with d2 <= kth (inclusive: extracted
+            # set plus any finalist tied at kth; count_le > count flags the
+            # row).
+            z = jnp.zeros((128, 128), jnp.float32)
+            m1x = z; m1y = z; m1z = z
+            mxx = z; myy = z; mzz = z
+            mxy = z; mxz = z; myz = z
+            cle = z
+            for lvl in range(per_seg):
+                v = regs_v[lvl]
+                m = jnp.where(
+                    jnp.logical_and(jnp.isfinite(v), v <= kth_col),
+                    jnp.float32(1.0),
+                    jnp.float32(0.0),
+                )
+                rx = regs_p[0][lvl] * m
+                ry = regs_p[1][lvl] * m
+                rz = regs_p[2][lvl] * m
+                cle = cle + m
+                m1x = m1x + rx; m1y = m1y + ry; m1z = m1z + rz
+                mxx = mxx + rx * rx; myy = myy + ry * ry; mzz = mzz + rz * rz
+                mxy = mxy + rx * ry; mxz = mxz + rx * rz; myz = myz + ry * rz
+
+            def rowsum(a):  # [128q, 128] -> [1, 128q]
+                return jnp.transpose(
+                    jnp.sum(a, axis=1, keepdims=True), (1, 0)
+                )
+
+            out_ref[0:1, :] = rowsum(m1x)
+            out_ref[1:2, :] = rowsum(m1y)
+            out_ref[2:3, :] = rowsum(m1z)
+            out_ref[3:4, :] = rowsum(mxx)
+            out_ref[4:5, :] = rowsum(myy)
+            out_ref[5:6, :] = rowsum(mzz)
+            out_ref[6:7, :] = rowsum(mxy)
+            out_ref[7:8, :] = rowsum(mxz)
+            out_ref[8:9, :] = rowsum(myz)
+            out_ref[9:10, :] = rowsum(cle)
+            out_ref[10:11, :] = count
+            out_ref[11:12, :] = kth
+            out_ref[12:13, :] = ok
+            out_ref[13:14, :] = jnp.zeros((1, 128), jnp.float32)
+            out_ref[14:15, :] = jnp.zeros((1, 128), jnp.float32)
+            out_ref[15:16, :] = jnp.zeros((1, 128), jnp.float32)
 
     return kernel
 
@@ -885,23 +1046,31 @@ def sweep_moments(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 3,
 
     nr, nch, width = pts_planar.shape
     nb = starts.shape[0]
-    nshift = starts.shape[1] // 2
+    nshift = (starts.shape[1] - 1) // 3
     assert (nch, width) == (4, 128) and nb <= nr and nr >= wr, (
         pts_planar.shape,
         starts.shape,
     )
-    starts = jnp.transpose(starts)  # [2S, NB]
-    kern = _sweep_moments_kernel(k, wr, per_seg, nshift)
+    starts = jnp.transpose(starts)  # [3S+1, NB]
+    resident = nr * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES
+    kern = _sweep_moments_kernel(k, wr, per_seg, nshift, resident)
     z = np.int32(0)
+    pts_spec = (
+        pl.BlockSpec((nr, 4, 128), lambda b, starts_ref: (z, z, z))
+        if resident
+        else pl.BlockSpec(memory_space=pl.ANY)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 4, 128), lambda b, starts_ref: (b, z, z)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pts_spec,
         ],
         out_specs=pl.BlockSpec((16, 128), lambda b, starts_ref: (z, b)),
-        scratch_shapes=[
+        scratch_shapes=[]
+        if resident
+        else [
             pltpu.VMEM((2 * nshift * wr, 4, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, nshift)),
         ],
@@ -934,6 +1103,7 @@ def _count_within_kernel(wr: int, nshift: int):
     def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
         b = pl.program_id(0)
         nb = pl.num_programs(0)
+        bv = starts_ref[3 * nshift, b]
 
         def dma(blk, j, slot):
             st = starts_ref[j, blk]
@@ -943,52 +1113,69 @@ def _count_within_kernel(wr: int, nshift: int):
                 sems.at[slot, jnp.int32(j)],
             )
 
-        @pl.when(b == jnp.int32(0))
+        @pl.when(jnp.logical_and(b == jnp.int32(0), bv != 0))
         def _():
             for j in range(nshift):
                 dma(jnp.int32(0), j, jnp.int32(0)).start()
 
-        @pl.when(b + jnp.int32(1) < nb)
+        nxt_b = jnp.minimum(b + jnp.int32(1), nb - jnp.int32(1))
+
+        @pl.when(
+            jnp.logical_and(
+                b + jnp.int32(1) < nb, starts_ref[3 * nshift, nxt_b] != 0
+            )
+        )
         def _():
             nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
             for j in range(nshift):
-                dma(b + jnp.int32(1), j, nxt).start()
+                dma(nxt_b, j, nxt).start()
 
-        slot = jax.lax.rem(b, jnp.int32(2))
-        for j in range(nshift):
-            dma(b, j, slot).wait()
+        @pl.when(bv == 0)
+        def _():
+            out_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32)
 
-        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
-        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
-        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
-        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))  # r2 or 0
+        @pl.when(bv != 0)
+        def _():
+            slot = jax.lax.rem(b, jnp.int32(2))
+            for j in range(nshift):
+                dma(b, j, slot).wait()
 
-        cnt = jnp.zeros((128, 128), jnp.float32)
-        base = slot * jnp.int32(nwin)
-        for j in range(nshift):
-            sk = starts_ref[nshift + j, b]
-            for r in range(wr):
-                row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
-                cx = row[0, 0:1, :]
-                cy = row[0, 1:2, :]
-                cz = row[0, 2:3, :]
-                cw = row[0, 3:4, :]  # r2 (valid) or 0
-                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-                keep = jnp.where(
-                    jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
-                )
-                hit = jnp.where(
-                    jnp.logical_and(
-                        jnp.logical_and(qm > 0.0, cw > 0.0), d2 <= cw
-                    ),
-                    keep,
-                    jnp.float32(0.0),
-                )
-                cnt = cnt + hit
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+            qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+            qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+            qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))  # r2 or 0
 
-        out_ref[0:1, :] = jnp.transpose(
-            jnp.sum(cnt, axis=1, keepdims=True), (1, 0)
-        )
+            cnt = jnp.zeros((128, 128), jnp.float32)
+            base = slot * jnp.int32(nwin)
+            for j in range(nshift):
+                sk = starts_ref[nshift + j, b]
+                ln = starts_ref[2 * nshift + j, b]
+                for r in range(wr):
+                    row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
+                    cx = row[0, 0:1, :]
+                    cy = row[0, 1:2, :]
+                    cz = row[0, 2:3, :]
+                    cw = row[0, 3:4, :]  # r2 (valid) or 0
+                    d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                    keep = jnp.where(
+                        jnp.logical_and(
+                            jnp.int32(r) >= sk, jnp.int32(r) < ln
+                        ),
+                        jnp.float32(1.0),
+                        jnp.float32(0.0),
+                    )
+                    hit = jnp.where(
+                        jnp.logical_and(
+                            jnp.logical_and(qm > 0.0, cw > 0.0), d2 <= cw
+                        ),
+                        keep,
+                        jnp.float32(0.0),
+                    )
+                    cnt = cnt + hit
+
+            out_ref[0:1, :] = jnp.transpose(
+                jnp.sum(cnt, axis=1, keepdims=True), (1, 0)
+            )
 
     return kernel
 
@@ -1004,7 +1191,7 @@ def count_within(pts_planar, starts, *, wr: int = 4, interpret: bool = False):
 
     nr, nch, width = pts_planar.shape
     nb = starts.shape[0]
-    nshift = starts.shape[1] // 2
+    nshift = (starts.shape[1] - 1) // 3
     assert (nch, width) == (4, 128) and nb <= nr and nr >= wr, (
         pts_planar.shape,
         starts.shape,
@@ -1088,6 +1275,8 @@ def _sweep_knn_kernel(k: int, wr: int, per_seg: int, nshift: int):
     def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
         b = pl.program_id(0)
         nb = pl.num_programs(0)
+        bv = starts_ref[3 * nshift, b]
+        big = jnp.float32(jnp.inf)
 
         def dma(blk, j, slot):
             st = starts_ref[j, blk]
@@ -1097,107 +1286,139 @@ def _sweep_knn_kernel(k: int, wr: int, per_seg: int, nshift: int):
                 sems.at[slot, jnp.int32(j)],
             )
 
-        @pl.when(b == jnp.int32(0))
+        @pl.when(jnp.logical_and(b == jnp.int32(0), bv != 0))
         def _():
             for j in range(nshift):
                 dma(jnp.int32(0), j, jnp.int32(0)).start()
 
-        @pl.when(b + jnp.int32(1) < nb)
+        nxt_b = jnp.minimum(b + jnp.int32(1), nb - jnp.int32(1))
+
+        @pl.when(
+            jnp.logical_and(
+                b + jnp.int32(1) < nb, starts_ref[3 * nshift, nxt_b] != 0
+            )
+        )
         def _():
             nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
             for j in range(nshift):
-                dma(b + jnp.int32(1), j, nxt).start()
+                dma(nxt_b, j, nxt).start()
 
-        slot = jax.lax.rem(b, jnp.int32(2))
-        for j in range(nshift):
-            dma(b, j, slot).wait()
+        @pl.when(bv == 0)
+        def _():
+            z = jnp.zeros((1, 128), jnp.float32)
+            for i in range(k):
+                out_ref[i : i + 1, :] = z + big
+                out_ref[k + i : k + i + 1, :] = z - jnp.float32(1.0)
+            out_ref[2 * k : 2 * k + 1, :] = z
+            out_ref[2 * k + 1 : 2 * k + 2, :] = z
+            out_ref[2 * k + 2 : 2 * k + 3, :] = z + jnp.float32(1.0)
 
-        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
-        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
-        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
-        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+        @pl.when(bv != 0)
+        def _():
+            slot = jax.lax.rem(b, jnp.int32(2))
+            for j in range(nshift):
+                dma(b, j, slot).wait()
 
-        big = jnp.float32(jnp.inf)
-        base = slot * jnp.int32(nwin)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
-            jnp.float32
-        )  # (f32 iota is not a legal tpu.iota result type)
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+            qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+            qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+            qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
 
-        regs_v = [jnp.full((128, 128), big) for _ in range(per_seg)]
-        regs_i = [jnp.full((128, 128), jnp.float32(-1.0)) for _ in range(per_seg)]
-        cnt = jnp.zeros((128, 128), jnp.float32)
-        for j in range(nshift):
-            sk = starts_ref[nshift + j, b]
-            for r in range(wr):
-                st = starts_ref[j, b]
-                row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
-                cx = row[0, 0:1, :]
-                cy = row[0, 1:2, :]
-                cz = row[0, 2:3, :]
-                cw = row[0, 3:4, :]
-                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-                keep = jnp.where(
-                    jnp.int32(r) >= sk, jnp.float32(1.0), jnp.float32(0.0)
+            base = slot * jnp.int32(nwin)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+                jnp.float32
+            )  # (f32 iota is not a legal tpu.iota result type)
+
+            regs_v = [jnp.full((128, 128), big) for _ in range(per_seg)]
+            regs_i = [
+                jnp.full((128, 128), jnp.float32(-1.0)) for _ in range(per_seg)
+            ]
+            cnt = jnp.zeros((128, 128), jnp.float32)
+            for j in range(nshift):
+                sk = starts_ref[nshift + j, b]
+                ln = starts_ref[2 * nshift + j, b]
+                for r in range(wr):
+                    st = starts_ref[j, b]
+                    row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
+                    cx = row[0, 0:1, :]
+                    cy = row[0, 1:2, :]
+                    cz = row[0, 2:3, :]
+                    cw = row[0, 3:4, :]
+                    d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                    keep = jnp.where(
+                        jnp.logical_and(
+                            jnp.int32(r) >= sk, jnp.int32(r) < ln
+                        ),
+                        jnp.float32(1.0),
+                        jnp.float32(0.0),
+                    )
+                    pair = qm * cw * keep
+                    w = jnp.where(pair > 0.5, d2, big)
+                    gidx = (
+                        (st + jnp.int32(r)).astype(jnp.float32)
+                        * jnp.float32(128.0)
+                        + lane
+                    )  # [1, 128] global sorted position, exact-int f32
+                    regs_v, regs_i = _insert_smallest_with_idx(
+                        regs_v, regs_i, w, gidx + 0.0 * d2
+                    )
+                    cnt = cnt + jnp.where(pair > 0.5, jnp.float32(1.0), 0.0)
+
+            count_all = jnp.sum(
+                jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True
+            )
+            seg_last = regs_v[-1]
+
+            fv = jnp.concatenate(
+                [jnp.transpose(x, (1, 0)) for x in regs_v], axis=0
+            )  # [per_seg*128, 128]
+            fi = jnp.concatenate(
+                [jnp.transpose(x, (1, 0)) for x in regs_i], axis=0
+            )
+            nf = per_seg * 128
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nf, 128), 0)
+
+            # Phase 2 unrolled with STATIC output rows: dynamic-index
+            # stores (out_ref[pl.ds(traced_i)]) trip a Mosaic masked-swap
+            # lowering bug.
+            zf = jnp.zeros((1, 128), jnp.float32)
+            fw, fidx, count, kth = fv, fi, zf, zf
+            for i in range(k):
+                mn = jnp.min(fw, axis=0, keepdims=True)
+                ok = jnp.isfinite(mn)
+                am = jnp.min(
+                    jnp.where(fw == mn, rows, jnp.int32(nf)),
+                    axis=0,
+                    keepdims=True,
                 )
-                pair = qm * cw * keep
-                w = jnp.where(pair > 0.5, d2, big)
-                gidx = (
-                    (st + jnp.int32(r)).astype(jnp.float32) * jnp.float32(128.0)
-                    + lane
-                )  # [1, 128] global sorted position, exact-int f32
-                regs_v, regs_i = _insert_smallest_with_idx(
-                    regs_v, regs_i, w, gidx + 0.0 * d2
+                hitm = jnp.where(
+                    rows == am, jnp.float32(1.0), jnp.float32(0.0)
                 )
-                cnt = cnt + jnp.where(pair > 0.5, jnp.float32(1.0), 0.0)
+                idx_val = jnp.sum(hitm * fidx, axis=0, keepdims=True)
+                out_ref[i : i + 1, :] = jnp.where(
+                    ok, jnp.sqrt(jnp.maximum(mn, 0.0)), big
+                )
+                out_ref[k + i : k + i + 1, :] = jnp.where(
+                    ok, idx_val, jnp.float32(-1.0)
+                )
+                count = count + jnp.where(ok, jnp.float32(1.0), 0.0)
+                kth = jnp.where(ok, mn, kth)
+                fw = jnp.where(rows == am, big, fw)
 
-        count_all = jnp.sum(jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True)
-        seg_last = regs_v[-1]
-
-        fv = jnp.concatenate(
-            [jnp.transpose(x, (1, 0)) for x in regs_v], axis=0
-        )  # [per_seg*128, 128]
-        fi = jnp.concatenate(
-            [jnp.transpose(x, (1, 0)) for x in regs_i], axis=0
-        )
-        nf = per_seg * 128
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nf, 128), 0)
-
-        # Phase 2 unrolled with STATIC output rows: dynamic-index stores
-        # (out_ref[pl.ds(traced_i)]) trip a Mosaic masked-swap lowering bug.
-        zf = jnp.zeros((1, 128), jnp.float32)
-        fw, fidx, count, kth = fv, fi, zf, zf
-        for i in range(k):
-            mn = jnp.min(fw, axis=0, keepdims=True)
-            ok = jnp.isfinite(mn)
-            am = jnp.min(
-                jnp.where(fw == mn, rows, jnp.int32(nf)), axis=0, keepdims=True
+            sl_t = jnp.transpose(seg_last, (1, 0))
+            cert1 = jnp.min(
+                jnp.where(sl_t >= kth, jnp.float32(1.0), jnp.float32(0.0)),
+                axis=0,
+                keepdims=True,
             )
-            hitm = jnp.where(rows == am, jnp.float32(1.0), jnp.float32(0.0))
-            idx_val = jnp.sum(hitm * fidx, axis=0, keepdims=True)
-            out_ref[i : i + 1, :] = jnp.where(
-                ok, jnp.sqrt(jnp.maximum(mn, 0.0)), big
+            cert2 = jnp.where(
+                count >= jnp.minimum(jnp.float32(k), count_all),
+                jnp.float32(1.0),
+                jnp.float32(0.0),
             )
-            out_ref[k + i : k + i + 1, :] = jnp.where(
-                ok, idx_val, jnp.float32(-1.0)
-            )
-            count = count + jnp.where(ok, jnp.float32(1.0), 0.0)
-            kth = jnp.where(ok, mn, kth)
-            fw = jnp.where(rows == am, big, fw)
-
-        sl_t = jnp.transpose(seg_last, (1, 0))
-        cert1 = jnp.min(
-            jnp.where(sl_t >= kth, jnp.float32(1.0), jnp.float32(0.0)),
-            axis=0,
-            keepdims=True,
-        )
-        cert2 = jnp.where(
-            count >= jnp.minimum(jnp.float32(k), count_all),
-            jnp.float32(1.0),
-            jnp.float32(0.0),
-        )
-        out_ref[2 * k : 2 * k + 1, :] = count
-        out_ref[2 * k + 1 : 2 * k + 2, :] = kth
-        out_ref[2 * k + 2 : 2 * k + 3, :] = cert1 * cert2
+            out_ref[2 * k : 2 * k + 1, :] = count
+            out_ref[2 * k + 1 : 2 * k + 2, :] = kth
+            out_ref[2 * k + 2 : 2 * k + 3, :] = cert1 * cert2
 
     return kernel
 
@@ -1215,7 +1436,7 @@ def sweep_knn_select(pts_planar, starts, *, k: int, wr: int = 4,
 
     nr, nch, width = pts_planar.shape
     nb = starts.shape[0]
-    nshift = starts.shape[1] // 2
+    nshift = (starts.shape[1] - 1) // 3
     assert (nch, width) == (4, 128) and nb <= nr and nr >= wr, (
         pts_planar.shape,
         starts.shape,

@@ -40,6 +40,14 @@ from .cellgrid import _segmented_smallest_k
 SWEEP_TABLE_SIZE = 1 << 21  # dense cell table (i32, 8 MB)
 NSHIFT = 9
 
+# VMEM-residency gates for the kernels that hold the WHOLE planar cloud in
+# VMEM (cluster_propagate: 32 B/point over 8 channels; rescue_select:
+# 16 B/point over 4). Beyond these the remote Mosaic compile fails with a
+# VMEM error instead of degrading, so the entry points route to the XLA
+# mirrors (same math, HBM-streamed) above the threshold.
+CLUSTER_RESIDENT_BYTES = 32 * 1024 * 1024  # ~1M points
+RESCUE_RESIDENT_BYTES = 32 * 1024 * 1024  # ~2M points
+
 
 def _shift_offsets(extent):
     """[9] linear-id offsets for the (dx, dy) in {-1,0,1}^2 shifts."""
@@ -51,14 +59,17 @@ def _shift_offsets(extent):
 
 
 def _window_starts(slin_p, suse_p, extent, nrows, nb, wr, table_size):
-    """Per-block window start rows, dedup skip counts, and the per-block
-    length certificate, for 128-query blocks of the cell-sorted array.
+    """Per-block window start rows, dedup skip counts, window LENGTHS, and
+    the per-block length certificate, for 128-query blocks of the
+    cell-sorted array.
 
-    Returns (starts_skip i32[NB, 18], block_ok bool[NB]). See the module
-    docstring for the window construction; `starts_skip` packs the 9 start
-    rows and the 9 dedup skip counts the kernels consume.
+    Returns (starts_pack i32[NB, 3*NSHIFT + 1], block_ok bool[NB]):
+    columns [0, S) window start rows, [S, 2S) dedup skip counts, [2S, 3S)
+    window lengths in rows, [3S] = 1 iff the block holds any valid query.
+    A window covers sorted rows [start + skip, start + len); fully-invalid
+    blocks get zero-length windows and a 0 valid flag, so kernels skip
+    them entirely.
     """
-    prefix_len = table_size + 2
     pos = jnp.arange(nrows * 128, dtype=jnp.int32)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), slin_p[1:] != slin_p[:-1]]
@@ -70,12 +81,11 @@ def _window_starts(slin_p, suse_p, extent, nrows, nb, wr, table_size):
     )
     raw = jnp.concatenate([raw, jnp.array([slin_p.shape[0]], jnp.int32)])
     prefix = jax.lax.cummin(raw, axis=0, reverse=True)  # [table_size + 2]
-    del prefix_len
 
     lo = slin_p[: nb * 128].reshape(nb, 128)[:, 0]
     hi = slin_p[: nb * 128].reshape(nb, 128)[:, -1]
-    # Fully-invalid blocks (lo == sentinel) get harmless clamped windows;
-    # their queries are masked out by w = 0 anyway.
+    # Fully-invalid blocks (lo == sentinel) get empty windows below (their
+    # needed span clamps to first >= last), and flag 0.
     sh = _shift_offsets(extent)  # [9]
     a = jnp.clip(lo[:, None] + sh[None, :] - 1, 0, table_size)  # [NB, 9]
     zhi = jnp.clip(hi[:, None] + sh[None, :] + 1, 0, table_size)
@@ -92,20 +102,35 @@ def _window_starts(slin_p, suse_p, extent, nrows, nb, wr, table_size):
     win_ok = jnp.logical_or(win_ok, first_row >= last_row)
     block_ok = jnp.all(win_ok, axis=1)  # [NB]
 
+    # Window length: rows actually containing the needed span. The
+    # certificate above guarantees [first_row, last_row) fits in
+    # [start*128, (start+len)*128) whenever len < wr didn't clip it; when
+    # the span overflows wr rows, len = wr and block_ok is already False.
+    need_end = jnp.clip(-((-last_row) // 128) - start, 0, wr)
+    length = jnp.where(first_row >= last_row, 0, need_end).astype(jnp.int32)
+
     # Deduplicate overlapping windows: adjacent shifts can produce
     # overlapping windows (e.g. dy-neighbors differ by only extent[2]
     # linear ids) and a duplicated candidate would be DOUBLE-COUNTED by a
     # k-smallest extraction — an exactness bug, not just wasted work. The
     # shift offsets are ascending, so window starts are non-decreasing in
-    # j; masking each window's rows that a previous window already covers
-    # makes the candidate multiset a set again (the masked rows remain
-    # present as earlier windows' rows).
-    cover_end = jax.lax.cummax(start + wr, axis=1)  # rows covered by <= j
+    # j; masking each window's rows that a previous window already READ
+    # (cummax of start + len — the actual read end, now that windows stop
+    # at their length) keeps the candidate multiset a set.
+    cover_end = jax.lax.cummax(start + length, axis=1)  # rows read by <= j
     prev_end = jnp.concatenate(
         [jnp.zeros((nb, 1), jnp.int32), cover_end[:, :-1]], axis=1
     )
     skip = jnp.clip(prev_end - start, 0, wr).astype(jnp.int32)  # [NB, 9]
-    return jnp.concatenate([start, skip], axis=1), block_ok
+
+    has_valid = (
+        jnp.any(suse_p[: nb * 128].reshape(nb, 128), axis=1)
+        .astype(jnp.int32)[:, None]
+    )
+    return (
+        jnp.concatenate([start, skip, length, has_valid], axis=1),
+        block_ok,
+    )
 
 
 def _sweep_pass1(
@@ -124,65 +149,12 @@ def _sweep_pass1(
     + certificates. Returns a dict with the results AND the reusable sorted
     structure (planar array, permutations) for the rescue pass."""
     n = xyz.shape[0]
-    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
-    use = jnp.logical_and(valid, finite)
     kp1 = k + 1
-
-    # ── Cell ids (mirrors cellgrid.build_cellgrid:87-104) ──
-    c = jnp.floor(xyz / cell_size)
-    c = jnp.clip(c, -1e9, 1e9).astype(jnp.int32)
-    big32 = jnp.int32(2**30)
-    mn = jnp.min(jnp.where(use[:, None], c, big32), axis=0)
-    mn = jnp.minimum(mn, big32 - 1)
-    rel = jnp.clip(c - mn[None, :], 0, None)
-    mx = jnp.max(jnp.where(use[:, None], rel, 0), axis=0)
-    extent = mx + 1
-    ext64 = extent.astype(jnp.int64)
-    lin64 = (
-        rel[:, 0].astype(jnp.int64) * ext64[1] + rel[:, 1].astype(jnp.int64)
-    ) * ext64[2] + rel[:, 2].astype(jnp.int64)
-    table_overflow = (ext64[0] * ext64[1] * ext64[2]) > table_size
-    lin = jnp.where(use, jnp.clip(lin64, 0, table_size - 1), table_size).astype(
-        jnp.int32
-    )
-
-    # ── Sort + planar pack ──
-    order = jnp.argsort(lin, stable=True)
-    slin = jnp.take(lin, order)
-    sxyz = jnp.take(xyz, order, axis=0)
-    suse = slin < table_size
-    sxyz = jnp.where(suse[:, None], sxyz, 0.0)
-
-    pad = (-n) % 128
-    npad = n + pad
-    if pad:
-        slin_p = jnp.concatenate([slin, jnp.full((pad,), table_size, jnp.int32)])
-        sxyz_p = jnp.concatenate([sxyz, jnp.zeros((pad, 3), jnp.float32)])
-        suse_p = jnp.concatenate([suse, jnp.zeros((pad,), bool)])
-    else:
-        slin_p, sxyz_p, suse_p = slin, sxyz, suse
-    nrows = max(npad // 128, wr)
-    rpad = nrows * 128 - npad
-    if rpad:
-        slin_p = jnp.concatenate([slin_p, jnp.full((rpad,), table_size, jnp.int32)])
-        sxyz_p = jnp.concatenate([sxyz_p, jnp.zeros((rpad, 3), jnp.float32)])
-        suse_p = jnp.concatenate([suse_p, jnp.zeros((rpad,), bool)])
-    nb = npad // 128
-
-    planar = jnp.stack(
-        [
-            sxyz_p[:, 0].reshape(nrows, 128),
-            sxyz_p[:, 1].reshape(nrows, 128),
-            sxyz_p[:, 2].reshape(nrows, 128),
-            suse_p.astype(jnp.float32).reshape(nrows, 128),
-        ],
-        axis=1,
-    )  # [NR, 4, 128] (channels on sublanes: see sweep_select docstring)
-
-    # ── Window starts + dedup + length certificate ──
-    starts_skip, block_ok = _window_starts(
-        slin_p, suse_p, extent, nrows, nb, wr, table_size
-    )
+    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    planar = s["planar"]
+    starts_skip = s["starts_skip"]
+    order, inv, use = s["order"], s["inv"], s["use"]
+    mn, extent, table_overflow = s["mn"], s["extent"], s["table_overflow"]
 
     # ── Fused selection ──
     if use_kernel:
@@ -198,14 +170,7 @@ def _sweep_pass1(
             planar, starts_skip, k=kp1, wr=wr, per_seg=per_seg
         )
 
-    ok_sorted = jnp.logical_and(seg_ok, jnp.repeat(block_ok, 128))
-
-    # ── Unsort (outputs are npad-long in sorted order) ──
-    inv = (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(jnp.arange(n, dtype=jnp.int32))
-    )
+    ok_sorted = jnp.logical_and(seg_ok, jnp.repeat(s["block_ok"], 128))
 
     def unsort(arr):
         return jnp.take(arr[:n], inv)
@@ -223,7 +188,12 @@ def _sweep_pass1(
         jnp.inf,
     )
     n_valid_total = jnp.sum(use.astype(jnp.int32))
-    want = jnp.minimum(kp1, n_valid_total)
+    # max(.., 2): a padded cloud with exactly ONE valid point must FAIL
+    # certification (count=1 < want=2) and reach the callers' brute rescue,
+    # which reproduces the reference's use-self-distance-as-is semantics
+    # (mean 0, point kept; ref statistical_outlier.rs "if only one result
+    # exists, use as-is") instead of certifying mean=+inf here.
+    want = jnp.minimum(kp1, jnp.maximum(n_valid_total, 2))
     mean = jnp.where(count >= want, mean, jnp.inf)
     mean = jnp.where(use, mean, jnp.inf)
 
@@ -306,11 +276,13 @@ def _sweep_select_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
     segmented selection (`cellgrid._segmented_smallest_k`), for CPU runs
     and differential tests."""
     nb = starts_skip.shape[0]
-    nshift = starts_skip.shape[1] // 2
+    nshift = (starts_skip.shape[1] - 1) // 3
 
     def block_fn(args):
-        ss, qrow = args  # ss i32[18], qrow f32[4, 128]
-        st, sk = ss[:nshift], ss[nshift:]
+        ss, qrow = args  # ss i32[3S+1], qrow f32[4, 128]
+        st = ss[:nshift]
+        sk = ss[nshift : 2 * nshift]
+        ln = ss[2 * nshift : 3 * nshift]
         qx = qrow[0]
         qy = qrow[1]
         qz = qrow[2]
@@ -322,9 +294,10 @@ def _sweep_select_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
             )
 
         wins = jax.vmap(win_fn)(st)  # [9, wr, 4, 128]
-        rkeep = (
-            jnp.arange(wr, dtype=jnp.int32)[None, :] >= sk[:, None]
-        )  # [9, wr] dedup row mask
+        rr = jnp.arange(wr, dtype=jnp.int32)[None, :]
+        rkeep = jnp.logical_and(
+            rr >= sk[:, None], rr < ln[:, None]
+        )  # [9, wr] dedup + length row mask
         cx = wins[:, :, 0, :].reshape(-1)
         cy = wins[:, :, 1, :].reshape(-1)
         cz = wins[:, :, 2, :].reshape(-1)
@@ -513,6 +486,9 @@ def sweep_sor_two_pass(
     )
     active = jnp.concatenate([counts[:, None], act], axis=1)  # [QB, 1+NG]
 
+    # Residency gate: rescue_select holds planar_g fully in VMEM.
+    if use_kernel and planar_g.shape[0] * 4 * 128 * 4 > RESCUE_RESIDENT_BYTES:
+        use_kernel = False
     if use_kernel:
         from .pallas_kernels import rescue_select
 
@@ -631,77 +607,42 @@ def sweep_cluster_labels(
     """
     n = xyz.shape[0]
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
-    use = jnp.logical_and(valid, finite)
+    use_pre = jnp.logical_and(valid, finite)
 
     # Sort cell: one cluster radius plus the floor-rounding margin, so the
     # 27-cell neighborhood provably contains every within-radius candidate.
-    hi_abs = jnp.max(jnp.where(use[:, None], jnp.abs(xyz), 0.0))
+    hi_abs = jnp.max(jnp.where(use_pre[:, None], jnp.abs(xyz), 0.0))
     cell_size = radius * 1.00002 + hi_abs * 6e-7 + 1e-7
 
-    c = jnp.floor(xyz / cell_size)
-    c = jnp.clip(c, -1e9, 1e9).astype(jnp.int32)
-    big32 = jnp.int32(2**30)
-    mn = jnp.min(jnp.where(use[:, None], c, big32), axis=0)
-    mn = jnp.minimum(mn, big32 - 1)
-    rel = jnp.clip(c - mn[None, :], 0, None)
-    mx = jnp.max(jnp.where(use[:, None], rel, 0), axis=0)
-    extent = mx + 1
-    ext64 = extent.astype(jnp.int64)
-    lin64 = (
-        rel[:, 0].astype(jnp.int64) * ext64[1] + rel[:, 1].astype(jnp.int64)
-    ) * ext64[2] + rel[:, 2].astype(jnp.int64)
-    table_overflow = (ext64[0] * ext64[1] * ext64[2]) > table_size
-    lin = jnp.where(use, jnp.clip(lin64, 0, table_size - 1), table_size).astype(
-        jnp.int32
-    )
-
-    order = jnp.argsort(lin, stable=True)
-    slin = jnp.take(lin, order)
-    sxyz = jnp.take(xyz, order, axis=0)
-    suse = slin < table_size
-    sxyz = jnp.where(suse[:, None], sxyz, 0.0)
-
-    pad = (-n) % 128
-    npad = n + pad
-    if pad:
-        slin_p = jnp.concatenate([slin, jnp.full((pad,), table_size, jnp.int32)])
-        sxyz_p = jnp.concatenate([sxyz, jnp.zeros((pad, 3), jnp.float32)])
-        suse_p = jnp.concatenate([suse, jnp.zeros((pad,), bool)])
-    else:
-        slin_p, sxyz_p, suse_p = slin, sxyz, suse
-    nrows = max(npad // 128, wr)
-    rpad = nrows * 128 - npad
-    if rpad:
-        slin_p = jnp.concatenate([slin_p, jnp.full((rpad,), table_size, jnp.int32)])
-        sxyz_p = jnp.concatenate([sxyz_p, jnp.zeros((rpad, 3), jnp.float32)])
-        suse_p = jnp.concatenate([suse_p, jnp.zeros((rpad,), bool)])
-    nb = npad // 128
+    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    planar = s["planar"]
+    starts_skip = s["starts_skip"]
+    order, use = s["order"], s["use"]
+    nrows, nb = s["nrows"], s["nb"]
     nall = nrows * 128
+    suse_p = planar[:, 3, :].reshape(-1) > 0.5
 
-    starts_skip, block_ok = _window_starts(
-        slin_p, suse_p, extent, nrows, nb, wr, table_size
-    )
     exact = jnp.logical_and(
-        jnp.all(block_ok[: nb]), jnp.logical_not(table_overflow)
+        jnp.all(s["block_ok"][:nb]), jnp.logical_not(s["table_overflow"])
     )
 
     r2 = jnp.float32(radius) * jnp.float32(radius)
-    base6 = jnp.stack(
+    base6 = jnp.concatenate(
         [
-            sxyz_p[:, 0].reshape(nrows, 128),
-            sxyz_p[:, 1].reshape(nrows, 128),
-            sxyz_p[:, 2].reshape(nrows, 128),
-            suse_p.astype(jnp.float32).reshape(nrows, 128),
-            jnp.zeros((nrows, 128), jnp.float32),  # label (per iteration)
-            jnp.full((nrows, 128), r2, jnp.float32),
-            jnp.zeros((nrows, 128), jnp.float32),
-            jnp.zeros((nrows, 128), jnp.float32),
+            planar,  # [x, y, z, w]
+            jnp.zeros((nrows, 1, 128), jnp.float32),  # label (per iteration)
+            jnp.full((nrows, 1, 128), r2, jnp.float32),
+            jnp.zeros((nrows, 2, 128), jnp.float32),
         ],
         axis=1,
     )  # [NR, 8, 128]
 
     lab0 = jnp.arange(nall, dtype=jnp.int32)
 
+    # Residency gate: cluster_propagate holds the 8-channel planar array
+    # fully in VMEM (32 B/point); beyond the gate the XLA mirror streams it.
+    if use_kernel and nrows * 8 * 128 * 4 > CLUSTER_RESIDENT_BYTES:
+        use_kernel = False
     if use_kernel:
         from .pallas_kernels import cluster_propagate
 
@@ -765,12 +706,7 @@ def sweep_cluster_labels(
     )
     rep_sorted = jnp.take(min_row, jnp.clip(lab, 0, nall - 1))  # [nall]
 
-    inv = (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(jnp.arange(n, dtype=jnp.int32))
-    )
-    plab = jnp.take(rep_sorted[:n], inv)
+    plab = jnp.take(rep_sorted[:n], s["inv"])
     own = jnp.arange(n, dtype=jnp.int32)
     labels = jnp.where(jnp.logical_and(use, plab < n), plab, own)
     return labels, exact
@@ -779,12 +715,13 @@ def sweep_cluster_labels(
 def _cluster_propagate_xla(planar8, starts_skip, *, wr: int):
     """XLA mirror of `pallas_kernels.cluster_propagate`."""
     nb = starts_skip.shape[0]
-    nshift = starts_skip.shape[1] // 2
+    nshift = (starts_skip.shape[1] - 1) // 3
     biglab = jnp.float32(float(1 << 25))
 
     def block_fn(args):
         ss, qrow = args
         st = ss[:nshift]
+        ln = ss[2 * nshift : 3 * nshift]
         qx, qy, qz = qrow[0], qrow[1], qrow[2]
         qm = qrow[3] > 0.5
         qlab = qrow[4]
@@ -796,10 +733,13 @@ def _cluster_propagate_xla(planar8, starts_skip, *, wr: int):
             )
 
         wins = jax.vmap(win_fn)(st)  # [9, wr, 8, 128]
+        rr = jnp.arange(wr, dtype=jnp.int32)[None, :]
+        rkeep = (rr < ln[:, None])[:, :, None]  # length mask (skip unused
+        # for min-propagation: duplicated candidates are harmless to min)
         cx = wins[:, :, 0, :].reshape(-1)
         cy = wins[:, :, 1, :].reshape(-1)
         cz = wins[:, :, 2, :].reshape(-1)
-        cw = wins[:, :, 3, :].reshape(-1) > 0.5
+        cw = jnp.logical_and(wins[:, :, 3, :] > 0.5, rkeep).reshape(-1)
         clab = wins[:, :, 4, :].reshape(-1)
         d2 = (
             (qx[:, None] - cx[None, :]) ** 2
@@ -821,11 +761,11 @@ def _cluster_propagate_xla(planar8, starts_skip, *, wr: int):
 
 
 def _sorted_structure(xyz, valid, cell_size, wr, table_size):
-    """Sort, pack, and window-compute: the shared front half of every sweep.
+    """Sort, pack, and window-compute: the shared front half of every sweep
+    (SOR pass 1, clustering, moments, KNN, radius count all route here).
 
     Returns a dict with the planar array, permutation, window starts, and
-    grid metadata. (The SOR/cluster entry points predate this helper and
-    keep their inline copies.)"""
+    grid metadata."""
     n = xyz.shape[0]
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     use = jnp.logical_and(valid, finite)
@@ -979,11 +919,13 @@ def sweep_knn_moments(
 def _sweep_moments_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
     """XLA mirror of `pallas_kernels.sweep_moments`."""
     nb = starts_skip.shape[0]
-    nshift = starts_skip.shape[1] // 2
+    nshift = (starts_skip.shape[1] - 1) // 3
 
     def block_fn(args):
         ss, qrow = args
-        st, sk = ss[:nshift], ss[nshift:]
+        st = ss[:nshift]
+        sk = ss[nshift : 2 * nshift]
+        ln = ss[2 * nshift : 3 * nshift]
         qx, qy, qz = qrow[0], qrow[1], qrow[2]
         qm = qrow[3] > 0.5
 
@@ -993,7 +935,8 @@ def _sweep_moments_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
             )
 
         wins = jax.vmap(win_fn)(st)  # [9, wr, 4, 128]
-        rkeep = jnp.arange(wr, dtype=jnp.int32)[None, :] >= sk[:, None]
+        rr = jnp.arange(wr, dtype=jnp.int32)[None, :]
+        rkeep = jnp.logical_and(rr >= sk[:, None], rr < ln[:, None])
         cx = wins[:, :, 0, :].reshape(-1)
         cy = wins[:, :, 1, :].reshape(-1)
         cz = wins[:, :, 2, :].reshape(-1)
@@ -1006,11 +949,13 @@ def _sweep_moments_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
         d2 = rx * rx + ry * ry + rz * rz
         v = jnp.logical_and(qm[:, None], cw[None, :])
         total, count, kth, ok = _segmented_smallest_k(d2, v, k, per_seg=per_seg)
-        # Same ~8-ulp inflated threshold as the kernel (see
-        # _sweep_moments_kernel): guards against FMA rounding differences
-        # between the selection's d2 and this recomputation.
-        thr = kth * jnp.float32(1.000001) + jnp.float32(1e-12)
-        le = jnp.logical_and(v, d2 <= thr[:, None]).astype(jnp.float32)
+        # Exact threshold, same as the kernel (the selection and this mask
+        # share the same d2 values, so no rounding guard is needed). cle is
+        # counted over the FULL candidate width here, so visible ties flag
+        # the row via cle != count — the mirror needs no finalist-squeeze
+        # certificate (the kernel's strict seg_last > kth check covers the
+        # equivalent hole on its side).
+        le = jnp.logical_and(v, d2 <= kth[:, None]).astype(jnp.float32)
         cle = jnp.sum(le, axis=1)
         m1x = jnp.sum(le * rx, axis=1)
         m1y = jnp.sum(le * ry, axis=1)
@@ -1088,11 +1033,13 @@ def sweep_radius_count(
 def _count_within_xla(planar, starts_skip, *, wr: int):
     """XLA mirror of `pallas_kernels.count_within`."""
     nb = starts_skip.shape[0]
-    nshift = starts_skip.shape[1] // 2
+    nshift = (starts_skip.shape[1] - 1) // 3
 
     def block_fn(args):
         ss, qrow = args
-        st, sk = ss[:nshift], ss[nshift:]
+        st = ss[:nshift]
+        sk = ss[nshift : 2 * nshift]
+        ln = ss[2 * nshift : 3 * nshift]
         qx, qy, qz = qrow[0], qrow[1], qrow[2]
         qm = qrow[3]  # r2 or 0
 
@@ -1102,7 +1049,8 @@ def _count_within_xla(planar, starts_skip, *, wr: int):
             )
 
         wins = jax.vmap(win_fn)(st)
-        rkeep = jnp.arange(wr, dtype=jnp.int32)[None, :] >= sk[:, None]
+        rr = jnp.arange(wr, dtype=jnp.int32)[None, :]
+        rkeep = jnp.logical_and(rr >= sk[:, None], rr < ln[:, None])
         cx = wins[:, :, 0, :].reshape(-1)
         cy = wins[:, :, 1, :].reshape(-1)
         cz = wins[:, :, 2, :].reshape(-1)
@@ -1207,12 +1155,14 @@ def _sweep_knn_xla(planar, starts_skip, *, k: int, wr: int):
     order may differ from the kernel — distances are identical)."""
     nrows = planar.shape[0]
     nb = starts_skip.shape[0]
-    nshift = starts_skip.shape[1] // 2
+    nshift = (starts_skip.shape[1] - 1) // 3
     big = jnp.float32(jnp.inf)
 
     def block_fn(args):
         ss, qrow = args
-        st, sk = ss[:nshift], ss[nshift:]
+        st = ss[:nshift]
+        sk = ss[nshift : 2 * nshift]
+        ln = ss[2 * nshift : 3 * nshift]
         qx, qy, qz = qrow[0], qrow[1], qrow[2]
         qm = qrow[3] > 0.5
 
@@ -1222,7 +1172,8 @@ def _sweep_knn_xla(planar, starts_skip, *, k: int, wr: int):
             )
 
         wins = jax.vmap(win_fn)(st)
-        rkeep = jnp.arange(wr, dtype=jnp.int32)[None, :] >= sk[:, None]
+        rr = jnp.arange(wr, dtype=jnp.int32)[None, :]
+        rkeep = jnp.logical_and(rr >= sk[:, None], rr < ln[:, None])
         cx = wins[:, :, 0, :].reshape(-1)
         cy = wins[:, :, 1, :].reshape(-1)
         cz = wins[:, :, 2, :].reshape(-1)

@@ -52,6 +52,47 @@ def test_aerial_normals_match_exact_engine():
     assert dots.mean() > 0.999
 
 
+def test_aerial_uncertified_normals_close_to_exact():
+    """Rows the moments sweep could NOT certify still estimate from the
+    candidates found; validate them against the exact engine. A deliberately
+    small certification cell (4.0 at this density) flags ~95% of rows, so
+    this exercises the uncertified path at scale. Measured quality: the
+    overwhelming majority of flagged rows still find their true k nearest
+    (median |dot| ~0.999999); a small residual of genuinely sparse-region
+    rows may differ (documented approximation, pipelines/aerial.py)."""
+    data = aerial_scene(seed=42, scale=SCALE)
+    arrs = make_cloud_arrays(data)
+    out = aerial_pipeline(
+        arrs.xyz,
+        arrs.valid,
+        np.float32(0.5),
+        np.float32(4.0),  # too small to certify -> most rows flagged
+        np.float32(0.3),
+        0,
+        np.float32(2.0),
+        jnp.asarray([0.0, 0.0, 10000.0], jnp.float32),
+    )
+    ds_valid = np.asarray(out.downsampled_valid)
+    cents = np.asarray(out.centroids)[ds_valid]
+    nok = np.asarray(out.normals_ok)[ds_valid]
+    fused_n = np.asarray(out.normals)[ds_valid]
+
+    cloud = pc.PointCloud.from_numpy(np.ascontiguousarray(cents))
+    with_normals = pc.estimate_normals_with_viewpoint(
+        cloud, 15, (0.0, 0.0, 10000.0)
+    )
+    exact_n = with_normals._normals_numpy()
+
+    flagged = np.nonzero(~nok)[0]
+    assert len(flagged) > 1000  # the small cell must actually flag rows
+    dots = np.abs(np.sum(fused_n[flagged] * exact_n[flagged], axis=1))
+    assert np.median(dots) > 0.999
+    assert (dots > 0.99).mean() > 0.95
+    # And every flagged normal is still unit length (not garbage).
+    norms = np.linalg.norm(fused_n[flagged], axis=1)
+    assert np.all(np.abs(norms - 1.0) < 1e-3)
+
+
 def test_aerial_clusters_match_engine():
     data, out = _run()
     assert bool(out.cluster_exact)
