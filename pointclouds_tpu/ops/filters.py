@@ -45,8 +45,17 @@ def voxel_downsample_masked(xyz, valid, voxel_size):
 
     order = jnp.argsort(key, stable=True)
     skey = key[order]
-    sxyz = xyz[order]
     suse = use[order]
+    # Planar [4, N] layout (xyz + count): a [N, 4] array pads its 4-lane
+    # minor axis to 128 on TPU, multiplying the scan's memory traffic 32x.
+    svals = jnp.stack(
+        [
+            jnp.where(suse, jnp.take(xyz[:, 0], order), 0.0),
+            jnp.where(suse, jnp.take(xyz[:, 1], order), 0.0),
+            jnp.where(suse, jnp.take(xyz[:, 2], order), 0.0),
+            suse.astype(jnp.float32),
+        ]
+    )  # [4, N]
 
     # Segment boundaries: a new segment starts where the sorted key changes.
     first = jnp.concatenate(
@@ -61,33 +70,29 @@ def voxel_downsample_masked(xyz, valid, voxel_size):
     # voxel boundary, so prefixes stay at per-voxel magnitude and the
     # result is the same f32 accumulation the reference performs.
     is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-    vals = jnp.concatenate(
-        [
-            jnp.where(suse[:, None], sxyz, 0.0),
-            suse.astype(jnp.float32)[:, None],
-        ],
-        axis=1,
-    )  # [N, 4]: xyz + count
 
     def seg_op(a, b):
         af, av = a
         bf, bv = b
-        return jnp.logical_or(af, bf), bv + jnp.where(bf[:, None], 0.0, av)
+        return jnp.logical_or(af, bf), bv + jnp.where(bf, 0.0, av)
 
-    _, seg_cs = jax.lax.associative_scan(seg_op, (first, vals), axis=0)
+    _, seg_cs = jax.lax.associative_scan(
+        seg_op, (first[None, :], svals), axis=1
+    )  # [4, N]
 
     # j-th True in is_end = end row of segment j (compaction is stable).
     from ..core.cloud import compaction_order
 
     ends = compaction_order(is_end).astype(jnp.int32)  # [N]; tail garbage
-    seg_totals = jnp.take(seg_cs, ends, axis=0)
-    sums = seg_totals[:, :3]
-    counts = seg_totals[:, 3]
+    seg_totals = jnp.take(seg_cs, ends, axis=1)  # [4, N]
+    counts = seg_totals[3]
     nseg = jnp.sum(first.astype(jnp.int32))
     in_range = jnp.arange(n, dtype=jnp.int32) < nseg
     counts = jnp.where(in_range, counts, 0.0)
 
-    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    centroids = jnp.transpose(
+        seg_totals[:3] / jnp.maximum(counts, 1.0)[None, :]
+    )
     out_valid = counts > 0.0
     return centroids, out_valid
 

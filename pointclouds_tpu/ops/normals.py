@@ -35,14 +35,31 @@ def cardano_smallest_eigvec(cov):
     (ref: crates/normals/src/estimate.rs:139-238). Returns f32[N,3]
     (unnormalized direction; caller normalizes).
     """
+    vx, vy, vz = cardano_smallest_eigvec_comps(
+        cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
+        cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2],
+    )
+    return jnp.stack([vx, vy, vz], axis=1)
+
+
+def cardano_smallest_eigvec_comps(c00, c01, c02, c11, c12, c22):
+    """Component-rows form of `cardano_smallest_eigvec`: six 1-D symmetric
+    covariance components in, three 1-D eigenvector components out. The
+    fused pipelines stay in flat row layout throughout (a [N, 3, 3]
+    intermediate pads to [N, 8, 128] tiles on TPU — 42x the memory
+    traffic), so the whole eigensolve is pure elementwise VPU work.
+    """
     # Scale-normalize: eigenvectors of A and A/s are identical.
-    scale = jnp.max(jnp.abs(cov), axis=(1, 2))
+    scale = jnp.max(
+        jnp.stack(
+            [jnp.abs(c) for c in (c00, c01, c02, c11, c12, c22)]
+        ),
+        axis=0,
+    )
     degenerate_scale = scale <= 0.0
     s = jnp.where(degenerate_scale, 1.0, scale)
-    a = cov / s[:, None, None]
-
-    a00, a01, a02 = a[:, 0, 0], a[:, 0, 1], a[:, 0, 2]
-    a11, a12, a22 = a[:, 1, 1], a[:, 1, 2], a[:, 2, 2]
+    a00, a01, a02 = c00 / s, c01 / s, c02 / s
+    a11, a12, a22 = c11 / s, c12 / s, c22 / s
 
     m = (a00 + a11 + a22) / 3.0
     b00, b11, b22 = a00 - m, a11 - m, a22 - m
@@ -101,29 +118,28 @@ def cardano_smallest_eigvec(cov):
             a01 * a12 - r11 * a02,
         )
 
-    e01 = jnp.stack(cross01(), axis=1)
-    e02 = jnp.stack(cross02(), axis=1)
-    e12 = jnp.stack(cross12(), axis=1)
-    l01 = jnp.sum(e01 * e01, axis=1)
-    l02 = jnp.sum(e02 * e02, axis=1)
-    l12 = jnp.sum(e12 * e12, axis=1)
+    e01 = cross01()
+    e02 = cross02()
+    e12 = cross12()
+    l01 = e01[0] * e01[0] + e01[1] * e01[1] + e01[2] * e01[2]
+    l02 = e02[0] * e02[0] + e02[1] * e02[1] + e02[2] * e02[2]
+    l12 = e12[0] * e12[0] + e12[1] * e12[1] + e12[2] * e12[2]
 
-    default = jnp.broadcast_to(
-        jnp.array([0.0, 0.0, 1.0], cov.dtype), e01.shape
-    )
-    vec = jnp.where(
-        (l01 >= _LEN_EPS)[:, None],
-        e01,
-        jnp.where(
-            (l02 >= _LEN_EPS)[:, None],
-            e02,
-            jnp.where((l12 >= _LEN_EPS)[:, None], e12, default),
-        ),
-    )
-    vec = jnp.where(
-        (near_identity | degenerate_scale)[:, None], default, vec
-    )
-    return vec
+    bad = near_identity | degenerate_scale
+    out = []
+    for comp in range(3):
+        dflt = jnp.float32(1.0 if comp == 2 else 0.0)
+        v = jnp.where(
+            l01 >= _LEN_EPS,
+            e01[comp],
+            jnp.where(
+                l02 >= _LEN_EPS,
+                e02[comp],
+                jnp.where(l12 >= _LEN_EPS, e12[comp], dflt),
+            ),
+        )
+        out.append(jnp.where(bad, dflt, v))
+    return tuple(out)
 
 
 @jax.jit

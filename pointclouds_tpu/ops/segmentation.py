@@ -29,6 +29,9 @@ import jax.numpy as jnp
 from ..core.cloud import compaction_order
 
 _SCORE_CHUNK = 64
+# Score every hypothesis in ONE fused matmul when the [N, iters] distance
+# intermediate stays under ~1.5 GB f32 (beyond that, chunk sequentially).
+_SCORE_ONE_SHOT_ELEMS = 384 * 1024 * 1024
 
 
 def _sample_three_distinct(key, iterations: int, cnt):
@@ -93,17 +96,26 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int):
         ok = jnp.logical_and(use_pt[:, None], dist <= threshold)
         return jnp.sum(ok.astype(jnp.int32), axis=0)
 
-    pad = (-iterations) % _SCORE_CHUNK
-    normal_p = jnp.concatenate([normal, jnp.zeros((pad, 3), normal.dtype)])
-    d_p = jnp.concatenate([d, jnp.zeros((pad,), d.dtype)])
-    nchunks = normal_p.shape[0] // _SCORE_CHUNK
-    counts = jax.lax.map(
-        score_chunk,
-        (
-            normal_p.reshape(nchunks, _SCORE_CHUNK, 3),
-            d_p.reshape(nchunks, _SCORE_CHUNK),
-        ),
-    ).reshape(-1)[:iterations]
+    if iterations * n <= _SCORE_ONE_SHOT_ELEMS:
+        # One batched MXU matmul for every hypothesis: the sequential
+        # lax.map chunking costs several serialized [N, C] passes; at
+        # demo scale (300 iters x 241K pts -> a 290 MB f32 intermediate)
+        # a single fused dot + mask + reduce is one streamed pass.
+        counts = score_chunk((normal, d))
+    else:
+        pad = (-iterations) % _SCORE_CHUNK
+        normal_p = jnp.concatenate(
+            [normal, jnp.zeros((pad, 3), normal.dtype)]
+        )
+        d_p = jnp.concatenate([d, jnp.zeros((pad,), d.dtype)])
+        nchunks = normal_p.shape[0] // _SCORE_CHUNK
+        counts = jax.lax.map(
+            score_chunk,
+            (
+                normal_p.reshape(nchunks, _SCORE_CHUNK, 3),
+                d_p.reshape(nchunks, _SCORE_CHUNK),
+            ),
+        ).reshape(-1)[:iterations]
     counts = jnp.where(degenerate, -1, counts)
 
     best = jnp.argmax(counts)  # first maximum, like the reference reduce

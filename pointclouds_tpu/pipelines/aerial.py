@@ -27,9 +27,9 @@ import jax.numpy as jnp
 
 from ..core.cloud import compaction_order
 from ..ops.filters import voxel_downsample_masked
-from ..ops.normals import cardano_smallest_eigvec
+from ..ops.normals import cardano_smallest_eigvec_comps
 from ..ops.segmentation import ransac_plane_masked
-from ..spatial.sweep import sweep_cluster_labels, sweep_knn_moments
+from ..spatial.sweep import sweep_cluster_labels, sweep_knn_moments_rows
 
 
 class AerialPipelineOutput(NamedTuple):
@@ -93,8 +93,11 @@ def aerial_pipeline(
     centroids, ds_valid = voxel_downsample_masked(xyz, valid, voxel_size)
     ds_overflow = jnp.asarray(False)  # full-capacity output, never truncated
 
-    # ── Step 2: PCA normals from KNN moments ──
-    m1, m2, cnt, nok = sweep_knn_moments(
+    # ── Step 2: PCA normals from KNN moments — all in flat ROW layout
+    # ([3, N]/[6, N]/1-D components): [N, 3]-shaped intermediates pad
+    # their minor axis to 128 on TPU, and this stage runs entirely on
+    # 1-D elementwise math until the single output stack. ──
+    m1r, m2r, cnt, nok = sweep_knn_moments_rows(
         centroids,
         ds_valid,
         normals_cell,
@@ -102,37 +105,36 @@ def aerial_pipeline(
         use_kernel=use_kernel,
     )
     denom = jnp.maximum(cnt, 1.0)
-    mean = m1 / denom[:, None]  # neighbor centroid, query-relative
-    # cov = sum (rel - mean)(rel - mean)^T = M2 - cnt * mean mean^T
-    cov = jnp.stack(
+    mx, my, mz = m1r[0] / denom, m1r[1] / denom, m1r[2] / denom
+    # cov = M2 - cnt * mean mean^T (query-relative)
+    vx, vy, vz = cardano_smallest_eigvec_comps(
+        m2r[0] - cnt * mx * mx,
+        m2r[3] - cnt * mx * my,
+        m2r[4] - cnt * mx * mz,
+        m2r[1] - cnt * my * my,
+        m2r[5] - cnt * my * mz,
+        m2r[2] - cnt * mz * mz,
+    )
+    length = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    ok_len = length > 1e-10
+    inv_len = 1.0 / jnp.maximum(length, 1e-30)
+    ux = jnp.where(ok_len, vx * inv_len, vx)
+    uy = jnp.where(ok_len, vy * inv_len, vy)
+    uz = jnp.where(ok_len, vz * inv_len, vz)
+    dot = (
+        ux * (viewpoint[0] - centroids[:, 0])
+        + uy * (viewpoint[1] - centroids[:, 1])
+        + uz * (viewpoint[2] - centroids[:, 2])
+    )
+    flip = jnp.where(dot < 0.0, -1.0, 1.0)
+    none_found = cnt < 1.0
+    normals = jnp.stack(
         [
-            m2[:, 0] - cnt * mean[:, 0] * mean[:, 0],
-            m2[:, 3] - cnt * mean[:, 0] * mean[:, 1],
-            m2[:, 4] - cnt * mean[:, 0] * mean[:, 2],
-            m2[:, 3] - cnt * mean[:, 0] * mean[:, 1],
-            m2[:, 1] - cnt * mean[:, 1] * mean[:, 1],
-            m2[:, 5] - cnt * mean[:, 1] * mean[:, 2],
-            m2[:, 4] - cnt * mean[:, 0] * mean[:, 2],
-            m2[:, 5] - cnt * mean[:, 1] * mean[:, 2],
-            m2[:, 2] - cnt * mean[:, 2] * mean[:, 2],
+            jnp.where(none_found, 0.0, ux * flip),
+            jnp.where(none_found, 0.0, uy * flip),
+            jnp.where(none_found, 1.0, uz * flip),
         ],
         axis=1,
-    ).reshape(-1, 3, 3)
-
-    vec = cardano_smallest_eigvec(cov)
-    length = jnp.linalg.norm(vec, axis=1)
-    unit = jnp.where(
-        (length > 1e-10)[:, None],
-        vec / jnp.maximum(length, 1e-30)[:, None],
-        vec,
-    )
-    to_vp = viewpoint[None, :] - centroids
-    dot = jnp.sum(unit * to_vp, axis=1)
-    oriented = jnp.where((dot < 0.0)[:, None], -unit, unit)
-    normals = jnp.where(
-        (cnt < 1.0)[:, None],
-        jnp.array([0.0, 0.0, 1.0], jnp.float32)[None, :],
-        oriented,
     )
 
     # ── Step 3: RANSAC ground plane ──

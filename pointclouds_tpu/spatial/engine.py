@@ -283,6 +283,20 @@ def _kernel_preference() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _sweep_wr(n: int) -> int:
+    """Window-row budget for the 4-channel sweeps. On the VMEM-resident
+    kernel path the per-shift loops have dynamic bounds, so a wide window
+    only certifies more blocks (fewer flagged rows -> smaller brute
+    rescues); the XLA mirror materializes static [wr, ...] windows, so
+    the CPU/mirror path keeps the small default."""
+    from .pallas_kernels import RESIDENT_PLANAR_BYTES
+
+    nrows = max(-(-n // 128), 1)
+    if _kernel_preference() and nrows * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES:
+        return min(nrows, 16)
+    return 4
+
+
 def _degrade_to_xla(run, use_kernel: bool):
     """Run a sweep attempt (``run(use_kernel)`` must include its first host
     sync so compile/execute errors surface inside). The remote Mosaic
@@ -309,11 +323,22 @@ def cluster_labels(xyz, valid, radius: float):
     as the second attempt for window-overflow cases."""
     n = xyz.shape[0]
     if n < CELLGRID_MAX_N and n > BRUTE_THRESHOLD // 4:
-        from .sweep import sweep_cluster_labels
+        from .sweep import CLUSTER_RESIDENT_BYTES, sweep_cluster_labels
 
-        # wr ladder: one over-dense block overflowing its windows must not
-        # dump the whole call into the slow cell-graph fallback.
-        for wr in (7, 14, 28):
+        # Window-row budget: on the VMEM-resident kernel the per-shift
+        # loops have DYNAMIC bounds, so a large wr costs nothing beyond
+        # certifying more blocks — one big-window attempt replaces the
+        # old {7, 14, 28} retry ladder (each rung was a full re-sort +
+        # propagation + host sync; the ladder tripled the common-case
+        # latency on dense clouds). The XLA mirror slices static
+        # [wr, ...] windows, so CPU keeps the ladder.
+        nrows = max(-(-n // 128), 1)
+        resident = (
+            _kernel_preference()
+            and nrows * 8 * 128 * 4 <= CLUSTER_RESIDENT_BYTES
+        )
+        ladder = (min(nrows, 64),) if resident else (7, 14, 28)
+        for wr in ladder:
 
             def run(uk, wr=wr):
                 labels, exact = sweep_cluster_labels(
@@ -414,7 +439,8 @@ def sor_means(xyz, valid, k: int):
 
     def run(uk):
         m, ok, cert = sweep_sor_two_pass(
-            xyz, valid, np.float32(cell), k=k, use_kernel=uk
+            xyz, valid, np.float32(cell), k=k, use_kernel=uk,
+            wr=_sweep_wr(n) if uk else 4,
         )
         return m, ok, bool(cert)
 
@@ -472,7 +498,8 @@ def radius_count_sweep(pxyz, pvalid, radius: float):
         return bruteforce_radius_count(pxyz, pvalid, pxyz, pvalid, radius)
     def run(uk):
         c, ok = sweep_radius_count(
-            pxyz, pvalid, np.float32(radius), use_kernel=uk
+            pxyz, pvalid, np.float32(radius), use_kernel=uk,
+            wr=_sweep_wr(n) if uk else 4,
         )
         finite = jnp.all(jnp.isfinite(pxyz), axis=-1)
         return c, ok, np.asarray(jnp.logical_and(pvalid & finite, ~ok))
@@ -516,7 +543,8 @@ def normals(xyz, valid, k: int, viewpoint):
 
     def run(uk):
         m1, m2, cnt, ok = sweep_knn_moments(
-            xyz, valid, np.float32(cell), k=k, use_kernel=uk
+            xyz, valid, np.float32(cell), k=k, use_kernel=uk,
+            wr=_sweep_wr(xyz.shape[0]) if uk else 4,
         )
         finite = jnp.all(jnp.isfinite(xyz), axis=-1)
         return m1, m2, cnt, ok, np.asarray(
@@ -604,7 +632,8 @@ def _knn_sweep_same_cloud(pxyz, pvalid, k: int):
 
     def run(uk):
         d, i, nv, ok = sweep_knn(
-            pxyz, pvalid, np.float32(cell), k=k, use_kernel=uk
+            pxyz, pvalid, np.float32(cell), k=k, use_kernel=uk,
+            wr=_sweep_wr(n) if uk else 4,
         )
         finite = jnp.all(jnp.isfinite(pxyz), axis=-1)
         return d, i, nv, np.asarray(jnp.logical_and(pvalid & finite, ~ok))

@@ -30,6 +30,12 @@ from jax.experimental import pallas as pl
 # a v5e's VMEM next to the kernels' own scratch.
 RESIDENT_PLANAR_BYTES = 8 * 1024 * 1024
 
+# Relative inclusion band for two-phase kernels that re-derive d2 against a
+# kth threshold (see the KNN-moments section comment): ~7 ulp, comfortably
+# above any FMA-contraction jitter in a 3-term squared distance, far below
+# any physically distinct neighbor distance.
+D2_BAND = 8e-7
+
 
 def _segmented_select_kernel(k: int, w: int, tq: int, per_seg: int):
     """Per-query sum/count/kth of the k smallest + segment certificate.
@@ -806,15 +812,43 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
 # PCA normal estimation needs, per point, the first and second moments of
 # its k nearest neighbors (self included, ref:
 # crates/normals/src/estimate.rs:42-107). Same sorted-window structure as
-# the SOR sweep; after the segmented k-smallest selection fixes the kth
-# distance, a second in-VMEM sweep over the same tiles accumulates
-# QUERY-CENTERED moments (sum of c-q and (c-q)x(c-q)) of all candidates
-# with d2 <= kth. Query-centering keeps the accumulation exact at
-# georeferenced offsets (the covariance is translation-invariant; the
-# reference's absolute-coordinate accumulation loses it in f32 — one of
-# the deliberate fixes). Ties AT the kth distance are included and
-# reported (count_le): rows where count_le exceeds the selection count are
-# flagged for the caller.
+# the SOR sweep, in TWO on-chip phases:
+#
+#   A. segmented k-smallest selection on d2 ALONE (per_seg registers —
+#      the insertion loop's live carry stays small, which is what bounds
+#      this kernel's speed: every carried [128, 128] register is VMEM
+#      read+written per candidate row);
+#   B. once the kth distance is fixed, a second walk over the SAME
+#      windows (VMEM-resident or still in the DMA scratch) accumulates
+#      QUERY-CENTERED moments (sum of c-q and (c-q)x(c-q)) of all
+#      candidates inside the inclusion band — computed TRANSPOSED
+#      ([cand, query] tiles) so the reductions run over sublanes into
+#      [1, 128] accumulators whose carry is ~44 KB, not ten live tiles.
+#
+# Query-centering keeps the accumulation exact at georeferenced offsets
+# (the covariance is translation-invariant; the reference's
+# absolute-coordinate accumulation loses it in f32 — one of the
+# deliberate fixes).
+#
+# BANDED INCLUSION (why phase B does NOT test d2 <= kth exactly): the
+# compiler may re-derive a fused predicate separately for each consumer,
+# with different FMA contraction each time, so a recomputed d2 is only
+# reproducible to ~1 ulp — and the kth candidate sits EXACTLY on the
+# d2 == kth boundary, so an exact threshold drops or double-counts it
+# nondeterministically (observed as a real miscompile-grade inconsistency
+# on the XLA:CPU interpret path: same program, rx=0.57, le=1, rx*le=0).
+# Instead phase B includes candidates with d2 <= kth*(1+D2_BAND) and
+# counts candidates with d2 <= kth*(1+3*D2_BAND) (count_le). D2_BAND is
+# ~7 ulp, comfortably above any contraction jitter, so:
+#   - every true top-k candidate is ALWAYS included (jitter-proof), and
+#   - any candidate close enough to kth to contaminate the moments is
+#     provably counted by the outer band, making count_le > count flag
+#     the row for exact rescue.
+# On certified rows (count_le == count) the included set is therefore
+# EXACTLY the true top-k. Ties at kth flag the row exactly as before,
+# and one tied-at-kth candidate squeezed out of a segment's finalists is
+# visible to the full-width count_le — the caller's cle == count check is
+# airtight, with semantics identical to the XLA mirror's.
 
 
 def _sweep_moments_kernel(k: int, wr: int, per_seg: int, nshift: int,
@@ -869,164 +903,187 @@ def _sweep_moments_kernel(k: int, wr: int, per_seg: int, nshift: int,
 
         @pl.when(bv != 0)
         def _():
-            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
             qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
             qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
             qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+            qx_row = q_ref[0, 0:1, :]  # [1, 128] (for the transposed pass)
+            qy_row = q_ref[0, 1:2, :]
+            qz_row = q_ref[0, 2:3, :]
+            qm_row = q_ref[0, 3:4, :]
 
-            # Single pass: insertion selection with the query-centered
-            # relative coordinates riding as payloads — the moments then
-            # come from the per_seg finalist tiles alone (no second sweep,
-            # no d2 recompute, so selection and moment masks share EXACT
-            # values).
-            def fold(state, cx, cy, cz, cw, keep):
-                regs_v, regs_p, cnt_all = state
-                rx = cx - qx  # [128, 128] (c - q)
-                ry = cy - qy
-                rz = cz - qz
-                d2 = rx * rx + ry * ry + rz * rz
-                pair = qm * cw * keep
-                w = jnp.where(pair > 0.5, d2, big)
-                rv, rp = _insert_smallest_with_payloads(
-                    list(regs_v),
-                    [list(ch) for ch in regs_p],
-                    w,
-                    (rx, ry, rz),
-                )
-                cnt_all = cnt_all + jnp.where(
-                    pair > 0.5, jnp.float32(1.0), jnp.float32(0.0)
-                )
-                return (
-                    tuple(rv),
-                    tuple(tuple(ch) for ch in rp),
-                    cnt_all,
-                )
-
-            state = (
-                tuple(jnp.full((128, 128), big) for _ in range(per_seg)),
-                tuple(
-                    tuple(
-                        jnp.zeros((128, 128), jnp.float32)
-                        for _ in range(per_seg)
-                    )
-                    for _ in range(3)
-                ),
-                jnp.zeros((128, 128), jnp.float32),
-            )
-            if resident:
-                for j in range(nshift):
-                    st = starts_ref[j, b]
-                    sk = starts_ref[nshift + j, b]
-                    ln = starts_ref[2 * nshift + j, b]
-
-                    def body(r, s, st=st):
-                        row = pts_ref[pl.ds(st + r, 1), :, :]
-                        return fold(
-                            s,
-                            row[0, 0:1, :],
-                            row[0, 1:2, :],
-                            row[0, 2:3, :],
-                            row[0, 3:4, :],
-                            jnp.float32(1.0),
-                        )
-
-                    state = jax.lax.fori_loop(sk, ln, body, state)
-            else:
+            if not resident:
                 slot = jax.lax.rem(b, jnp.int32(2))
                 for j in range(nshift):
                     dma(b, j, slot).wait()
                 base = slot * jnp.int32(nwin)
-                for j in range(nshift):
-                    sk = starts_ref[nshift + j, b]
-                    ln = starts_ref[2 * nshift + j, b]
-                    for r in range(wr):
-                        row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
-                        keep = jnp.where(
-                            jnp.logical_and(
-                                jnp.int32(r) >= sk, jnp.int32(r) < ln
-                            ),
-                            jnp.float32(1.0),
-                            jnp.float32(0.0),
-                        )
-                        state = fold(
-                            state,
-                            row[0, 0:1, :],
-                            row[0, 1:2, :],
-                            row[0, 2:3, :],
-                            row[0, 3:4, :],
-                            keep,
-                        )
-            regs_v, regs_p, cnt_all = state
-            regs_v = list(regs_v)
-            regs_p = [list(ch) for ch in regs_p]
 
-            count_all = jnp.sum(
-                jnp.transpose(cnt_all, (1, 0)), axis=0, keepdims=True
-            )
-            total, count, kth, ok = _phase2_from_finalists(
-                regs_v, count_all, 128, k
-            )
-            del total
-            # Tie-free certificate must be STRICT here: a candidate tied
-            # exactly at kth but squeezed out of a segment's per_seg
-            # finalists is invisible to cle below (which scans finalists
-            # only), while the >= cert in _phase2_from_finalists still
-            # passes when seg_last == kth. Require seg_last > kth so any
-            # possibly-hidden equal-distance candidate flags the row for
-            # exact rescue.
-            sl_t = jnp.transpose(regs_v[-1], (1, 0))  # [128, TQ]
-            strict = jnp.min(
-                jnp.where(sl_t > kth, jnp.float32(1.0), jnp.float32(0.0)),
-                axis=0,
-                keepdims=True,
-            )
-            ok = ok * strict
-            kth_col = jnp.transpose(kth, (1, 0))  # [128, 1], same values
+            def walk(fold, state):
+                """Fold over the block's candidate rows (the deduped
+                [start + skip, start + len) window set), either with
+                dynamic loop bounds (resident) or a static unroll with a
+                keep mask (DMA scratch)."""
+                if resident:
+                    for j in range(nshift):
+                        st = starts_ref[j, b]
+                        sk = starts_ref[nshift + j, b]
+                        ln = starts_ref[2 * nshift + j, b]
 
-            # Moments over finalists with d2 <= kth (inclusive: extracted
-            # set plus any finalist tied at kth; count_le > count flags the
-            # row).
-            z = jnp.zeros((128, 128), jnp.float32)
-            m1x = z; m1y = z; m1z = z
-            mxx = z; myy = z; mzz = z
-            mxy = z; mxz = z; myz = z
-            cle = z
-            for lvl in range(per_seg):
-                v = regs_v[lvl]
-                m = jnp.where(
-                    jnp.logical_and(jnp.isfinite(v), v <= kth_col),
+                        def body(r, s, st=st):
+                            row = pts_ref[pl.ds(st + r, 1), :, :]
+                            return fold(s, row, jnp.float32(1.0))
+
+                        state = jax.lax.fori_loop(sk, ln, body, state)
+                else:
+                    for j in range(nshift):
+                        sk = starts_ref[nshift + j, b]
+                        ln = starts_ref[2 * nshift + j, b]
+                        for r in range(wr):
+                            row = win[
+                                pl.ds(base + jnp.int32(j * wr + r), 1), :, :
+                            ]
+                            keep = jnp.where(
+                                jnp.logical_and(
+                                    jnp.int32(r) >= sk, jnp.int32(r) < ln
+                                ),
+                                jnp.float32(1.0),
+                                jnp.float32(0.0),
+                            )
+                            state = fold(state, row, keep)
+                return state
+
+            # ── Phase A: segmented k-smallest selection on d2 alone ──
+            def foldA(regs, row, keep):
+                cx = row[0, 0:1, :]
+                cy = row[0, 1:2, :]
+                cz = row[0, 2:3, :]
+                cw = row[0, 3:4, :]
+                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                pair = qm * cw * keep
+                w = jnp.where(pair > 0.5, d2, big)
+                return tuple(_insert_smallest(list(regs), w))
+
+            regs = walk(
+                foldA,
+                tuple(jnp.full((128, 128), big) for _ in range(per_seg)),
+            )
+
+            # Extract count + kth from the finalists (certs come after
+            # phase B, which supplies the full-width candidate count).
+            f = jnp.concatenate(
+                [jnp.transpose(x, (1, 0)) for x in regs], axis=0
+            )  # [per_seg*128, 128]
+            nf = per_seg * 128
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (nf, 128), 0)
+            zrow = jnp.zeros((1, 128), jnp.float32)
+
+            def ext(_, state):
+                fw, count, kth = state
+                mn = jnp.min(fw, axis=0, keepdims=True)
+                okf = jnp.isfinite(mn)
+                am = jnp.min(
+                    jnp.where(fw == mn, rows_i, jnp.int32(nf)),
+                    axis=0,
+                    keepdims=True,
+                )
+                count = count + jnp.where(
+                    okf, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                kth = jnp.where(okf, mn, kth)
+                fw = jnp.where(rows_i == am, big, fw)
+                return fw, count, kth
+
+            _, count, kth = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(k), ext, (f, zrow, zrow)
+            )
+
+            kth_hi = kth * jnp.float32(1.0 + D2_BAND)
+            kth_hi2 = kth * jnp.float32(1.0 + 3.0 * D2_BAND)
+
+            # ── Phase B: transposed rescan — moments of all candidates
+            # inside the inclusion band, plus banded cle / count_all (see
+            # module comment for the band's jitter-proofing role). Tiles
+            # are [cand, query] so every reduction runs over sublanes
+            # into [1, 128] accumulators. ──
+            def foldB(accs, row, keep):
+                (m1x, m1y, m1z, mxx, myy, mzz, mxy, mxz, myz, cle,
+                 cnt_all) = accs
+                cx_t = jnp.transpose(row[0, 0:1, :], (1, 0))  # [128, 1]
+                cy_t = jnp.transpose(row[0, 1:2, :], (1, 0))
+                cz_t = jnp.transpose(row[0, 2:3, :], (1, 0))
+                cw_t = jnp.transpose(row[0, 3:4, :], (1, 0))
+                rx = cx_t - qx_row  # [cand, query] (c - q)
+                ry = cy_t - qy_row
+                rz = cz_t - qz_row
+                d2 = rx * rx + ry * ry + rz * rz
+                pair = cw_t * qm_row * keep
+                le = jnp.where(
+                    jnp.logical_and(pair > 0.5, d2 <= kth_hi),
                     jnp.float32(1.0),
                     jnp.float32(0.0),
                 )
-                rx = regs_p[0][lvl] * m
-                ry = regs_p[1][lvl] * m
-                rz = regs_p[2][lvl] * m
-                cle = cle + m
-                m1x = m1x + rx; m1y = m1y + ry; m1z = m1z + rz
-                mxx = mxx + rx * rx; myy = myy + ry * ry; mzz = mzz + rz * rz
-                mxy = mxy + rx * ry; mxz = mxz + rx * rz; myz = myz + ry * rz
-
-            def rowsum(a):  # [128q, 128] -> [1, 128q]
-                return jnp.transpose(
-                    jnp.sum(a, axis=1, keepdims=True), (1, 0)
+                in_band = jnp.where(
+                    jnp.logical_and(pair > 0.5, d2 <= kth_hi2),
+                    jnp.float32(1.0),
+                    jnp.float32(0.0),
                 )
 
-            out_ref[0:1, :] = rowsum(m1x)
-            out_ref[1:2, :] = rowsum(m1y)
-            out_ref[2:3, :] = rowsum(m1z)
-            out_ref[3:4, :] = rowsum(mxx)
-            out_ref[4:5, :] = rowsum(myy)
-            out_ref[5:6, :] = rowsum(mzz)
-            out_ref[6:7, :] = rowsum(mxy)
-            out_ref[7:8, :] = rowsum(mxz)
-            out_ref[8:9, :] = rowsum(myz)
-            out_ref[9:10, :] = rowsum(cle)
+                def csum(a):  # [128, 128] -> [1, 128] (sublane reduce)
+                    return jnp.sum(a, axis=0, keepdims=True)
+
+                xm = rx * le
+                ym = ry * le
+                zm = rz * le
+                return (
+                    m1x + csum(xm),
+                    m1y + csum(ym),
+                    m1z + csum(zm),
+                    mxx + csum(xm * rx),
+                    myy + csum(ym * ry),
+                    mzz + csum(zm * rz),
+                    mxy + csum(xm * ry),
+                    mxz + csum(xm * rz),
+                    myz + csum(ym * rz),
+                    cle + csum(in_band),
+                    cnt_all + csum(pair),
+                )
+
+            accs = walk(foldB, tuple(zrow for _ in range(11)))
+            (m1x, m1y, m1z, mxx, myy, mzz, mxy, mxz, myz, cle,
+             cnt_all) = accs
+
+            # Certificates (same semantics as _phase2_from_finalists /
+            # the XLA mirror's _segmented_smallest_k): every segment's
+            # last finalist >= kth, and as many extracted as the true
+            # top-k holds.
+            sl_t = jnp.transpose(regs[-1], (1, 0))  # [128, 128]
+            cert1 = jnp.min(
+                jnp.where(sl_t >= kth, jnp.float32(1.0), jnp.float32(0.0)),
+                axis=0,
+                keepdims=True,
+            )
+            cert2 = jnp.where(
+                count >= jnp.minimum(jnp.float32(k), cnt_all),
+                jnp.float32(1.0),
+                jnp.float32(0.0),
+            )
+
+            out_ref[0:1, :] = m1x
+            out_ref[1:2, :] = m1y
+            out_ref[2:3, :] = m1z
+            out_ref[3:4, :] = mxx
+            out_ref[4:5, :] = myy
+            out_ref[5:6, :] = mzz
+            out_ref[6:7, :] = mxy
+            out_ref[7:8, :] = mxz
+            out_ref[8:9, :] = myz
+            out_ref[9:10, :] = cle
             out_ref[10:11, :] = count
             out_ref[11:12, :] = kth
-            out_ref[12:13, :] = ok
-            out_ref[13:14, :] = jnp.zeros((1, 128), jnp.float32)
-            out_ref[14:15, :] = jnp.zeros((1, 128), jnp.float32)
-            out_ref[15:16, :] = jnp.zeros((1, 128), jnp.float32)
+            out_ref[12:13, :] = cert1 * cert2
+            out_ref[13:14, :] = zrow
+            out_ref[14:15, :] = zrow
+            out_ref[15:16, :] = zrow
 
     return kernel
 
@@ -1079,7 +1136,7 @@ def sweep_moments(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 3,
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((16, nb * 128), jnp.float32),
-        # 16 live payload registers exceed the default 16 MB scoped cap.
+        # Resident planar + selection registers exceed the 16 MB scoped cap.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(starts, pts_planar, pts_planar)

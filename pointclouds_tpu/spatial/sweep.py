@@ -164,21 +164,24 @@ def _sweep_pass1(
             planar, starts_skip, k=kp1, wr=wr, per_seg=per_seg,
             interpret=interpret,
         )
-        count = count_f.astype(jnp.int32)
     else:
         total, count, kth, seg_ok = _sweep_select_xla(
             planar, starts_skip, k=kp1, wr=wr, per_seg=per_seg
         )
+        count_f = count.astype(jnp.float32)
 
     ok_sorted = jnp.logical_and(seg_ok, jnp.repeat(s["block_ok"], 128))
 
-    def unsort(arr):
-        return jnp.take(arr[:n], inv)
-
-    total = unsort(total)
-    count = unsort(count)
-    kth = unsort(kth)
-    point_ok = unsort(ok_sorted)
+    # Single packed unsort (one gather with [4, 1] slices — separate
+    # 4-byte-slice gathers dominate the wrapper cost at scale).
+    packed = jnp.stack(
+        [total, count_f, kth, ok_sorted.astype(jnp.float32)]
+    )
+    res = jnp.take(packed, inv, axis=1)  # [4, n]
+    total = res[0]
+    count = res[1].astype(jnp.int32)
+    kth = res[2]
+    point_ok = res[3] > 0.5
 
     # ── Mean + certificates (same semantics as point_sor_mean_dists) ──
     n_neighbors = jnp.maximum(count - 1, 0)
@@ -578,7 +581,9 @@ def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
 
 @partial(
     jax.jit,
-    static_argnames=("wr", "max_iters", "table_size", "interpret", "use_kernel"),
+    static_argnames=(
+        "wr", "max_iters", "jumps", "table_size", "interpret", "use_kernel"
+    ),
 )
 def sweep_cluster_labels(
     xyz,
@@ -587,6 +592,7 @@ def sweep_cluster_labels(
     *,
     wr: int = 7,
     max_iters: int = 64,
+    jumps: int = 2,
     table_size: int = SWEEP_TABLE_SIZE,
     interpret: bool = False,
     use_kernel: bool = True,
@@ -675,9 +681,13 @@ def sweep_cluster_labels(
         # (diameter-bound: 22 iterations on aerial blobs), hop+hook+jump
         # converges in O(log): 5 on the same scene.
         new = new.at[jnp.clip(lab, 0, nall - 1)].min(m)
-        # Pointer jumping (labels are sorted positions).
-        new = jnp.minimum(new, jnp.take(new, jnp.clip(new, 0, nall - 1)))
-        new = jnp.minimum(new, jnp.take(new, jnp.clip(new, 0, nall - 1)))
+        # Pointer jumping (labels are sorted positions): each jump
+        # squares the compression reach, so `jumps` trades ~1 ms/jump
+        # against the hop count (a full kernel pass each).
+        for _ in range(jumps):
+            new = jnp.minimum(
+                new, jnp.take(new, jnp.clip(new, 0, nall - 1))
+            )
         any_changed = jnp.sum(changed) > 0.5
         return new, any_changed, it + 1
 
@@ -846,6 +856,74 @@ def _sorted_structure(xyz, valid, cell_size, wr, table_size):
     jax.jit,
     static_argnames=("k", "wr", "per_seg", "table_size", "interpret", "use_kernel"),
 )
+def sweep_knn_moments_rows(
+    xyz,
+    valid,
+    cell_size,
+    *,
+    k: int,
+    wr: int = 4,
+    per_seg: int = 3,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """Row-layout KNN moments: (m1 f32[3, N], m2 f32[6, N] (xx, yy, zz,
+    xy, xz, yz), count f32[N], point_ok bool[N]). Same semantics as
+    `sweep_knn_moments`; the fused pipelines consume the rows directly so
+    no [N, 3]/[N, 6] tile-padded intermediates are ever materialized.
+    """
+    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+
+    if use_kernel:
+        from .pallas_kernels import sweep_moments
+
+        out = sweep_moments(
+            s["planar"], s["starts_skip"], k=k, wr=wr, per_seg=per_seg,
+            interpret=interpret,
+        )
+    else:
+        out = _sweep_moments_xla(
+            s["planar"], s["starts_skip"], k=k, wr=wr, per_seg=per_seg
+        )
+
+    ok_sorted = jnp.logical_and(
+        out[12] > 0.5, jnp.repeat(s["block_ok"], 128)
+    )
+    ok_sorted = jnp.logical_and(ok_sorted, out[9] == out[10])  # tie-free
+
+    # Single packed unsort: one gather with [12, 1] slices instead of
+    # twelve separate 4-byte-slice gathers (the dominant cost of this
+    # wrapper at scale — TPU gather throughput is slice-size-bound).
+    packed = jnp.concatenate(
+        [out[0:9], out[10:12], ok_sorted[None].astype(jnp.float32)], axis=0
+    )  # [12, npad]
+    res = jnp.take(packed, s["inv"], axis=1)  # [12, n]
+
+    count = res[9]
+    kth = res[10]
+    point_ok = res[11] > 0.5
+
+    # kth-within-cell certificate (same margin as the SOR sweep).
+    hi_cells = jnp.max(
+        jnp.maximum(jnp.abs(s["mn"]), jnp.abs(s["mn"] + s["extent"])).astype(
+            jnp.float32
+        )
+    )
+    margin = (hi_cells * 4.0 * 1.2e-7 + 1e-6) * cell_size
+    safe = jnp.maximum(cell_size - margin, 0.0)
+    point_ok = jnp.logical_and(point_ok, kth <= safe * safe)
+    point_ok = jnp.logical_and(point_ok, s["use"])
+    point_ok = jnp.logical_and(
+        point_ok, jnp.logical_not(s["table_overflow"])
+    )
+    return res[0:3], res[3:9], count, point_ok
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "wr", "per_seg", "table_size", "interpret", "use_kernel"),
+)
 def sweep_knn_moments(
     xyz,
     valid,
@@ -869,51 +947,16 @@ def sweep_knn_moments(
     (callers decide whether that tolerance is acceptable — the aerial
     pipeline validates output parity against the exact engine).
     """
-    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
-    n = xyz.shape[0]
-
-    if use_kernel:
-        from .pallas_kernels import sweep_moments
-
-        out = sweep_moments(
-            s["planar"], s["starts_skip"], k=k, wr=wr, per_seg=per_seg,
-            interpret=interpret,
-        )
-    else:
-        out = _sweep_moments_xla(
-            s["planar"], s["starts_skip"], k=k, wr=wr, per_seg=per_seg
-        )
-
-    ok_sorted = jnp.logical_and(
-        out[12] > 0.5, jnp.repeat(s["block_ok"], 128)
+    m1r, m2r, count, point_ok = sweep_knn_moments_rows(
+        xyz, valid, cell_size, k=k, wr=wr, per_seg=per_seg,
+        table_size=table_size, interpret=interpret, use_kernel=use_kernel,
     )
-    ok_sorted = jnp.logical_and(ok_sorted, out[9] == out[10])  # tie-free
-
-    def unsort(arr):
-        return jnp.take(arr[:n], s["inv"])
-
-    m1 = jnp.stack([unsort(out[0]), unsort(out[1]), unsort(out[2])], axis=1)
-    m2 = jnp.stack(
-        [unsort(out[i]) for i in range(3, 9)], axis=1
+    return (
+        jnp.transpose(m1r),
+        jnp.transpose(m2r),
+        count,
+        point_ok,
     )
-    count = unsort(out[10])
-    kth = unsort(out[11])
-    point_ok = unsort(ok_sorted)
-
-    # kth-within-cell certificate (same margin as the SOR sweep).
-    hi_cells = jnp.max(
-        jnp.maximum(jnp.abs(s["mn"]), jnp.abs(s["mn"] + s["extent"])).astype(
-            jnp.float32
-        )
-    )
-    margin = (hi_cells * 4.0 * 1.2e-7 + 1e-6) * cell_size
-    safe = jnp.maximum(cell_size - margin, 0.0)
-    point_ok = jnp.logical_and(point_ok, kth <= safe * safe)
-    point_ok = jnp.logical_and(point_ok, s["use"])
-    point_ok = jnp.logical_and(
-        point_ok, jnp.logical_not(s["table_overflow"])
-    )
-    return m1, m2, count, point_ok
 
 
 def _sweep_moments_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
@@ -949,14 +992,25 @@ def _sweep_moments_xla(planar, starts_skip, *, k: int, wr: int, per_seg: int):
         d2 = rx * rx + ry * ry + rz * rz
         v = jnp.logical_and(qm[:, None], cw[None, :])
         total, count, kth, ok = _segmented_smallest_k(d2, v, k, per_seg=per_seg)
-        # Exact threshold, same as the kernel (the selection and this mask
-        # share the same d2 values, so no rounding guard is needed). cle is
-        # counted over the FULL candidate width here, so visible ties flag
-        # the row via cle != count — the mirror needs no finalist-squeeze
-        # certificate (the kernel's strict seg_last > kth check covers the
-        # equivalent hole on its side).
-        le = jnp.logical_and(v, d2 <= kth[:, None]).astype(jnp.float32)
-        cle = jnp.sum(le, axis=1)
+        # Banded inclusion, same semantics as the kernel (see the KNN-
+        # moments section comment in pallas_kernels.py): include within
+        # kth*(1+D2_BAND), count within kth*(1+3*D2_BAND) — a fused
+        # predicate re-derived per consumer is only ~1-ulp reproducible,
+        # and the kth candidate sits exactly on the d2 == kth edge, so an
+        # exact threshold is nondeterministic. cle > count flags any row
+        # with a candidate near enough to kth to matter; certified rows'
+        # moments are exactly the true top-k. cle is counted over the FULL
+        # candidate width, so a tie squeezed out of a segment's finalists
+        # still flags the row.
+        from .pallas_kernels import D2_BAND
+
+        kth_hi = kth * jnp.float32(1.0 + D2_BAND)
+        kth_hi2 = kth * jnp.float32(1.0 + 3.0 * D2_BAND)
+        le = jnp.logical_and(v, d2 <= kth_hi[:, None]).astype(jnp.float32)
+        cle = jnp.sum(
+            jnp.logical_and(v, d2 <= kth_hi2[:, None]).astype(jnp.float32),
+            axis=1,
+        )
         m1x = jnp.sum(le * rx, axis=1)
         m1y = jnp.sum(le * ry, axis=1)
         m1z = jnp.sum(le * rz, axis=1)
@@ -1020,11 +1074,11 @@ def sweep_radius_count(
 
     ok_sorted = jnp.repeat(s["block_ok"], 128)
 
-    def unsort(arr):
-        return jnp.take(arr[:n], s["inv"])
-
-    counts = unsort(counts_f).astype(jnp.int32)
-    point_ok = jnp.logical_and(unsort(ok_sorted), s["use"])
+    # Single packed unsort (one [2, 1]-slice gather).
+    packed = jnp.stack([counts_f, ok_sorted.astype(jnp.float32)])
+    res = jnp.take(packed, s["inv"], axis=1)
+    counts = res[0].astype(jnp.int32)
+    point_ok = jnp.logical_and(res[1] > 0.5, s["use"])
     point_ok = jnp.logical_and(point_ok, jnp.logical_not(s["table_overflow"]))
     counts = jnp.where(s["use"], counts, 0)
     return counts, point_ok

@@ -22,12 +22,12 @@ import jax.numpy as jnp
 
 from pointclouds_tpu.core.cloud import compaction_order, make_cloud_arrays
 from pointclouds_tpu.ops.filters import voxel_downsample_masked
-from pointclouds_tpu.ops.normals import cardano_smallest_eigvec
+from pointclouds_tpu.ops.normals import cardano_smallest_eigvec_comps
 from pointclouds_tpu.ops.segmentation import ransac_plane_masked
 from pointclouds_tpu.pipelines.scenes import aerial_scene
 from pointclouds_tpu.spatial.sweep import (
     sweep_cluster_labels,
-    sweep_knn_moments,
+    sweep_knn_moments_rows,
 )
 
 STAGES = [
@@ -54,32 +54,25 @@ def prefix(xyz, valid, voxel_size, normals_cell, ransac_thresh, seed,
     if stop == 1:
         return acc
 
-    m1, m2, cnt, nok = sweep_knn_moments(
+    m1r, m2r, cnt, nok = sweep_knn_moments_rows(
         centroids, ds_valid, normals_cell, k=normals_k,
         use_kernel=use_kernel,
     )
-    acc += jnp.sum(m1) + jnp.sum(m2) + jnp.sum(cnt) + jnp.sum(nok)
+    acc += jnp.sum(m1r) + jnp.sum(m2r) + jnp.sum(cnt) + jnp.sum(nok)
     if stop == 2:
         return acc
 
     denom = jnp.maximum(cnt, 1.0)
-    mean = m1 / denom[:, None]
-    cov = jnp.stack(
-        [
-            m2[:, 0] - cnt * mean[:, 0] * mean[:, 0],
-            m2[:, 3] - cnt * mean[:, 0] * mean[:, 1],
-            m2[:, 4] - cnt * mean[:, 0] * mean[:, 2],
-            m2[:, 3] - cnt * mean[:, 0] * mean[:, 1],
-            m2[:, 1] - cnt * mean[:, 1] * mean[:, 1],
-            m2[:, 5] - cnt * mean[:, 1] * mean[:, 2],
-            m2[:, 4] - cnt * mean[:, 0] * mean[:, 2],
-            m2[:, 5] - cnt * mean[:, 1] * mean[:, 2],
-            m2[:, 2] - cnt * mean[:, 2] * mean[:, 2],
-        ],
-        axis=1,
-    ).reshape(-1, 3, 3)
-    vec = cardano_smallest_eigvec(cov)
-    acc += jnp.sum(vec)
+    mx, my, mz = m1r[0] / denom, m1r[1] / denom, m1r[2] / denom
+    vx, vy, vz = cardano_smallest_eigvec_comps(
+        m2r[0] - cnt * mx * mx,
+        m2r[3] - cnt * mx * my,
+        m2r[4] - cnt * mx * mz,
+        m2r[1] - cnt * my * my,
+        m2r[5] - cnt * my * mz,
+        m2r[2] - cnt * mz * mz,
+    )
+    acc += jnp.sum(vx) + jnp.sum(vy) + jnp.sum(vz)
     if stop == 3:
         return acc
 
