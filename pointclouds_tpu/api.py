@@ -101,7 +101,7 @@ class PointCloud:
     order; rows beyond are masked padding.
     """
 
-    __slots__ = ("_arrs", "_count")
+    __slots__ = ("_arrs", "_count", "_host_index")
 
     def __init__(self):
         self._arrs = make_cloud_arrays(np.zeros((0, 3), np.float32))
@@ -188,6 +188,23 @@ class PointCloud:
 
     def __repr__(self) -> str:
         return f"PointCloud(n={self._count})"
+
+    def _index(self):
+        """Lazy build-once host cell index for single-point queries — the
+        KD-tree build/query amortization analogue (ref:
+        crates/spatial/src/kdtree.rs:25-44): clouds are immutable, so the
+        index is built on first use and reused by every subsequent
+        `radius_search`/`knn_indices`/small-batch `knn` call with no
+        device dispatch at all."""
+        idx = getattr(self, "_host_index", None)
+        if idx is None:
+            from .spatial.hostindex import HostCellIndex
+
+            idx = HostCellIndex(
+                np.asarray(self._arrs.xyz), np.asarray(self._arrs.valid)
+            )
+            self._host_index = idx
+        return idx
 
     # ── Internal attribute access (not part of the reference's public
     #    binding surface, which exposes no normal/color getters) ──
@@ -621,6 +638,22 @@ def knn(cloud: PointCloud, queries, k: int):
             np.zeros((q.shape[0], 0), np.float32),
         )
     k_eff = min(k, cloud.len())
+    if q.shape[0] <= 128:
+        # Small batches hit the cached host index: a device engine call
+        # costs a full grid/sweep build + RPC dispatches, the index costs
+        # microseconds per query after its one-time build.
+        index = cloud._index()
+        nq = q.shape[0]
+        i_out = np.full((nq, k_eff), -1, np.int32)
+        d_out = np.full((nq, k_eff), np.inf, np.float32)
+        for r in range(nq):
+            if not np.all(np.isfinite(q[r])):
+                continue
+            rows, dd = index.knn(q[r], k_eff)
+            m = len(rows)
+            i_out[r, :m] = rows
+            d_out[r, :m] = dd
+        return i_out, d_out
     qarrs = make_cloud_arrays(q)
     dists, idx, nvalid = _engine.knn(
         cloud._arrs.xyz, cloud._arrs.valid, qarrs.xyz, qarrs.valid, k_eff
@@ -643,7 +676,21 @@ def radius_search(cloud: PointCloud, query, radius: float):
     match mask returns to host.
     """
     radius = float(radius)
-    q = np.asarray(query, np.float32).reshape(3)
+    qa = np.asarray(query, np.float32)
+    if qa.ndim == 2:
+        # Superset API: a [Q, 3] query batch returns a list of lists,
+        # amortizing the one-time index build across all Q queries.
+        if cloud.is_empty() or radius <= 0.0 or not math.isfinite(radius):
+            return [[] for _ in range(qa.shape[0])]
+        index = cloud._index()
+        out = []
+        for row in qa:
+            if not np.all(np.isfinite(row)):
+                out.append([])
+            else:
+                out.append([int(i) for i in index.radius(row, radius)])
+        return out
+    q = qa.reshape(3)
     if (
         cloud.is_empty()
         or radius <= 0.0
@@ -651,8 +698,7 @@ def radius_search(cloud: PointCloud, query, radius: float):
         or not np.all(np.isfinite(q))
     ):
         return []
-    idx = _engine.radius_indices(cloud._arrs.xyz, cloud._arrs.valid, q, radius)
-    return [int(i) for i in idx]
+    return [int(i) for i in cloud._index().radius(q, radius)]
 
 
 def radius_search_unsorted(cloud: PointCloud, query, radius: float):
@@ -670,5 +716,5 @@ def knn_indices(cloud: PointCloud, query, k: int):
     q = np.asarray(query, np.float32).reshape(3)
     if k <= 0 or cloud.is_empty() or not np.all(np.isfinite(q)):
         return []
-    idx, _ = knn(cloud, q[None, :], k)
-    return [int(i) for i in idx[0] if i >= 0]
+    rows, _ = cloud._index().knn(q, min(k, cloud.len()))
+    return [int(i) for i in rows]

@@ -94,11 +94,25 @@ def count(arrs: CloudArrays) -> jax.Array:
 def compaction_order(valid: jax.Array) -> jax.Array:
     """Permutation placing valid rows first, preserving relative order.
 
-    The stable sort keeps the original order of retained points, matching
-    the order-preserving ``select`` semantics of the reference
-    (ref: crates/core/src/cloud.rs:103-162).
+    Keeping the original order of retained points matches the
+    order-preserving ``select`` semantics of the reference
+    (ref: crates/core/src/cloud.rs:103-162). Computed as two prefix sums
+    + one scatter of iota — a bool argsort costs ~5 ms at 262K on TPU
+    where this costs well under 1 ms, and compaction sits in every
+    pipeline's obstacle/rescue packing.
     """
-    return jnp.argsort(jnp.logical_not(valid), stable=True)
+    n = valid.shape[0]
+    v = valid.astype(jnp.int32)
+    cv = jnp.cumsum(v)
+    nvalid = cv[-1] if n else jnp.int32(0)
+    pos = jnp.where(
+        valid, cv - 1, nvalid + jnp.cumsum(1 - v) - 1
+    )
+    return (
+        jnp.zeros((n,), jnp.int32)
+        .at[pos]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
 
 
 def compact(arrs: CloudArrays) -> CloudArrays:

@@ -46,16 +46,11 @@ def voxel_downsample_masked(xyz, valid, voxel_size):
     order = jnp.argsort(key, stable=True)
     skey = key[order]
     suse = use[order]
-    # Planar [4, N] layout (xyz + count): a [N, 4] array pads its 4-lane
-    # minor axis to 128 on TPU, multiplying the scan's memory traffic 32x.
-    svals = jnp.stack(
-        [
-            jnp.where(suse, jnp.take(xyz[:, 0], order), 0.0),
-            jnp.where(suse, jnp.take(xyz[:, 1], order), 0.0),
-            jnp.where(suse, jnp.take(xyz[:, 2], order), 0.0),
-            suse.astype(jnp.float32),
-        ]
-    )  # [4, N]
+    sxyz = jnp.take(xyz, order, axis=0)  # one [N, 3] row gather (cheapest)
+    sx = jnp.where(suse, sxyz[:, 0], 0.0)
+    sy = jnp.where(suse, sxyz[:, 1], 0.0)
+    sz = jnp.where(suse, sxyz[:, 2], 0.0)
+    scnt = suse.astype(jnp.float32)
 
     # Segment boundaries: a new segment starts where the sorted key changes.
     first = jnp.concatenate(
@@ -63,28 +58,37 @@ def voxel_downsample_masked(xyz, valid, voxel_size):
     )
 
     # Per-segment sums via a SEGMENTED prefix scan + one gather at segment
-    # ends. The obvious jax.ops.segment_sum is a million-element
-    # scatter-add (~90 ms at 1M points on TPU). A plain cumsum+diff loses
-    # precision (the f32 prefix reaches ~1e7 where one ulp is meters, and
-    # f64 scans are emulated and slow); the segmented scan RESETS at every
-    # voxel boundary, so prefixes stay at per-voxel magnitude and the
-    # result is the same f32 accumulation the reference performs.
+    # ends, as a TUPLE of 1-D scans (measured: the 1-D tuple scan is ~1 ms
+    # at 262K on TPU where the [N, 4] row scan costs ~10 ms — 2-D scan
+    # orientations pay tile-relayout per step). The obvious
+    # jax.ops.segment_sum is a million-element scatter-add (~90 ms at 1M
+    # points on TPU). A plain cumsum+diff loses precision (the f32 prefix
+    # reaches ~1e7 where one ulp is meters, and f64 scans are emulated and
+    # slow); the segmented scan RESETS at every voxel boundary, so
+    # prefixes stay at per-voxel magnitude and the result is the same f32
+    # accumulation the reference performs.
     is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
 
     def seg_op(a, b):
-        af, av = a
-        bf, bv = b
-        return jnp.logical_or(af, bf), bv + jnp.where(bf, 0.0, av)
+        return (
+            jnp.logical_or(a[0], b[0]),
+            b[1] + jnp.where(b[0], 0.0, a[1]),
+            b[2] + jnp.where(b[0], 0.0, a[2]),
+            b[3] + jnp.where(b[0], 0.0, a[3]),
+            b[4] + jnp.where(b[0], 0.0, a[4]),
+        )
 
-    _, seg_cs = jax.lax.associative_scan(
-        seg_op, (first[None, :], svals), axis=1
-    )  # [4, N]
+    _, cx, cy, cz, ccnt = jax.lax.associative_scan(
+        seg_op, (first, sx, sy, sz, scnt), axis=0
+    )
 
     # j-th True in is_end = end row of segment j (compaction is stable).
     from ..core.cloud import compaction_order
 
     ends = compaction_order(is_end).astype(jnp.int32)  # [N]; tail garbage
-    seg_totals = jnp.take(seg_cs, ends, axis=1)  # [4, N]
+    seg_totals = jnp.take(
+        jnp.stack([cx, cy, cz, ccnt]), ends, axis=1
+    )  # [4, N] (one packed [4, 1]-slice gather)
     counts = seg_totals[3]
     nseg = jnp.sum(first.astype(jnp.int32))
     in_range = jnp.arange(n, dtype=jnp.int32) < nseg

@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 
 _NN_CHUNK = 512
+# One-shot correspondence search below this [Q, N] element budget (the
+# sequential lax.map chunking serializes ~Q/512 small matmuls per ICP
+# iteration; a single fused dot + argmin is one streamed pass). 256M
+# elements = 1 GB f32 transient.
+_NN_ONE_SHOT_ELEMS = 256 * 1024 * 1024
 
 
 class IcpCarry(NamedTuple):
@@ -85,9 +90,16 @@ def _nn_1(qxyz, q_use, pxyz, p_use):
         )
         return best, idx.astype(jnp.int32)
 
-    d2s, idxs = jax.lax.map(chunk_fn, qpad.reshape(nchunks, _NN_CHUNK, 3))
-    d2 = d2s.reshape(-1)[:qn]
-    idx = idxs.reshape(-1)[:qn]
+    if qpad.shape[0] * pxyz.shape[0] <= _NN_ONE_SHOT_ELEMS:
+        d2, idx = chunk_fn(qpad)
+        d2 = d2[:qn]
+        idx = idx[:qn]
+    else:
+        d2s, idxs = jax.lax.map(
+            chunk_fn, qpad.reshape(nchunks, _NN_CHUNK, 3)
+        )
+        d2 = d2s.reshape(-1)[:qn]
+        idx = idxs.reshape(-1)[:qn]
     found = jnp.logical_and(q_use, jnp.isfinite(d2))
     dist = jnp.sqrt(jnp.maximum(d2, 0.0))
     return dist, idx, found

@@ -22,6 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..pipelines.aerial import aerial_pipeline
 from ..pipelines.kitti import kitti_obstacle_pipeline
 
 
@@ -82,6 +83,66 @@ def sharded_kitti_pipeline(
             scalar,
             scalar,
             seed_sharding,
+            scalar,
+        ),
+    )
+
+
+def sharded_aerial_pipeline(
+    mesh: Mesh,
+    *,
+    normals_k: int = 15,
+    ransac_iters: int = 100,
+    obstacle_cap: int = 4096,
+    cluster_wr: int = 12,
+):
+    """Batched aerial pipeline over the (frames, points) mesh — same
+    contract as `sharded_kitti_pipeline`: batch over ``frames``, each
+    frame's point dimension sharded over ``points`` (GSPMD partitions the
+    voxel/moments/cluster sorts and inserts the collectives).
+
+    (batch_xyz [B,N,3], batch_valid [B,N], voxel, normals_cell,
+    ransac_thresh, seeds [B], cluster_r, viewpoint [3]) -> batched
+    AerialPipelineOutput."""
+
+    def frame_fn(
+        xyz, valid, voxel, normals_cell, r_thresh, seed, cluster_r, vp
+    ):
+        return aerial_pipeline(
+            xyz,
+            valid,
+            voxel,
+            normals_cell,
+            r_thresh,
+            seed,
+            cluster_r,
+            vp,
+            normals_k=normals_k,
+            ransac_iters=ransac_iters,
+            obstacle_cap=obstacle_cap,
+            cluster_wr=cluster_wr,
+            backend="sweep_xla" if jax.default_backend() != "tpu" else "sweep",
+        )
+
+    vm = jax.vmap(
+        frame_fn, in_axes=(0, 0, None, None, None, 0, None, None)
+    )
+
+    data_sharding = NamedSharding(mesh, P("frames", "points"))
+    xyz_sharding = NamedSharding(mesh, P("frames", "points", None))
+    seed_sharding = NamedSharding(mesh, P("frames"))
+    scalar = NamedSharding(mesh, P())
+
+    return jax.jit(
+        vm,
+        in_shardings=(
+            xyz_sharding,
+            data_sharding,
+            scalar,
+            scalar,
+            scalar,
+            seed_sharding,
+            scalar,
             scalar,
         ),
     )

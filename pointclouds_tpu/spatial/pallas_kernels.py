@@ -701,20 +701,28 @@ def rescue_select(cand_planar, q_planar, active, *, k: int, per_seg: int = 3,
 def _cluster_propagate_kernel(wr: int, nshift: int):
     def kernel(starts_ref, q_ref, pts_ref, out_ref):
         # q/pts rows: channels [x, y, z, w, label, r2, 0, 0].
-        # starts_ref i32[3*nshift + 1, NB] (transposed): starts / skips /
-        # lengths / block-valid. Skips are unused (duplicated candidates
-        # are harmless to min); per-shift loops run start..start+len with
-        # DYNAMIC bounds, so work scales with the actual candidate count.
+        # starts_ref i32[3*nshift + 2, NB] (transposed): starts / skips /
+        # lengths / block-valid / block-ACTIVE. Skips are unused
+        # (duplicated candidates are harmless to min); per-shift loops run
+        # start..start+len with DYNAMIC bounds, so work scales with the
+        # actual candidate count. The active flag implements frontier
+        # skipping: a block none of whose window rows saw a label change
+        # last iteration would recompute exactly its previous result
+        # (labels only decrease), so it passes labels through untouched —
+        # after a few hops only frontier blocks pay for distance
+        # recomputation.
         b = pl.program_id(0)
         bv = starts_ref[3 * nshift, b]
+        act = starts_ref[3 * nshift + 1, b]
+        run = jnp.logical_and(bv != 0, act != 0)
 
-        @pl.when(bv == 0)
+        @pl.when(jnp.logical_not(run))
         def _():
-            # Fully-invalid block: labels pass through unchanged.
+            # Invalid or inactive block: labels pass through unchanged.
             out_ref[0:1, :] = q_ref[0, 4:5, :]
             out_ref[1:2, :] = jnp.zeros((1, 128), jnp.float32)
 
-        @pl.when(bv != 0)
+        @pl.when(run)
         def _():
             qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
             qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
@@ -771,8 +779,9 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
     pts_planar f32[NR, 8, 128]: channels [x, y, z, w, label, r2, 0, 0]
     (w = validity, label = current component label as exact-int f32, r2 =
     squared cluster radius broadcast); held fully VMEM-resident. starts
-    i32[NB, 3S + 1] as in `sweep_select` (skip columns unused; length
-    columns bound the dynamic per-shift loops).
+    i32[NB, 3S + 2] as in `sweep_select` plus a trailing per-block ACTIVE
+    column (skip columns unused; length columns bound the dynamic
+    per-shift loops; inactive blocks pass labels through).
 
     Returns (labels f32[NB*128] new per-query labels, changed f32[NB*128]
     1.0 where a label decreased).
@@ -781,12 +790,12 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
 
     nr, nch, width = pts_planar.shape
     nb = starts.shape[0]
-    nshift = (starts.shape[1] - 1) // 3
+    nshift = (starts.shape[1] - 2) // 3
     assert (nch, width) == (8, 128) and nb <= nr and nr >= wr, (
         pts_planar.shape,
         starts.shape,
     )
-    starts = jnp.transpose(starts)  # [2S, NB]
+    starts = jnp.transpose(starts)  # [3S+2, NB]
     kern = _cluster_propagate_kernel(wr, nshift)
     z = np.int32(0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -804,6 +813,216 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
         out_shape=jax.ShapeDtypeStruct((2, nb * 128), jnp.float32),
         interpret=interpret,
     )(starts, pts_planar, pts_planar)
+    return out[0], out[1]
+
+
+# ── Multi-sweep cluster kernel: the whole propagation loop on-chip ──────────
+#
+# The hop-per-dispatch formulation above pays the XLA loop-body tax every
+# iteration (label-array gathers, planar rebuild, pallas-call boundaries:
+# ~12 ms/hop at 262K where the hop kernel alone is ~3.5 ms). This kernel
+# runs the ENTIRE connected-components iteration inside one pallas call:
+#
+# - grid (sweeps+1, NB), executed sequentially on the TPU: t = 0
+#   initializes a persistent VMEM label scratch (labels = sorted
+#   positions as exact-int f32); each t >= 1 is one full min-label sweep.
+# - SERPENTINE block order (forward on even t, backward on odd): within a
+#   sweep, later blocks read labels already lowered by earlier blocks
+#   (Gauss-Seidel, not Jacobi) — min labels race through monotone chains
+#   in ONE sweep per direction, so real scenes converge in a handful of
+#   alternating sweeps instead of a diameter-bound hop count. Stale-vs-
+#   fresh interleaving is sound: labels only decrease, and min-
+#   propagation tolerates any interleaving.
+# - An SMEM change counter per sweep short-circuits converged tails:
+#   once a full sweep makes no change (the fixpoint proof: at a full-
+#   sweep fixpoint every within-radius pair has equal labels), remaining
+#   sweeps degrade to per-block label copies.
+#
+# Outputs per block (written at every visit; last visit wins): row 0 the
+# current labels, row 1 the per-lane changed flags of the block's final
+# running sweep — a zero total certifies convergence, which the caller
+# folds into `exact`.
+
+
+def _cluster_multisweep_kernel(nshift: int, nb: int):
+    def kernel(starts_ref, pts_ref, r2_ref, out_ref, lab_ref, cnt_ref):
+        # starts_ref i32[3*nshift + 1, NB]: starts / skips / lengths /
+        # block-valid; r2_ref holds radius^2 broadcast over one row.
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        bs = jax.lax.rem(t, jnp.int32(2)) * (jnp.int32(nb - 1) - 2 * b) + b
+        biglab = jnp.float32(float(1 << 25))
+        zrow = jnp.zeros((1, 128), jnp.float32)
+
+        @pl.when(t == 0)
+        def _():
+            base = (bs * jnp.int32(128)).astype(jnp.float32)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+            lab_ref[pl.ds(bs, 1), :] = base + iota
+            out_ref[0:1, :] = base + iota
+            out_ref[1:2, :] = zrow
+
+            @pl.when(b == 0)
+            def _():
+                cnt_ref[0] = jnp.int32(1)  # force sweep 1 to run
+                cnt_ref[1] = jnp.int32(1)
+
+        @pl.when(t > 0)
+        def _():
+            cur = jax.lax.rem(t, jnp.int32(2))
+            prev = 1 - cur
+
+            @pl.when(b == 0)
+            def _():
+                cnt_ref[cur] = jnp.int32(0)
+
+            qlab = lab_ref[pl.ds(bs, 1), :]  # [1, 128]
+            bv = starts_ref[3 * nshift, bs]
+            live = jnp.logical_and(bv != 0, cnt_ref[prev] != 0)
+
+            @pl.when(jnp.logical_not(live))
+            def _():
+                out_ref[0:1, :] = qlab
+                out_ref[1:2, :] = zrow
+
+            @pl.when(live)
+            def _():
+                row_q = pts_ref[pl.ds(bs, 1), :, :]
+                qx = jnp.transpose(row_q[0, 0:1, :], (1, 0))  # [128, 1]
+                qy = jnp.transpose(row_q[0, 1:2, :], (1, 0))
+                qz = jnp.transpose(row_q[0, 2:3, :], (1, 0))
+                qm = jnp.transpose(row_q[0, 3:4, :], (1, 0))
+                qlab_t = jnp.transpose(qlab, (1, 0))  # [128, 1]
+                r2 = r2_ref[0:1, :]  # [1, 128] broadcast of radius^2
+
+                best = jnp.where(qm > 0.5, qlab_t, biglab)
+                for j in range(nshift):
+                    st = starts_ref[j, bs]
+                    sk = starts_ref[nshift + j, bs]
+                    ln = starts_ref[2 * nshift + j, bs]
+
+                    def body(r, best, st=st):
+                        rowp = pts_ref[pl.ds(st + r, 1), :, :]
+                        rowl = lab_ref[pl.ds(st + r, 1), :]  # [1, 128]
+                        cx = rowp[0, 0:1, :]
+                        cy = rowp[0, 1:2, :]
+                        cz = rowp[0, 2:3, :]
+                        cw = rowp[0, 3:4, :]
+                        d2 = (
+                            (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                        )
+                        pair = qm * cw
+                        within = jnp.where(
+                            jnp.logical_and(pair > 0.5, d2 <= r2),
+                            rowl + 0.0 * d2,  # label bcast over queries
+                            biglab,
+                        )
+                        return jnp.minimum(
+                            best, jnp.min(within, axis=1, keepdims=True)
+                        )
+
+                    best = jax.lax.fori_loop(sk, ln, body, best)
+
+                # Intra-row transitive closure: block-internal propagation
+                # would otherwise be Jacobi (one edge per sweep — a chain
+                # along one row would need up to 127 sweeps). Build the
+                # row's own adjacency tile and square it log2(128) = 7
+                # times on the MXU (0/1 sums <= 128 are exact in bf16),
+                # then one masked-min application collapses every
+                # row-internal chain this sweep.
+                cxo = row_q[0, 0:1, :]
+                cyo = row_q[0, 1:2, :]
+                czo = row_q[0, 2:3, :]
+                cwo = row_q[0, 3:4, :]
+                d2o = (qx - cxo) ** 2 + (qy - cyo) ** 2 + (qz - czo) ** 2
+                adj = jnp.where(
+                    jnp.logical_and(qm * cwo > 0.5, d2o <= r2),
+                    jnp.float32(1.0),
+                    jnp.float32(0.0),
+                )
+                for _ in range(7):
+                    adj = jnp.where(
+                        jax.lax.dot(adj, adj) > 0.5,
+                        jnp.float32(1.0),
+                        jnp.float32(0.0),
+                    )
+                best_row = jnp.transpose(best, (1, 0))  # [1, 128]
+                closed = jnp.where(
+                    adj > 0.5, best_row + 0.0 * adj, biglab
+                )
+                best = jnp.minimum(
+                    best, jnp.min(closed, axis=1, keepdims=True)
+                )
+
+                newlab_t = jnp.minimum(qlab_t, best)
+                newlab = jnp.transpose(newlab_t, (1, 0))  # [1, 128]
+                ch = jnp.where(
+                    newlab < qlab, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                lab_ref[pl.ds(bs, 1), :] = newlab
+                cnt_ref[cur] = cnt_ref[cur] + jnp.sum(ch).astype(jnp.int32)
+                out_ref[0:1, :] = newlab
+                out_ref[1:2, :] = ch
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def cluster_multisweep(pts_planar, starts, r2, *, sweeps: int = 12,
+                       interpret: bool = False):
+    """Full connected-components propagation in one pallas call.
+
+    pts_planar f32[NR, 4, 128] (x, y, z, w); starts i32[NB, 3S + 1] (the
+    plain `_window_starts` pack — block-valid in its last column); r2 the
+    squared cluster radius (static-ish float). Returns
+    (labels f32[NB*128] in SORTED order, changed f32[NB*128] per-lane
+    flags of each block's final sweep — all-zero certifies convergence).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = pts_planar.shape
+    nb = starts.shape[0]
+    nshift = (starts.shape[1] - 1) // 3
+    assert (nch, width) == (4, 128) and nb <= nr, (
+        pts_planar.shape,
+        starts.shape,
+    )
+    r2row = jnp.broadcast_to(
+        jnp.asarray(r2, jnp.float32)[None, None], (1, 128)
+    )
+    starts = jnp.transpose(starts)  # [3S+1, NB]
+    kern = _cluster_multisweep_kernel(nshift, nb)
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(sweeps + 1, nb),
+        in_specs=[
+            pl.BlockSpec((nr, 4, 128), lambda t, b, s: (z, z, z)),
+            pl.BlockSpec((1, 128), lambda t, b, s: (z, z)),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 128),
+            lambda t, b, s: (
+                z,
+                jax.lax.rem(t, jnp.int32(2))
+                * (jnp.int32(nb - 1) - jnp.int32(2) * b)
+                + b,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nr, 128), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, nb * 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(starts, pts_planar, r2row)
     return out[0], out[1]
 
 

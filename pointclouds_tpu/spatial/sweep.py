@@ -582,7 +582,8 @@ def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
 @partial(
     jax.jit,
     static_argnames=(
-        "wr", "max_iters", "jumps", "table_size", "interpret", "use_kernel"
+        "wr", "max_iters", "jumps", "sweeps", "table_size", "interpret",
+        "use_kernel",
     ),
 )
 def sweep_cluster_labels(
@@ -593,6 +594,7 @@ def sweep_cluster_labels(
     wr: int = 7,
     max_iters: int = 64,
     jumps: int = 2,
+    sweeps: int = 12,
     table_size: int = SWEEP_TABLE_SIZE,
     interpret: bool = False,
     use_kernel: bool = True,
@@ -633,6 +635,34 @@ def sweep_cluster_labels(
     )
 
     r2 = jnp.float32(radius) * jnp.float32(radius)
+
+    # Residency gate (shared): the resident kernels hold the planar array
+    # (and the multisweep's label scratch) fully in VMEM; beyond it the
+    # XLA mirror streams from HBM.
+    if use_kernel and nrows * 8 * 128 * 4 > CLUSTER_RESIDENT_BYTES:
+        use_kernel = False
+
+    if use_kernel:
+        # Whole propagation loop in ONE pallas call (serpentine
+        # Gauss-Seidel sweeps over a VMEM label scratch): no per-hop
+        # XLA loop-body tax. Convergence is certified by the final
+        # sweep's change flags; a non-converged run (pathological scene
+        # at the static sweep budget) surfaces as exact=False and the
+        # callers fall back, exactly like a window overflow.
+        from .pallas_kernels import cluster_multisweep
+
+        labf, chf = cluster_multisweep(
+            planar, starts_skip, r2, sweeps=sweeps, interpret=interpret
+        )
+        converged = jnp.sum(chf) < 0.5
+        lab = labf.astype(jnp.int32)
+        if nall > nb * 128:
+            lab = jnp.concatenate(
+                [lab, jnp.arange(nb * 128, nall, dtype=jnp.int32)]
+            )
+        exact = jnp.logical_and(exact, converged)
+        return _cluster_epilogue(lab, s, use, suse_p, n, nall, exact)
+
     base6 = jnp.concatenate(
         [
             planar,  # [x, y, z, w]
@@ -645,31 +675,29 @@ def sweep_cluster_labels(
 
     lab0 = jnp.arange(nall, dtype=jnp.int32)
 
-    # Residency gate: cluster_propagate holds the 8-channel planar array
-    # fully in VMEM (32 B/point); beyond the gate the XLA mirror streams it.
-    if use_kernel and nrows * 8 * 128 * 4 > CLUSTER_RESIDENT_BYTES:
-        use_kernel = False
-    if use_kernel:
-        from .pallas_kernels import cluster_propagate
+    # Frontier tracking: per-block window read ranges for the
+    # active-block computation (a block whose window rows saw no label
+    # change since its last evaluation would reproduce its previous
+    # result exactly, so the kernel passes it through untouched).
+    st_c = starts_skip[:, :NSHIFT]
+    lo_rows = jnp.minimum(st_c + starts_skip[:, NSHIFT : 2 * NSHIFT], nrows)
+    hi_rows = jnp.minimum(
+        st_c + starts_skip[:, 2 * NSHIFT : 3 * NSHIFT], nrows
+    )
 
-        def hop(lab_f):
-            planar = base6.at[:, 4, :].set(lab_f.reshape(nrows, 128))
-            newlab, changed = cluster_propagate(
-                planar, starts_skip, wr=wr, interpret=interpret
-            )
-            return newlab[: nb * 128], changed[: nb * 128]
-    else:
-
-        def hop(lab_f):
-            return _cluster_propagate_xla(
-                base6.at[:, 4, :].set(lab_f.reshape(nrows, 128)),
-                starts_skip,
-                wr=wr,
-            )
+    def hop(lab_f, starts_it):
+        return _cluster_propagate_xla(
+            base6.at[:, 4, :].set(lab_f.reshape(nrows, 128)),
+            starts_it,
+            wr=wr,
+        )
 
     def body(state):
-        lab, _, it = state
-        newq, changed = hop(lab.astype(jnp.float32))
+        lab, active, _, it = state
+        starts_it = jnp.concatenate(
+            [starts_skip, active.astype(jnp.int32)[:, None]], axis=1
+        )
+        newq, changed = hop(lab.astype(jnp.float32), starts_it)
         m = newq.astype(jnp.int32)
         if nall > nb * 128:
             m = jnp.concatenate([m, lab[nb * 128 :]])
@@ -688,21 +716,40 @@ def sweep_cluster_labels(
             new = jnp.minimum(
                 new, jnp.take(new, jnp.clip(new, 0, nall - 1))
             )
+        # Next frontier: blocks whose windows contain any changed row
+        # (includes hook/jump-induced changes — diff over the FINAL
+        # labels).
+        diff_rows = jnp.max(
+            (new != lab).reshape(nrows, 128).astype(jnp.int32), axis=1
+        )
+        cum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(diff_rows)]
+        )
+        win_any = jnp.take(cum, hi_rows) - jnp.take(cum, lo_rows)
+        new_active = jnp.any(win_any > 0, axis=1)
         any_changed = jnp.sum(changed) > 0.5
-        return new, any_changed, it + 1
+        return new, new_active, any_changed, it + 1
 
     def cond(state):
-        _, changed, it = state
+        _, _, changed, it = state
         return jnp.logical_and(changed, it < max_iters)
 
-    lab, still_changed, iters = jax.lax.while_loop(
-        cond, body, (lab0, jnp.asarray(True), jnp.int32(0))
+    lab, _, still_changed, iters = jax.lax.while_loop(
+        cond,
+        body,
+        (lab0, jnp.ones((nb,), bool), jnp.asarray(True), jnp.int32(0)),
     )
     exact = jnp.logical_and(exact, iters < max_iters)
+    return _cluster_epilogue(lab, s, use, suse_p, n, nall, exact)
 
-    # Representative = smallest ORIGINAL row in the component (the
-    # cell_graph_labels contract). order maps sorted position -> original
-    # row for positions < n.
+
+def _cluster_epilogue(lab, s, use, suse_p, n, nall, exact):
+    """Sorted-position labels -> original-order representative labels.
+
+    Representative = smallest ORIGINAL row in the component (the
+    cell_graph_labels contract). order maps sorted position -> original
+    row for positions < n."""
+    order = s["order"]
     order_rows = jnp.concatenate(
         [
             order.astype(jnp.int32),
@@ -723,15 +770,19 @@ def sweep_cluster_labels(
 
 
 def _cluster_propagate_xla(planar8, starts_skip, *, wr: int):
-    """XLA mirror of `pallas_kernels.cluster_propagate`."""
+    """XLA mirror of `pallas_kernels.cluster_propagate` (same [3S+2]
+    starts pack: inactive/invalid blocks pass labels through)."""
     nb = starts_skip.shape[0]
-    nshift = (starts_skip.shape[1] - 1) // 3
+    nshift = (starts_skip.shape[1] - 2) // 3
     biglab = jnp.float32(float(1 << 25))
 
     def block_fn(args):
         ss, qrow = args
         st = ss[:nshift]
         ln = ss[2 * nshift : 3 * nshift]
+        run = jnp.logical_and(
+            ss[3 * nshift] != 0, ss[3 * nshift + 1] != 0
+        )
         qx, qy, qz = qrow[0], qrow[1], qrow[2]
         qm = qrow[3] > 0.5
         qlab = qrow[4]
@@ -764,6 +815,8 @@ def _cluster_propagate_xla(planar8, starts_skip, *, wr: int):
         )
         best = jnp.where(qm, jnp.minimum(best, qlab), biglab)
         changed = jnp.logical_and(qm, best < qlab).astype(jnp.float32)
+        best = jnp.where(run, best, qlab)
+        changed = jnp.where(run, changed, 0.0)
         return best, changed
 
     labs, changed = jax.lax.map(block_fn, (starts_skip, planar8[:nb]))

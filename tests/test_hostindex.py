@@ -1,0 +1,105 @@
+"""Host cell index (build-once single-query path) vs f64 brute force."""
+
+import numpy as np
+import pytest
+
+import pointclouds_tpu as pc
+from pointclouds_tpu.spatial.hostindex import HostCellIndex
+
+
+def _cloud(seed=0, n=5000):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+
+
+def test_radius_matches_brute():
+    xyz = _cloud()
+    idx = HostCellIndex(xyz, np.ones(len(xyz), bool))
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        q = rng.uniform(-12, 12, 3)
+        r = rng.uniform(0.2, 3.0)
+        got = idx.radius(q, r)
+        d2 = ((xyz.astype(np.float64) - q) ** 2).sum(1)
+        want = np.nonzero(d2 <= r * r)[0]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_knn_matches_brute():
+    xyz = _cloud(2)
+    idx = HostCellIndex(xyz, np.ones(len(xyz), bool))
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        q = rng.uniform(-12, 12, 3)
+        k = int(rng.integers(1, 20))
+        rows, dists = idx.knn(q, k)
+        d = np.sqrt(((xyz.astype(np.float64) - q) ** 2).sum(1))
+        want = np.sort(d)[:k]
+        np.testing.assert_allclose(np.sort(dists), want, rtol=1e-12)
+
+
+def test_knn_k_exceeds_population():
+    xyz = _cloud(4, 7)
+    idx = HostCellIndex(xyz, np.ones(7, bool))
+    rows, dists = idx.knn(np.zeros(3), 20)
+    assert len(rows) == 7
+    assert (np.diff(dists) >= 0).all()
+
+
+def test_invalid_and_nonfinite_rows_excluded():
+    xyz = _cloud(5, 100)
+    valid = np.ones(100, bool)
+    valid[10:20] = False
+    xyz[30] = np.nan
+    idx = HostCellIndex(xyz, valid)
+    got = idx.radius(xyz[0], 50.0)
+    assert 0 in got
+    assert not any(10 <= g < 20 for g in got)
+    assert 30 not in got
+
+
+def test_far_outside_query():
+    xyz = _cloud(6, 500)
+    idx = HostCellIndex(xyz, np.ones(500, bool))
+    q = np.array([1e4, 1e4, 1e4])
+    rows, dists = idx.knn(q, 3)
+    d = np.sqrt(((xyz.astype(np.float64) - q) ** 2).sum(1))
+    np.testing.assert_allclose(np.sort(dists), np.sort(d)[:3], rtol=1e-12)
+
+
+def test_api_radius_search_uses_index_and_caches():
+    cloud = pc.PointCloud.from_numpy(_cloud(7, 3000))
+    r1 = pc.radius_search(cloud, (0.0, 0.0, 0.0), 2.0)
+    assert getattr(cloud, "_host_index", None) is not None
+    idx_obj = cloud._host_index
+    r2 = pc.radius_search(cloud, (1.0, 1.0, 1.0), 2.0)
+    assert cloud._host_index is idx_obj  # reused, not rebuilt
+    xyz = np.asarray(cloud.to_numpy(), np.float64)
+    for q, got in (((0.0, 0.0, 0.0), r1), ((1.0, 1.0, 1.0), r2)):
+        d2 = ((xyz - np.asarray(q)) ** 2).sum(1)
+        np.testing.assert_array_equal(got, np.nonzero(d2 <= 4.0)[0])
+
+
+def test_api_radius_search_batched_superset():
+    cloud = pc.PointCloud.from_numpy(_cloud(8, 2000))
+    qs = np.array([[0, 0, 0], [5, 5, 5], [np.nan, 0, 0]], np.float32)
+    out = pc.radius_search(cloud, qs, 1.5)
+    assert isinstance(out, list) and len(out) == 3
+    assert out[2] == []
+    xyz = np.asarray(cloud.to_numpy(), np.float64)
+    for q, got in zip(qs[:2], out[:2]):
+        d2 = ((xyz - q.astype(np.float64)) ** 2).sum(1)
+        np.testing.assert_array_equal(got, np.nonzero(d2 <= 1.5 * 1.5)[0])
+
+
+def test_api_knn_small_batch_matches_brute():
+    data = _cloud(9, 4000)
+    cloud = pc.PointCloud.from_numpy(data)
+    qs = _cloud(10, 5)
+    i, d = pc.knn(cloud, qs, 8)
+    assert i.shape == (5, 8)
+    for r in range(5):
+        dd = np.sqrt(
+            ((data.astype(np.float64) - qs[r].astype(np.float64)) ** 2).sum(1)
+        )
+        np.testing.assert_allclose(np.sort(d[r]), np.sort(dd)[:8], rtol=1e-6)

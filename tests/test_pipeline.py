@@ -3,6 +3,7 @@ KITTI-style scenes (this is the fused path's correctness gate, see
 pointclouds_tpu/pipelines/kitti.py docstring)."""
 
 import numpy as np
+import pytest
 
 import pointclouds_tpu as pc
 from pointclouds_tpu.core.cloud import make_cloud_arrays
@@ -117,3 +118,32 @@ def test_aerial_pipeline_api_path():
     assert ds.len() > 0
     assert len(plane.inliers) > ds.len() * 0.1  # a terrain band fits the plane
     assert len(clusters) >= 3  # buildings + trees found
+
+
+@pytest.mark.slow
+def test_fused_matches_api_path_production_scale():
+    """Full-scale fused-vs-exact parity (VERDICT r2 honesty gap): the
+    68K-point synthetic KITTI scene is past the density where pass-1 SOR
+    stops certifying every row (`sor_certified` can go False at production
+    scale), so this validates the documented removal-biased semantics
+    still yield geometrically identical clusters vs the exact API path."""
+    data = kitti_scene(seed=42, scale=1.0)
+    assert len(data) >= 50_000
+    seed = 77
+    ds, cleaned, plane, obstacles, api_clusters = run_api_path(data, seed)
+    out, fused_clusters = run_fused_path(data, seed)
+
+    assert int(np.asarray(out.downsampled_valid).sum()) == ds.len()
+    fused_sor = int(np.asarray(out.cleaned_valid).sum())
+    assert abs(fused_sor - cleaned.len()) <= max(3, cleaned.len() // 100)
+    dot = abs(float(np.dot(np.asarray(out.plane_normal), plane.normal)))
+    assert dot > 0.999
+    # Geometric cluster equality — the binding gate at full scale.
+    assert [len(c) for c in fused_clusters] == [len(c) for c in api_clusters]
+    api_pts = obstacles.to_numpy()
+    fused_obs = np.asarray(out.centroids)[np.asarray(out.obstacle_src)]
+    fused_valid_slots = np.nonzero(np.asarray(out.obstacle_valid))[0]
+    for fc, ac in zip(fused_clusters, api_clusters):
+        a = np.sort(api_pts[ac], axis=0)
+        f = np.sort(fused_obs[fused_valid_slots[fc]], axis=0)
+        np.testing.assert_array_equal(a, f)

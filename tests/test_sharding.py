@@ -89,3 +89,61 @@ def test_points_axis_actually_sharded():
     sharded = jax.device_put(batch_xyz, NamedSharding(mesh, P("frames", "points", None)))
     shard_shapes = {s.data.shape for s in sharded.addressable_shards}
     assert shard_shapes == {(b // mesh.shape["frames"] * 1, 1024, 3)}
+
+
+def test_sharded_aerial_runs_and_matches_unsharded():
+    from pointclouds_tpu.parallel.sharding import sharded_aerial_pipeline
+    from pointclouds_tpu.pipelines.aerial import aerial_pipeline
+    from pointclouds_tpu.pipelines.scenes import aerial_scene
+
+    mesh = make_mesh(8)
+    b = mesh.shape["frames"]
+    frames = [
+        make_cloud_arrays(aerial_scene(seed=s, scale=0.01), capacity=4096)
+        for s in range(b)
+    ]
+    batch_xyz = jnp.stack([f.xyz for f in frames])
+    batch_valid = jnp.stack([f.valid for f in frames])
+    seeds = jnp.arange(b, dtype=jnp.int32)
+    vp = jnp.asarray([0.0, 0.0, 10000.0], jnp.float32)
+
+    step = sharded_aerial_pipeline(
+        mesh, normals_k=15, ransac_iters=50, obstacle_cap=1024
+    )
+    out = step(
+        batch_xyz,
+        batch_valid,
+        jnp.float32(0.5),
+        jnp.float32(6.0),
+        jnp.float32(0.3),
+        seeds,
+        jnp.float32(2.0),
+        vp,
+    )
+    jax.block_until_ready(out)
+    assert (np.asarray(out.downsampled_valid).sum(axis=1) > 0).all()
+
+    for i in range(b):
+        ref = aerial_pipeline(
+            frames[i].xyz,
+            frames[i].valid,
+            jnp.float32(0.5),
+            jnp.float32(6.0),
+            jnp.float32(0.3),
+            int(seeds[i]),
+            jnp.float32(2.0),
+            vp,
+            normals_k=15,
+            ransac_iters=50,
+            obstacle_cap=1024,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.downsampled_valid[i]),
+            np.asarray(ref.downsampled_valid),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.labels[i]), np.asarray(ref.labels)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.normals[i]), np.asarray(ref.normals), atol=1e-5
+        )
