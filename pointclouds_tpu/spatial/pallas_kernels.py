@@ -844,10 +844,17 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
 # folds into `exact`.
 
 
-def _cluster_multisweep_kernel(nshift: int, nb: int):
-    def kernel(starts_ref, pts_ref, r2_ref, out_ref, lab_ref, cnt_ref):
+def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
+    def kernel(starts_ref, pts_ref, r2_ref, out_ref, lab_ref, cnt_ref,
+               blk_ref):
         # starts_ref i32[3*nshift + 1, NB]: starts / skips / lengths /
         # block-valid; r2_ref holds radius^2 broadcast over one row.
+        # blk_ref i32[2*nr]: double-buffered per-ROW changed flags — the
+        # FRONTIER. A block whose windows saw no label change in the
+        # previous sweep would recompute its exact previous result, so it
+        # passes through untouched; once the wave of merges localizes
+        # (sweep 3+ on real scenes), each sweep touches only the blocks
+        # adjacent to actual changes instead of all of them.
         t = pl.program_id(0)
         b = pl.program_id(1)
         bs = jax.lax.rem(t, jnp.int32(2)) * (jnp.int32(nb - 1) - 2 * b) + b
@@ -861,16 +868,30 @@ def _cluster_multisweep_kernel(nshift: int, nb: int):
             lab_ref[pl.ds(bs, 1), :] = base + iota
             out_ref[0:1, :] = base + iota
             out_ref[1:2, :] = zrow
+            blk_ref[bs] = jnp.int32(1)  # sweep 1 reads buffer 0: all live
+            blk_ref[nr + bs] = jnp.int32(0)
 
             @pl.when(b == 0)
             def _():
                 cnt_ref[0] = jnp.int32(1)  # force sweep 1 to run
                 cnt_ref[1] = jnp.int32(1)
 
+                # Padding rows (>= nb) never change labels: pin both
+                # frontier buffers to 0 there, once.
+                def zr(r, c):
+                    blk_ref[r] = jnp.int32(0)
+                    blk_ref[nr + r] = jnp.int32(0)
+                    return c
+
+                jax.lax.fori_loop(
+                    jnp.int32(nb), jnp.int32(nr), zr, jnp.int32(0)
+                )
+
         @pl.when(t > 0)
         def _():
             cur = jax.lax.rem(t, jnp.int32(2))
             prev = 1 - cur
+            pbase = prev * jnp.int32(nr)
 
             @pl.when(b == 0)
             def _():
@@ -878,12 +899,30 @@ def _cluster_multisweep_kernel(nshift: int, nb: int):
 
             qlab = lab_ref[pl.ds(bs, 1), :]  # [1, 128]
             bv = starts_ref[3 * nshift, bs]
-            live = jnp.logical_and(bv != 0, cnt_ref[prev] != 0)
+            glive = jnp.logical_and(bv != 0, cnt_ref[prev] != 0)
+
+            # Frontier test: OR of the previous sweep's changed flags
+            # over this block's window rows (zero-trip when glive is
+            # already false — ln collapses to sk).
+            acc = jnp.int32(0)
+            for j in range(nshift):
+                st = starts_ref[j, bs]
+                sk = starts_ref[nshift + j, bs]
+                ln = jnp.where(
+                    glive, starts_ref[2 * nshift + j, bs], sk
+                )
+
+                def fb(r, a, st=st):
+                    return a | blk_ref[pbase + st + r]
+
+                acc = jax.lax.fori_loop(sk, ln, fb, acc)
+            live = jnp.logical_and(glive, acc != 0)
 
             @pl.when(jnp.logical_not(live))
             def _():
                 out_ref[0:1, :] = qlab
                 out_ref[1:2, :] = zrow
+                blk_ref[cur * jnp.int32(nr) + bs] = jnp.int32(0)
 
             @pl.when(live)
             def _():
@@ -960,7 +999,11 @@ def _cluster_multisweep_kernel(nshift: int, nb: int):
                     newlab < qlab, jnp.float32(1.0), jnp.float32(0.0)
                 )
                 lab_ref[pl.ds(bs, 1), :] = newlab
-                cnt_ref[cur] = cnt_ref[cur] + jnp.sum(ch).astype(jnp.int32)
+                chs = jnp.sum(ch).astype(jnp.int32)
+                cnt_ref[cur] = cnt_ref[cur] + chs
+                blk_ref[cur * jnp.int32(nr) + bs] = jnp.where(
+                    chs > 0, jnp.int32(1), jnp.int32(0)
+                )
                 out_ref[0:1, :] = newlab
                 out_ref[1:2, :] = ch
 
@@ -991,7 +1034,7 @@ def cluster_multisweep(pts_planar, starts, r2, *, sweeps: int = 12,
         jnp.asarray(r2, jnp.float32)[None, None], (1, 128)
     )
     starts = jnp.transpose(starts)  # [3S+1, NB]
-    kern = _cluster_multisweep_kernel(nshift, nb)
+    kern = _cluster_multisweep_kernel(nshift, nb, nr)
     z = np.int32(0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1012,6 +1055,7 @@ def cluster_multisweep(pts_planar, starts, r2, *, sweeps: int = 12,
         scratch_shapes=[
             pltpu.VMEM((nr, 128), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2 * nr,), jnp.int32),
         ],
     )
     out = pl.pallas_call(
