@@ -54,24 +54,31 @@ def _sample_three_distinct(key, iterations: int, cnt):
     return jnp.stack([a, b, c], axis=1)
 
 
-@partial(jax.jit, static_argnames=("iterations",))
-def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int):
+@partial(jax.jit, static_argnames=("iterations", "assume_compact"))
+def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
+                        *, assume_compact: bool = False):
     """Batched RANSAC plane fit on a masked cloud.
 
     Returns (normal f32[3], d f32, inlier_mask bool[N]). With fewer than 3
     valid points the default model (normal (0,0,1), d=0) and an empty inlier
     set are returned (ref: crates/segmentation/src/ransac_plane.rs:62-66).
+
+    ``assume_compact=True`` asserts the valid rows are exactly the leading
+    ``sum(valid)`` rows (true for voxel-downsample outputs), so sample
+    positions are row indices directly and the compaction sort is skipped.
     """
     n = xyz.shape[0]
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     cnt = jnp.sum(valid.astype(jnp.int32))
 
-    # Compacted index map: position p (< cnt) -> original row.
-    order = compaction_order(valid)
-
     key = jax.random.PRNGKey(seed)
     samples = _sample_three_distinct(key, iterations, cnt)  # positions
-    idx = jnp.take(order, samples, axis=0)  # [I, 3] original rows
+    if assume_compact:
+        idx = samples  # position p IS original row p
+    else:
+        # Compacted index map: position p (< cnt) -> original row.
+        order = compaction_order(valid)
+        idx = jnp.take(order, samples, axis=0)  # [I, 3] original rows
     p = jnp.take(xyz, idx, axis=0)  # [I, 3, 3]
 
     v1 = p[:, 1] - p[:, 0]

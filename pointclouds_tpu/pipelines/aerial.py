@@ -138,8 +138,11 @@ def aerial_pipeline(
     )
 
     # ── Step 3: RANSAC ground plane ──
+    # Voxel output is leading-compact by construction, so RANSAC skips
+    # its compaction sort (sample positions are row indices directly).
     pnormal, d, inlier_mask = ransac_plane_masked(
-        centroids, ds_valid, ransac_thresh, seed, ransac_iters
+        centroids, ds_valid, ransac_thresh, seed, ransac_iters,
+        assume_compact=True,
     )
 
     # ── Step 4+5: ground removal + clustering ──
@@ -151,8 +154,11 @@ def aerial_pipeline(
     n_obstacles = jnp.sum(obstacle_mask.astype(jnp.int32))
     overflow = n_obstacles > obstacle_cap
 
+    # rep_labels=False: canonical component ids (extract_clusters groups
+    # by value without interpreting it) — skips the 262K scatter-min.
     labels, cluster_exact = sweep_cluster_labels(
-        obs_xyz, obs_valid, cluster_r, wr=cluster_wr, use_kernel=use_kernel
+        obs_xyz, obs_valid, cluster_r, wr=cluster_wr,
+        use_kernel=use_kernel, rep_labels=False,
     )
 
     return AerialPipelineOutput(

@@ -583,7 +583,7 @@ def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
     jax.jit,
     static_argnames=(
         "wr", "max_iters", "jumps", "sweeps", "table_size", "interpret",
-        "use_kernel",
+        "use_kernel", "rep_labels",
     ),
 )
 def sweep_cluster_labels(
@@ -598,6 +598,7 @@ def sweep_cluster_labels(
     table_size: int = SWEEP_TABLE_SIZE,
     interpret: bool = False,
     use_kernel: bool = True,
+    rep_labels: bool = True,
 ):
     """Euclidean-cluster labels by sweep min-label propagation.
 
@@ -661,7 +662,9 @@ def sweep_cluster_labels(
                 [lab, jnp.arange(nb * 128, nall, dtype=jnp.int32)]
             )
         exact = jnp.logical_and(exact, converged)
-        return _cluster_epilogue(lab, s, use, suse_p, n, nall, exact)
+        return _cluster_epilogue(
+            lab, s, use, suse_p, n, nall, exact, rep_labels
+        )
 
     base6 = jnp.concatenate(
         [
@@ -740,16 +743,36 @@ def sweep_cluster_labels(
         (lab0, jnp.ones((nb,), bool), jnp.asarray(True), jnp.int32(0)),
     )
     exact = jnp.logical_and(exact, iters < max_iters)
-    return _cluster_epilogue(lab, s, use, suse_p, n, nall, exact)
+    return _cluster_epilogue(lab, s, use, suse_p, n, nall, exact, rep_labels)
 
 
-def _cluster_epilogue(lab, s, use, suse_p, n, nall, exact):
+def _cluster_epilogue(lab, s, use, suse_p, n, nall, exact,
+                      rep_labels: bool = True):
     """Sorted-position labels -> original-order representative labels.
 
     Representative = smallest ORIGINAL row in the component (the
     cell_graph_labels contract). order maps sorted position -> original
-    row for positions < n."""
+    row for positions < n.
+
+    ``rep_labels=False`` returns CANONICAL component ids instead: the
+    smallest sorted position in the component, mapped back to original
+    order. Component identity (which points share a label) is identical
+    and deterministic; only the label VALUES differ from the
+    cell_graph_labels contract. This skips a 262K-scale scatter-min
+    (~5 ms on TPU) and is what the fused pipelines use — their
+    extract_clusters groups by label value without interpreting it.
+    Invalid/non-finite points still get a unique singleton id (their own
+    sorted position, offset so it can never collide with a component
+    id... they cannot collide anyway: every label is a sorted position,
+    and each position belongs to exactly one point)."""
     order = s["order"]
+    if not rep_labels:
+        plab = jnp.take(lab[:n], s["inv"])
+        # Invalid rows: unique ids offset past every sorted position so
+        # they can never collide with a component id.
+        own = jnp.arange(nall, nall + n, dtype=jnp.int32)
+        labels = jnp.where(use, plab, own)
+        return labels, exact
     order_rows = jnp.concatenate(
         [
             order.astype(jnp.int32),
