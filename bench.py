@@ -63,6 +63,9 @@ def main():
                 sor_k=20,
                 ransac_iters=500,
                 sor_backend=backend,
+                # 93,033 centroids fit a 98,304-row cap with 5.6% headroom;
+                # truncation would surface in ds_truncated below.
+                ds_cap=98_304,
             )
         return run
 
@@ -112,6 +115,10 @@ def main():
             aarrs.xyz, aarrs.valid, np.float32(0.5), np.float32(3.0),
             np.float32(0.3), seed, np.float32(2.0), vp,
             backend="sweep" if backend == "sweep" else "sweep_xla",
+            # ~208K centroids / ~162K obstacles on this scene: caps leave
+            # 10-20% headroom and the overflow flags below stay honest.
+            ds_cap=229_376,
+            obstacle_cap=196_608,
         )
 
     aout = arun(0)
@@ -141,6 +148,16 @@ def main():
                 "clusters": [len(c) for c in clusters],
                 "aerial_frame_ms_241k": round(aerial_ms, 3),
                 "aerial_vs_baseline": round(AERIAL_BASELINE_MS / aerial_ms, 3),
+                "aerial_ds_points": int(
+                    np.asarray(aout.downsampled_valid).sum()
+                ),
+                "aerial_ds_truncated": bool(np.asarray(aout.ds_overflow)),
+                "aerial_obstacle_overflow": bool(
+                    np.asarray(aout.obstacle_overflow)
+                ),
+                "aerial_cluster_exact": bool(
+                    np.asarray(aout.cluster_exact)
+                ),
             }
         )
     )

@@ -56,6 +56,7 @@ class AerialPipelineOutput(NamedTuple):
         "obstacle_cap",
         "cluster_wr",
         "backend",
+        "ds_cap",
     ),
 )
 def aerial_pipeline(
@@ -73,6 +74,7 @@ def aerial_pipeline(
     obstacle_cap: int = 262_144,
     cluster_wr: int = 12,
     backend: str = "auto",
+    ds_cap: int | None = None,
 ):
     """Voxel -> sweep normals -> RANSAC -> ground removal -> sweep cluster.
 
@@ -90,8 +92,20 @@ def aerial_pipeline(
     use_kernel = backend == "sweep"
 
     # ── Step 1: voxel downsample ──
-    centroids, ds_valid = voxel_downsample_masked(xyz, valid, voxel_size)
-    ds_overflow = jnp.asarray(False)  # full-capacity output, never truncated
+    centroids_full, ds_valid_full = voxel_downsample_masked(
+        xyz, valid, voxel_size
+    )
+    # Voxel output is leading-compact in ascending cell-key order; a
+    # static ds_cap trims the padded tail every downstream stage would
+    # otherwise iterate (the 241K scene yields ~208K centroids inside a
+    # 262144-row pad — ~20% dead rows). Truncation, if the cap is ever
+    # exceeded, surfaces in ds_overflow (bench.py checks it).
+    if ds_cap is None:
+        ds_cap = xyz.shape[0]
+    ds_cap = min(ds_cap, xyz.shape[0])
+    centroids = centroids_full[:ds_cap]
+    ds_valid = ds_valid_full[:ds_cap]
+    ds_overflow = jnp.any(ds_valid_full[ds_cap:])
 
     # ── Step 2: PCA normals from KNN moments — all in flat ROW layout
     # ([3, N]/[6, N]/1-D components): [N, 3]-shaped intermediates pad
