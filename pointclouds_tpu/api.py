@@ -35,6 +35,7 @@ from .io import las as _las
 from .io import pcd as _pcd
 from .io import ply as _ply
 from .ops import filters as _filters
+from .ops import fusedops as _fusedops
 from .ops import normals as _normals
 from .ops import registration as _registration
 from .ops import segmentation as _segmentation
@@ -286,12 +287,13 @@ def voxel_downsample(cloud: PointCloud, voxel_size: float) -> PointCloud:
         raise ValueError("voxel_size must be > 0 and finite")
     if cloud.is_empty():
         return PointCloud()
-    centroids, out_valid = _filters.voxel_downsample_masked(
+    # Output attributes are dropped, like the reference's from_xyz result
+    # (ref: crates/filters/src/voxel_downsample.rs:64). Single dispatch:
+    # centroids come out leading-compact, count rides along.
+    arrs, cnt = _fusedops.voxel_fused(
         cloud._arrs.xyz, cloud._arrs.valid, jnp.float32(voxel_size)
     )
-    # Output attributes are dropped, like the reference's from_xyz result
-    # (ref: crates/filters/src/voxel_downsample.rs:64).
-    return PointCloud._from_masked(CloudArrays(xyz=centroids, valid=out_valid))
+    return PointCloud._from(arrs, int(cnt))
 
 
 _AXES = {"x": 0, "X": 0, "y": 1, "Y": 1, "z": 2, "Z": 2}
@@ -304,19 +306,10 @@ def passthrough_filter(
         raise ValueError("axis must be 'x', 'y', or 'z'")
     if cloud.is_empty():
         return PointCloud()
-    keep = _jit_passthrough(
-        cloud._arrs.xyz,
-        cloud._arrs.valid,
-        _AXES[axis],
-        jnp.float32(min),
-        jnp.float32(max),
+    arrs, cnt = _fusedops.passthrough_fused(
+        cloud._arrs, _AXES[axis], jnp.float32(min), jnp.float32(max)
     )
-    return PointCloud._from_masked(mask_cloud(cloud._arrs, keep))
-
-
-_jit_passthrough = jax.jit(
-    _filters.passthrough_mask, static_argnames=("axis_index",)
-)
+    return PointCloud._from(arrs, int(cnt))
 
 
 def statistical_outlier_removal(
@@ -334,12 +327,34 @@ def statistical_outlier_removal(
         # Single point: nothing to compare against, keep it (ref :10-12).
         return cloud.select([0])
 
-    xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
-    # Sweep engine + exact brute rescue for the flagged residual
-    # (engine.sor_means); small clouds take the always-exact brute path.
+    arrs = cloud._arrs
+    n = arrs.capacity
+    if n <= _engine.BRUTE_THRESHOLD:
+        out, info = _fusedops.sor_fused_small(
+            arrs, jnp.float32(std_mul), k=k
+        )
+        return PointCloud._from(out, int(np.asarray(info)[0]))
+
+    # Single-dispatch fused path: in-graph cell estimate + sweep + AABB
+    # rescue + static-cap exact brute rescue + keep mask + compaction.
+    def run(uk):
+        out, info = _fusedops.sor_fused(
+            arrs, jnp.float32(std_mul), k=k,
+            wr=_engine._sweep_wr(n) if uk else 4,
+            cap=_fusedops.fused_rescue_cap(n), use_kernel=uk,
+        )
+        return out, np.asarray(info)
+
+    out, info = _engine._degrade_to_xla(run, _engine._kernel_preference())
+    if info[1]:
+        return PointCloud._from(out, int(info[0]))
+
+    # Rare rescue-cap overflow: the multi-dispatch engine path resolves
+    # every flagged row exactly (host-compacted rescue of any size).
+    xyz, valid = arrs.xyz, arrs.valid
     means = _engine.sor_means(xyz, valid, k)
     keep = _jit_sor_keep(means, valid, jnp.float32(std_mul))
-    return PointCloud._from_masked(mask_cloud(cloud._arrs, keep))
+    return PointCloud._from_masked(mask_cloud(arrs, keep))
 
 
 @jax.jit
@@ -356,10 +371,30 @@ def radius_outlier_removal(
     min_neighbors = int(min_neighbors)
     if cloud.is_empty():
         return PointCloud()
-    xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
+    arrs = cloud._arrs
+    n = arrs.capacity
+    if n <= _engine.BRUTE_THRESHOLD:
+        out, info = _fusedops.ror_fused_small(
+            arrs, jnp.float32(radius), jnp.int32(min_neighbors)
+        )
+        return PointCloud._from(out, int(np.asarray(info)[0]))
+
+    def run(uk):
+        out, info = _fusedops.ror_fused(
+            arrs, jnp.float32(radius), jnp.int32(min_neighbors),
+            wr=_engine._sweep_wr(n) if uk else 4,
+            cap=_fusedops.fused_rescue_cap(n), use_kernel=uk,
+        )
+        return out, np.asarray(info)
+
+    out, info = _engine._degrade_to_xla(run, _engine._kernel_preference())
+    if info[1]:
+        return PointCloud._from(out, int(info[0]))
+
+    xyz, valid = arrs.xyz, arrs.valid
     counts = _engine.radius_count_sweep(xyz, valid, radius)
     keep = jnp.logical_and(valid, counts >= min_neighbors)
-    return PointCloud._from_masked(mask_cloud(cloud._arrs, keep))
+    return PointCloud._from_masked(mask_cloud(arrs, keep))
 
 
 # ── Normals ──────────────────────────────────────────────────────────────────
@@ -382,7 +417,29 @@ def estimate_normals_with_viewpoint(
         return PointCloud._from(dataclasses.replace(cloud._arrs, normals=None),
                                 cloud.len())
     xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
-    normals = _engine.normals(xyz, valid, k, viewpoint)
+    n = cloud._arrs.capacity
+    vp = jnp.asarray(viewpoint, jnp.float32).reshape(3)
+    if n <= _engine.BRUTE_THRESHOLD or k >= n:
+        normals, _ = _fusedops.normals_fused_small(
+            xyz, valid, vp, k=min(k, max(n, 1))
+        )
+    else:
+
+        def run(uk):
+            nrm, exact = _fusedops.normals_fused(
+                xyz, valid, vp, k=k,
+                wr=_engine._sweep_wr(n) if uk else 4,
+                cap=_fusedops.fused_rescue_cap(n), use_kernel=uk,
+            )
+            return nrm, int(np.asarray(exact))
+
+        normals, exact = _engine._degrade_to_xla(
+            run, _engine._kernel_preference()
+        )
+        if not exact:
+            # Rescue-cap overflow: multi-dispatch engine path (rescues any
+            # number of flagged rows exactly).
+            normals = _engine.normals(xyz, valid, k, viewpoint)
     return PointCloud._from(
         dataclasses.replace(cloud._arrs, normals=normals), cloud.len()
     )
@@ -402,18 +459,21 @@ def _empty_icp_result(source: PointCloud, target: PointCloud) -> IcpResult:
     )
 
 
-def _finish_icp(rot, trans, fitness, rmse, converged, iters) -> IcpResult:
-    rmse = float(rmse)
-    fitness = float(fitness)
+def _finish_icp(packed) -> IcpResult:
+    # One packed f32[16] fetch ([rot(9), trans(3), fitness, rmse,
+    # converged, iterations]) instead of six separate device reads — each
+    # read is a full RPC round-trip on the tunneled harness.
+    v = np.asarray(packed, np.float64)
+    rot = v[:9].reshape(3, 3)
     # Reference leaves rmse=inf / fitness=0 if no iteration produced
     # correspondences; it reports them as-is.
     return IcpResult(
-        converged=bool(converged),
-        fitness=fitness,
-        rmse=rmse,
-        num_iterations=int(iters),
-        translation=[float(v) for v in np.asarray(trans)],
-        rotation=[[float(v) for v in row] for row in np.asarray(rot)],
+        converged=bool(v[14] > 0.5),
+        fitness=float(v[12]),
+        rmse=float(v[13]),
+        num_iterations=int(v[15]),
+        translation=[float(x) for x in v[9:12]],
+        rotation=[[float(x) for x in row] for row in rot],
     )
 
 
@@ -426,7 +486,7 @@ def icp_point_to_point(
 ) -> IcpResult:
     if source.is_empty() or target.is_empty():
         return _empty_icp_result(source, target)
-    out = _registration.icp_point_to_point_masked(
+    out = _registration.icp_point_to_point_packed(
         source._arrs.xyz,
         source._arrs.valid,
         target._arrs.xyz,
@@ -435,7 +495,7 @@ def icp_point_to_point(
         jnp.float32(tolerance),
         jnp.float32(max_correspondence_distance),
     )
-    return _finish_icp(*out)
+    return _finish_icp(out)
 
 
 def icp_point_to_plane(
@@ -452,7 +512,7 @@ def icp_point_to_plane(
         )
     if source.is_empty() or target.is_empty():
         return _empty_icp_result(source, target)
-    out = _registration.icp_point_to_plane_masked(
+    out = _registration.icp_point_to_plane_packed(
         source._arrs.xyz,
         source._arrs.valid,
         target._arrs.xyz,
@@ -462,7 +522,7 @@ def icp_point_to_plane(
         jnp.float32(tolerance),
         jnp.float32(max_correspondence_distance),
     )
-    return _finish_icp(*out)
+    return _finish_icp(out)
 
 
 def apply_transform(cloud: PointCloud, rotation, translation) -> PointCloud:
@@ -521,8 +581,7 @@ def euclidean_cluster(
     for s, e in zip(boundaries, ends):
         size = e - s
         if min_size <= size <= max_size:
-            members = np.sort(order[s:e])
-            clusters.append([int(i) for i in members])
+            clusters.append(np.sort(order[s:e]).tolist())
     clusters.sort(key=lambda c: (-len(c), c))
     return clusters
 
@@ -533,19 +592,21 @@ def ransac_plane_seeded(
     iterations = int(iterations)
     if cloud.len() < 3 or iterations <= 0:
         return PlaneResult(normal=[0.0, 0.0, 1.0], d=0.0, inliers=[])
-    normal, d, inlier_mask = _segmentation.ransac_plane_masked(
+    packed, inlier_mask = _segmentation.ransac_plane_packed(
         cloud._arrs.xyz,
         cloud._arrs.valid,
         jnp.float32(distance_threshold),
         int(seed) % (2**31),
         iterations,
     )
+    # Two fetches total (scalars packed into one vector); list built via
+    # ndarray.tolist (the per-element int() loop cost ~15 ms at 100K).
     mask_np = np.asarray(inlier_mask)[: cloud.len()]
-    inliers = [int(i) for i in np.nonzero(mask_np)[0]]
+    v = np.asarray(packed, np.float64)
     return PlaneResult(
-        normal=[float(v) for v in np.asarray(normal)],
-        d=float(d),
-        inliers=inliers,
+        normal=[float(x) for x in v[:3]],
+        d=float(v[3]),
+        inliers=np.nonzero(mask_np)[0].tolist(),
     )
 
 

@@ -23,12 +23,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_NN_CHUNK = 512
+_NN_CHUNK = 4096
 # One-shot correspondence search below this [Q, N] element budget (the
-# sequential lax.map chunking serializes ~Q/512 small matmuls per ICP
-# iteration; a single fused dot + argmin is one streamed pass). 256M
-# elements = 1 GB f32 transient.
-_NN_ONE_SHOT_ELEMS = 256 * 1024 * 1024
+# sequential lax.map chunking serializes small matmuls per ICP iteration;
+# a single fused dot + argmin is one streamed pass). 512M elements = 2 GB
+# f32 transient — covers two 16384-bucket clouds (the reference's 10K ICP
+# row) in one shot; the 512-wide chunks this replaces underfilled the MXU
+# 8x and dominated the 10K x 50-iter device time.
+_NN_ONE_SHOT_ELEMS = 512 * 1024 * 1024
 
 
 class IcpCarry(NamedTuple):
@@ -361,6 +363,55 @@ def _icp_loop(
         out.last_rmse,
         out.converged,
         out.iterations,
+    )
+
+
+def _pack_icp(out):
+    """Pack the 6-tuple ICP result into one f32[15] vector
+    ([rot(9), trans(3), fitness, rmse, converged, iterations] — the last
+    two exactly representable in f32) so the host API fetches ONE array
+    instead of six (each fetch is an RPC round-trip on the tunneled
+    harness; six fetches dominated the 10K-point ICP wall time)."""
+    rot, trans, fitness, rmse, converged, iters = out
+    return jnp.concatenate(
+        [
+            rot.reshape(9),
+            trans,
+            jnp.stack(
+                [
+                    fitness,
+                    rmse,
+                    converged.astype(jnp.float32),
+                    iters.astype(jnp.float32),
+                ]
+            ),
+        ]
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def icp_point_to_point_packed(
+    src_xyz, src_valid, tgt_xyz, tgt_valid, max_iterations: int, tolerance,
+    max_dist,
+):
+    return _pack_icp(
+        _icp_loop(
+            src_xyz, src_valid, tgt_xyz, tgt_valid, None, max_iterations,
+            tolerance, max_dist, point_to_plane=False,
+        )
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def icp_point_to_plane_packed(
+    src_xyz, src_valid, tgt_xyz, tgt_valid, tgt_normals,
+    max_iterations: int, tolerance, max_dist,
+):
+    return _pack_icp(
+        _icp_loop(
+            src_xyz, src_valid, tgt_xyz, tgt_valid, tgt_normals,
+            max_iterations, tolerance, max_dist, point_to_plane=True,
+        )
     )
 
 

@@ -312,6 +312,16 @@ def _degrade_to_xla(run, use_kernel: bool):
         return run(False)
 
 
+@partial(jax.jit, static_argnames=("wr", "use_kernel"))
+def _cluster_labels_packed(xyz, valid, radius, *, wr: int, use_kernel: bool):
+    from .sweep import sweep_cluster_labels
+
+    labels, exact = sweep_cluster_labels(
+        xyz, valid, radius, wr=wr, use_kernel=use_kernel
+    )
+    return jnp.concatenate([labels, exact.astype(labels.dtype)[None]])
+
+
 def cluster_labels(xyz, valid, radius: float):
     """Connected-component labels under inclusive distance ``radius``.
     Returns int32[N] labels in original point order (non-finite/invalid
@@ -341,10 +351,16 @@ def cluster_labels(xyz, valid, radius: float):
         for wr in ladder:
 
             def run(uk, wr=wr):
-                labels, exact = sweep_cluster_labels(
-                    xyz, valid, np.float32(radius), wr=wr, use_kernel=uk
+                # One fetch: labels and the exact flag ride one packed
+                # vector (a second scalar fetch costs a full RPC
+                # round-trip on the tunneled harness).
+                packed = np.asarray(
+                    _cluster_labels_packed(
+                        xyz, valid, np.float32(radius), wr=wr,
+                        use_kernel=uk,
+                    )
                 )
-                return labels, bool(exact)
+                return packed[:-1], bool(packed[-1])
 
             labels, exact = _degrade_to_xla(run, _kernel_preference())
             if exact:
@@ -622,45 +638,22 @@ def _normals_from_moments(xyz, m1, m2, cnt, viewpoint):
 
 
 def _knn_sweep_same_cloud(pxyz, pvalid, k: int):
-    """All-points KNN via the sorted-window sweep + exact brute rescue.
-    Returns None when the residual is too large to rescue (caller falls
-    back to the grid/brute ladder)."""
-    from .sweep import sweep_knn
+    """All-points KNN via the single-dispatch fused sweep + in-graph exact
+    brute rescue (ops/fusedops.knn_fused). Returns None when the flagged
+    residual exceeds the static rescue cap (caller falls back to the
+    grid/brute ladder)."""
+    from ..ops.fusedops import fused_rescue_cap, knn_fused
 
     n = pxyz.shape[0]
-    cell = estimate_cell_size(pxyz, pvalid, k)
 
     def run(uk):
-        d, i, nv, ok = sweep_knn(
-            pxyz, pvalid, np.float32(cell), k=k, use_kernel=uk,
-            wr=_sweep_wr(n) if uk else 4,
+        d, i, nv, exact = knn_fused(
+            pxyz, pvalid, k=k, wr=_sweep_wr(n) if uk else 4,
+            cap=fused_rescue_cap(n), use_kernel=uk,
         )
-        finite = jnp.all(jnp.isfinite(pxyz), axis=-1)
-        return d, i, nv, np.asarray(jnp.logical_and(pvalid & finite, ~ok))
+        return d, i, nv, int(np.asarray(exact))
 
-    dists, idx, nvalid, residual = _degrade_to_xla(run, _kernel_preference())
-    if not residual.any():
-        return dists, idx, nvalid
-    rows = np.nonzero(residual)[0]
-    cap = _rescue_cap(len(rows), n)
-    if len(rows) > cap // 2 and len(rows) > 16384:
+    dists, idx, nvalid, exact = _degrade_to_xla(run, _kernel_preference())
+    if not exact:
         return None  # sweep was a bad fit for this cloud
-    sub = np.full((cap,), n, np.int32)
-    sub[: len(rows)] = rows
-    sub_valid = np.zeros((cap,), bool)
-    sub_valid[: len(rows)] = True
-    return _knn_rescue_merge(
-        pxyz, pvalid, dists, idx, nvalid,
-        jnp.asarray(sub), jnp.asarray(sub_valid), k
-    )
-
-
-@partial(jax.jit, static_argnames=("k",))
-def _knn_rescue_merge(pxyz, pvalid, dists, idx, nvalid, sub, sub_valid, k: int):
-    n = pxyz.shape[0]
-    sq = jnp.take(pxyz, jnp.minimum(sub, n - 1), axis=0)
-    d2_, i2_, v2_ = bruteforce_knn(pxyz, pvalid, sq, sub_valid, k)
-    dists = dists.at[sub].set(d2_, mode="drop")
-    idx = idx.at[sub].set(i2_.astype(idx.dtype), mode="drop")
-    nvalid = nvalid.at[sub].set(v2_, mode="drop")
     return dists, idx, nvalid

@@ -962,50 +962,79 @@ def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
 
                     best = jax.lax.fori_loop(sk, ln, body, best)
 
-                # Intra-row transitive closure: block-internal propagation
-                # would otherwise be Jacobi (one edge per sweep — a chain
-                # along one row would need up to 127 sweeps). Build the
-                # row's own adjacency tile and square it log2(128) = 7
-                # times on the MXU (0/1 sums <= 128 are exact in bf16),
-                # then one masked-min application collapses every
-                # row-internal chain this sweep.
-                cxo = row_q[0, 0:1, :]
-                cyo = row_q[0, 1:2, :]
-                czo = row_q[0, 2:3, :]
-                cwo = row_q[0, 3:4, :]
-                d2o = (qx - cxo) ** 2 + (qy - cyo) ** 2 + (qz - czo) ** 2
-                adj = jnp.where(
-                    jnp.logical_and(qm * cwo > 0.5, d2o <= r2),
-                    jnp.float32(1.0),
-                    jnp.float32(0.0),
-                )
-                for _ in range(7):
-                    adj = jnp.where(
-                        jax.lax.dot(adj, adj) > 0.5,
+                # The intra-row closure below is only needed when this
+                # sweep's window pass actually lowered a label (or on the
+                # block's first running sweep, to close the iota init):
+                # one closure application reaches the row-internal
+                # fixpoint, so an unimproved row is already closed from
+                # the sweep that last changed it. Skipping the 7 MXU
+                # squarings + masks for live-but-unimproved blocks
+                # (frontier granularity is whole windows, so most live
+                # blocks receive nothing) is the multisweep's main saving.
+                impr = jnp.sum(
+                    jnp.where(
+                        jnp.transpose(best, (1, 0)) < qlab,
                         jnp.float32(1.0),
                         jnp.float32(0.0),
                     )
-                best_row = jnp.transpose(best, (1, 0))  # [1, 128]
-                closed = jnp.where(
-                    adj > 0.5, best_row + 0.0 * adj, biglab
-                )
-                best = jnp.minimum(
-                    best, jnp.min(closed, axis=1, keepdims=True)
-                )
+                ).astype(jnp.int32)
+                need_close = jnp.logical_or(impr > 0, t == 1)
 
-                newlab_t = jnp.minimum(qlab_t, best)
-                newlab = jnp.transpose(newlab_t, (1, 0))  # [1, 128]
-                ch = jnp.where(
-                    newlab < qlab, jnp.float32(1.0), jnp.float32(0.0)
-                )
-                lab_ref[pl.ds(bs, 1), :] = newlab
-                chs = jnp.sum(ch).astype(jnp.int32)
-                cnt_ref[cur] = cnt_ref[cur] + chs
-                blk_ref[cur * jnp.int32(nr) + bs] = jnp.where(
-                    chs > 0, jnp.int32(1), jnp.int32(0)
-                )
-                out_ref[0:1, :] = newlab
-                out_ref[1:2, :] = ch
+                @pl.when(jnp.logical_not(need_close))
+                def _():
+                    out_ref[0:1, :] = qlab
+                    out_ref[1:2, :] = zrow
+                    blk_ref[cur * jnp.int32(nr) + bs] = jnp.int32(0)
+
+                @pl.when(need_close)
+                def _():
+                    # Intra-row transitive closure: block-internal
+                    # propagation would otherwise be Jacobi (one edge per
+                    # sweep — a chain along one row would need up to 127
+                    # sweeps). Build the row's own adjacency tile and
+                    # square it log2(128) = 7 times on the MXU (0/1 sums
+                    # <= 128 are exact in bf16), then one masked-min
+                    # application collapses every row-internal chain this
+                    # sweep.
+                    cxo = row_q[0, 0:1, :]
+                    cyo = row_q[0, 1:2, :]
+                    czo = row_q[0, 2:3, :]
+                    cwo = row_q[0, 3:4, :]
+                    d2o = (
+                        (qx - cxo) ** 2 + (qy - cyo) ** 2 + (qz - czo) ** 2
+                    )
+                    adj = jnp.where(
+                        jnp.logical_and(qm * cwo > 0.5, d2o <= r2),
+                        jnp.float32(1.0),
+                        jnp.float32(0.0),
+                    )
+                    for _ in range(7):
+                        adj = jnp.where(
+                            jax.lax.dot(adj, adj) > 0.5,
+                            jnp.float32(1.0),
+                            jnp.float32(0.0),
+                        )
+                    best_row = jnp.transpose(best, (1, 0))  # [1, 128]
+                    closed = jnp.where(
+                        adj > 0.5, best_row + 0.0 * adj, biglab
+                    )
+                    bestc = jnp.minimum(
+                        best, jnp.min(closed, axis=1, keepdims=True)
+                    )
+
+                    newlab_t = jnp.minimum(qlab_t, bestc)
+                    newlab = jnp.transpose(newlab_t, (1, 0))  # [1, 128]
+                    ch = jnp.where(
+                        newlab < qlab, jnp.float32(1.0), jnp.float32(0.0)
+                    )
+                    lab_ref[pl.ds(bs, 1), :] = newlab
+                    chs = jnp.sum(ch).astype(jnp.int32)
+                    cnt_ref[cur] = cnt_ref[cur] + chs
+                    blk_ref[cur * jnp.int32(nr) + bs] = jnp.where(
+                        chs > 0, jnp.int32(1), jnp.int32(0)
+                    )
+                    out_ref[0:1, :] = newlab
+                    out_ref[1:2, :] = ch
 
     return kernel
 
