@@ -486,14 +486,25 @@ def icp_point_to_point(
 ) -> IcpResult:
     if source.is_empty() or target.is_empty():
         return _empty_icp_result(source, target)
-    out = _registration.icp_point_to_point_packed(
-        source._arrs.xyz,
-        source._arrs.valid,
-        target._arrs.xyz,
-        target._arrs.valid,
-        int(max_iterations),
-        jnp.float32(tolerance),
-        jnp.float32(max_correspondence_distance),
+
+    def run(uk):
+        return np.asarray(
+            _registration.icp_point_to_point_packed(
+                source._arrs.xyz,
+                source._arrs.valid,
+                target._arrs.xyz,
+                target._arrs.valid,
+                int(max_iterations),
+                jnp.float32(tolerance),
+                jnp.float32(max_correspondence_distance),
+                use_kernel=uk,
+            )
+        )
+
+    out = _engine._degrade_to_xla(
+        run,
+        _engine._kernel_preference()
+        and _registration.nn_kernel_fits(target._arrs.capacity),
     )
     return _finish_icp(out)
 
@@ -512,15 +523,26 @@ def icp_point_to_plane(
         )
     if source.is_empty() or target.is_empty():
         return _empty_icp_result(source, target)
-    out = _registration.icp_point_to_plane_packed(
-        source._arrs.xyz,
-        source._arrs.valid,
-        target._arrs.xyz,
-        target._arrs.valid,
-        target._arrs.normals,
-        int(max_iterations),
-        jnp.float32(tolerance),
-        jnp.float32(max_correspondence_distance),
+
+    def run(uk):
+        return np.asarray(
+            _registration.icp_point_to_plane_packed(
+                source._arrs.xyz,
+                source._arrs.valid,
+                target._arrs.xyz,
+                target._arrs.valid,
+                target._arrs.normals,
+                int(max_iterations),
+                jnp.float32(tolerance),
+                jnp.float32(max_correspondence_distance),
+                use_kernel=uk,
+            )
+        )
+
+    out = _engine._degrade_to_xla(
+        run,
+        _engine._kernel_preference()
+        and _registration.nn_kernel_fits(target._arrs.capacity),
     )
     return _finish_icp(out)
 
@@ -554,8 +576,8 @@ def euclidean_cluster(
         return []
 
     xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
-    labels = _engine.cluster_labels(xyz, valid, distance_threshold)
-    if labels is None:
+    res = _engine.cluster_labels(xyz, valid, distance_threshold)
+    if res is None:
         # Huge extents or unbounded per-cell density: exact int64-keyed
         # fallback (grid neighbor lists + per-point label propagation).
         nbrs = _engine.radius_neighbors(xyz, valid, distance_threshold)
@@ -567,12 +589,17 @@ def euclidean_cluster(
             labels = _segmentation.bruteforce_cluster_labels(
                 xyz, valid, jnp.float32(distance_threshold)
             )
-    labels_np = np.asarray(labels)[: cloud.len()]
+        labels_np = np.asarray(labels)[: cloud.len()]
+        order = np.argsort(labels_np, kind="stable")
+        sorted_labels = labels_np[order]
+    else:
+        # Engine already sorted on device (stable, so member ids within a
+        # label segment are ascending); padding/invalid rows carry label =
+        # own row id >= len and occupy exactly the tail — slice them off.
+        sorted_labels, order = (a[: cloud.len()] for a in res)
 
     # Host-side component extraction + canonical ordering
     # (ref: crates/segmentation/src/euclidean_cluster.rs:169-186).
-    order = np.argsort(labels_np, kind="stable")
-    sorted_labels = labels_np[order]
     boundaries = np.nonzero(
         np.concatenate([[True], sorted_labels[1:] != sorted_labels[:-1]])
     )[0]
@@ -581,7 +608,8 @@ def euclidean_cluster(
     for s, e in zip(boundaries, ends):
         size = e - s
         if min_size <= size <= max_size:
-            clusters.append(np.sort(order[s:e]).tolist())
+            # order is index-ascending within a segment (stable sorts).
+            clusters.append(order[s:e].tolist())
     clusters.sort(key=lambda c: (-len(c), c))
     return clusters
 
@@ -592,17 +620,20 @@ def ransac_plane_seeded(
     iterations = int(iterations)
     if cloud.len() < 3 or iterations <= 0:
         return PlaneResult(normal=[0.0, 0.0, 1.0], d=0.0, inliers=[])
-    packed, inlier_mask = _segmentation.ransac_plane_packed(
-        cloud._arrs.xyz,
-        cloud._arrs.valid,
-        jnp.float32(distance_threshold),
-        int(seed) % (2**31),
-        iterations,
+    buf = np.asarray(
+        _segmentation.ransac_plane_bytes(
+            cloud._arrs.xyz,
+            cloud._arrs.valid,
+            jnp.float32(distance_threshold),
+            int(seed) % (2**31),
+            iterations,
+        )
     )
-    # Two fetches total (scalars packed into one vector); list built via
+    # ONE fetch total: bytes [0:16] carry the f32 scalars (bitcast,
+    # exact), the rest is the 0/1 inlier mask; list built via
     # ndarray.tolist (the per-element int() loop cost ~15 ms at 100K).
-    mask_np = np.asarray(inlier_mask)[: cloud.len()]
-    v = np.asarray(packed, np.float64)
+    v = buf[:16].copy().view(np.float32).astype(np.float64)
+    mask_np = buf[16 : 16 + cloud.len()]
     return PlaneResult(
         normal=[float(x) for x in v[:3]],
         d=float(v[3]),

@@ -44,11 +44,14 @@ from ..spatial.knn import (
 )
 from ..spatial.engine import (
     _brute_sor_means,
-    _brute_sor_means_subset,
     _normals_from_moments,
-    _normals_rescue,
 )
-from .filters import sor_keep_mask, passthrough_mask, voxel_downsample_masked
+from .filters import (
+    passthrough_mask,
+    sor_keep_mask,
+    sor_mean_dists_from_knn,
+    voxel_downsample_masked,
+)
 from .normals import normals_from_knn
 
 
@@ -57,6 +60,76 @@ def fused_rescue_cap(n: int) -> int:
     exact distances, so scale it with the cloud but bound the worst case
     (4096 x 1M ~ 25 GFLOP at HIGHEST ~ a few ms)."""
     return min(max(512, n // 32), 4096)
+
+
+def _rescue_kernel_fits(n: int, k: int) -> bool:
+    """Static gate for the Pallas brute rescue kernels: the candidate
+    planar array must be VMEM-resident, the per-lane register file
+    (per_seg = k) must stay small, and flat positions exact in f32."""
+    from ..spatial.pallas_kernels import RESIDENT_PLANAR_BYTES
+
+    nr = max(-(-n // 128), 1)
+    return (
+        nr * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES
+        and k <= 24
+        and n <= 2**24
+    )
+
+
+def _rescue_knn(xyz, valid, sub_xyz, sub_valid, k: int, use_kernel: bool):
+    """Exact k-NN of the compacted flagged queries against the whole
+    cloud: Pallas brute kernel (per-lane k-selection in registers, no
+    [cap, N] HBM transient, no lax.top_k) when the planar fits VMEM,
+    else the tiled XLA brute path. Returns (dists, idx, nvalid) like
+    knn.bruteforce_knn."""
+    n = xyz.shape[0]
+    if use_kernel and _rescue_kernel_fits(n, k) and k <= n:
+        from ..ops.registration import _to_planar
+        from ..spatial.pallas_kernels import brute_knn_idx
+
+        use = jnp.logical_and(valid, jnp.all(jnp.isfinite(xyz), axis=-1))
+        out = brute_knn_idx(
+            _to_planar(sub_xyz, sub_valid), _to_planar(xyz, use), k=k
+        )
+        cap = sub_xyz.shape[0]
+        dists = jnp.transpose(out[:k, :cap])
+        idx = jnp.clip(out[k : 2 * k, :cap], 0.0, float(n - 1)).astype(
+            jnp.int32
+        )
+        idx = jnp.transpose(idx)
+        nvalid = jnp.isfinite(dists)
+        return dists, idx, nvalid
+    return bruteforce_knn(xyz, valid, sub_xyz, sub_valid, k)
+
+
+def _rescue_radius_count(xyz, valid, sub_xyz, sub_valid, radius,
+                         use_kernel: bool):
+    """Exact inclusive within-radius counts of the flagged queries against
+    the whole cloud (Pallas resident kernel when it fits, else XLA)."""
+    n = xyz.shape[0]
+    if use_kernel and _rescue_kernel_fits(n, 1):
+        from ..ops.registration import _to_planar
+        from ..spatial.pallas_kernels import brute_radius_count
+
+        use = jnp.logical_and(valid, jnp.all(jnp.isfinite(xyz), axis=-1))
+        qfin = jnp.all(jnp.isfinite(sub_xyz), axis=-1)
+        r2w = jnp.where(
+            jnp.logical_and(sub_valid, qfin), radius * radius, 0.0
+        )
+        # r^2 rides the query w channel (w = 0 marks invalid -> count 0);
+        # repack by scaling the 0/1 w of the standard planar layout.
+        qp = _to_planar(sub_xyz, sub_valid)
+        qp = qp.at[:, 3, :].multiply(
+            jnp.pad(r2w, (0, qp.shape[0] * 128 - r2w.shape[0])).reshape(
+                qp.shape[0], 128
+            )
+        )
+        cap = sub_xyz.shape[0]
+        counts = brute_radius_count(qp, _to_planar(xyz, use))[:cap]
+        return counts.astype(jnp.int32)
+    return bruteforce_radius_count(
+        xyz, valid, sub_xyz, sub_valid, radius
+    ).astype(jnp.int32)
 
 
 def _cell_estimate_device(xyz, valid, kf):
@@ -117,8 +190,10 @@ def sor_fused(arrs, std_mul, *, k: int, wr: int, cap: int, use_kernel: bool):
         jnp.logical_and(valid, finite), jnp.logical_not(ok)
     )
     rows, sub_valid, nflag = _flagged_rows(residual, cap)
-    sub_means = _brute_sor_means_subset(
-        xyz, valid, jnp.minimum(rows, n - 1), sub_valid, k
+    sub_xyz = jnp.take(xyz, jnp.minimum(rows, n - 1), axis=0)
+    sd, _, sv = _rescue_knn(xyz, valid, sub_xyz, sub_valid, k + 1, use_kernel)
+    sub_means = sor_mean_dists_from_knn(
+        sd, sv, jnp.all(jnp.isfinite(sub_xyz), axis=-1)
     )
     mean = mean.at[rows].set(
         jnp.where(sub_valid, sub_means, 0.0), mode="drop"
@@ -161,13 +236,14 @@ def ror_fused(
         jnp.logical_and(valid, finite), jnp.logical_not(ok)
     )
     rows, sub_valid, nflag = _flagged_rows(residual, cap)
-    sub_counts = bruteforce_radius_count(
+    sub_counts = _rescue_radius_count(
         xyz,
         valid,
         jnp.take(xyz, jnp.minimum(rows, n - 1), axis=0),
         sub_valid,
         radius,
-    ).astype(jnp.int32)
+        use_kernel,
+    )
     counts = counts.at[rows].set(
         jnp.where(sub_valid, sub_counts, 0), mode="drop"
     )
@@ -212,9 +288,9 @@ def normals_fused(xyz, valid, viewpoint, *, k: int, wr: int, cap: int,
         jnp.logical_and(valid, finite), jnp.logical_not(ok)
     )
     rows, sub_valid, nflag = _flagged_rows(residual, cap)
-    sub_n = _normals_rescue(
-        xyz, valid, jnp.minimum(rows, n - 1), sub_valid, vp, k
-    )
+    sub_xyz = jnp.take(xyz, jnp.minimum(rows, n - 1), axis=0)
+    sd, si, sv = _rescue_knn(xyz, valid, sub_xyz, sub_valid, k, use_kernel)
+    sub_n = normals_from_knn(xyz, si, sv, vp, query_xyz=sub_xyz)
     nrm = nrm.at[rows].set(
         jnp.where(sub_valid[:, None], sub_n, 0.0), mode="drop"
     )
@@ -247,9 +323,9 @@ def knn_fused(xyz, valid, *, k: int, wr: int, cap: int, use_kernel: bool):
         jnp.logical_and(valid, finite), jnp.logical_not(ok)
     )
     rows, sub_valid, nflag = _flagged_rows(residual, cap)
-    d3, i3, v3 = bruteforce_knn(
+    d3, i3, v3 = _rescue_knn(
         xyz, valid, jnp.take(xyz, jnp.minimum(rows, n - 1), axis=0),
-        sub_valid, k,
+        sub_valid, k, use_kernel,
     )
     d = d.at[rows].set(jnp.where(sub_valid[:, None], d3, 0.0), mode="drop")
     i = i.at[rows].set(

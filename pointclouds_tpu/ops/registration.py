@@ -45,16 +45,61 @@ class IcpCarry(NamedTuple):
     stop: jax.Array  # bool
 
 
-def _nn_1(qxyz, q_use, pxyz, p_use):
+def _to_planar(xyz, use):
+    """Pack [N, 3] + validity into the kernels' [NR, 4, 128] planar layout
+    (channels x/y/z/w, w = 0/1 validity; tail padded with w=0)."""
+    n = xyz.shape[0]
+    nr = max(-(-n // 128), 1)
+    pad = nr * 128 - n
+    x = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)])
+    w = jnp.concatenate(
+        [use.astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    )
+    arr = jnp.concatenate([x, w[:, None]], axis=1)  # [nr*128, 4]
+    return jnp.transpose(arr.reshape(nr, 128, 4), (0, 2, 1))
+
+
+def nn_kernel_fits(n_tgt: int) -> bool:
+    """Static gate for the fused 1-NN kernel: the target planar array must
+    be VMEM-resident and positions must stay exact in f32."""
+    from ..spatial.pallas_kernels import RESIDENT_PLANAR_BYTES
+
+    nr = max(-(-n_tgt // 128), 1)
+    return nr * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES and n_tgt <= 2**24
+
+
+def _nn_1(qxyz, q_use, pxyz, p_use, use_kernel: bool = False,
+          interpret: bool = False):
     """Tiled exact 1-NN: returns (dist f32[Q], idx i32[Q], found bool[Q]).
 
-    Coordinates are centered on the target AABB midpoint before the
-    matmul-form distance: the |q|^2+|p|^2-2qp expansion carries an absolute
-    f32 error ~eps*|q|^2 that at georeferenced (UTM-scale) offsets dwarfs
-    real correspondence distances and makes the argmin pick arbitrary
-    points. Distances are translation-invariant, so centering makes the
-    error scale with the scene SPAN instead of its offset.
+    ``use_kernel=True`` routes through the fused Pallas distance+argmin
+    kernel (pallas_kernels.nn_argmin): target VMEM-resident, no [Q, N]
+    HBM transient, direct (q-p)^2 distances (exact per pair, robust to
+    georeferenced offsets by Sterbenz cancellation). Callers gate with
+    `nn_kernel_fits` and degrade on compile failure.
+
+    XLA path: coordinates are centered on the target AABB midpoint before
+    the matmul-form distance: the |q|^2+|p|^2-2qp expansion carries an
+    absolute f32 error ~eps*|q|^2 that at georeferenced (UTM-scale)
+    offsets dwarfs real correspondence distances and makes the argmin pick
+    arbitrary points. Distances are translation-invariant, so centering
+    makes the error scale with the scene SPAN instead of its offset.
     """
+    if use_kernel:
+        from ..spatial.pallas_kernels import nn_argmin
+
+        qn = qxyz.shape[0]
+        d2, posf = nn_argmin(
+            _to_planar(qxyz, q_use), _to_planar(pxyz, p_use),
+            interpret=interpret,
+        )
+        d2 = d2[:qn]
+        idx = jnp.clip(posf[:qn], 0.0, float(pxyz.shape[0] - 1)).astype(
+            jnp.int32
+        )
+        found = jnp.logical_and(q_use, jnp.isfinite(d2))
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+        return dist, idx, found
     plo = jnp.min(jnp.where(p_use[:, None], pxyz, jnp.inf), axis=0)
     phi = jnp.max(jnp.where(p_use[:, None], pxyz, -jnp.inf), axis=0)
     center = jnp.where(jnp.isfinite(plo), 0.5 * plo + 0.5 * phi, 0.0)
@@ -268,6 +313,8 @@ def _icp_loop(
     tolerance,
     max_dist,
     point_to_plane: bool,
+    use_kernel: bool = False,
+    interpret: bool = False,
 ):
     src_finite = jnp.all(jnp.isfinite(src_xyz), axis=-1)
     src_use = jnp.logical_and(src_valid, src_finite)
@@ -303,7 +350,10 @@ def _icp_loop(
         return jnp.logical_and(c.iterations < max_iterations, ~c.stop)
 
     def body(c: IcpCarry):
-        dist, idx, found = _nn_1(c.current, src_use, tgt_xyz, tgt_use)
+        dist, idx, found = _nn_1(
+            c.current, src_use, tgt_xyz, tgt_use, use_kernel=use_kernel,
+            interpret=interpret,
+        )
         w = jnp.logical_and(found, dist <= max_dist)
         wf = w.astype(jnp.float32)
         n_corr = jnp.sum(wf)
@@ -389,28 +439,33 @@ def _pack_icp(out):
     )
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+@partial(jax.jit, static_argnames=("max_iterations", "use_kernel",
+                                   "interpret"))
 def icp_point_to_point_packed(
     src_xyz, src_valid, tgt_xyz, tgt_valid, max_iterations: int, tolerance,
-    max_dist,
+    max_dist, *, use_kernel: bool = False, interpret: bool = False,
 ):
     return _pack_icp(
         _icp_loop(
             src_xyz, src_valid, tgt_xyz, tgt_valid, None, max_iterations,
             tolerance, max_dist, point_to_plane=False,
+            use_kernel=use_kernel, interpret=interpret,
         )
     )
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+@partial(jax.jit, static_argnames=("max_iterations", "use_kernel",
+                                   "interpret"))
 def icp_point_to_plane_packed(
     src_xyz, src_valid, tgt_xyz, tgt_valid, tgt_normals,
-    max_iterations: int, tolerance, max_dist,
+    max_iterations: int, tolerance, max_dist, *, use_kernel: bool = False,
+    interpret: bool = False,
 ):
     return _pack_icp(
         _icp_loop(
             src_xyz, src_valid, tgt_xyz, tgt_valid, tgt_normals,
             max_iterations, tolerance, max_dist, point_to_plane=True,
+            use_kernel=use_kernel, interpret=interpret,
         )
     )
 

@@ -159,6 +159,25 @@ def ransac_plane_packed(xyz, valid, threshold, seed, iterations: int,
     return jnp.concatenate([normal, d[None]]), inlier_mask
 
 
+@partial(jax.jit, static_argnames=("iterations", "assume_compact"))
+def ransac_plane_bytes(xyz, valid, threshold, seed, iterations: int,
+                       *, assume_compact: bool = False):
+    """ransac_plane_masked with EVERYTHING in one uint8[16 + N] buffer:
+    bytes [0:16] are the little-endian f32 scalars [nx, ny, nz, d]
+    (bitcast, exact) and bytes [16:] the 0/1 inlier mask. ONE
+    device->host fetch serves the whole PlaneResult — the previous
+    two-array fetch cost a second ~30 ms RPC round-trip per call on the
+    tunneled harness."""
+    normal, d, inlier_mask = ransac_plane_masked(
+        xyz, valid, threshold, seed, iterations,
+        assume_compact=assume_compact,
+    )
+    scal = jax.lax.bitcast_convert_type(
+        jnp.concatenate([normal, d[None]]).astype(jnp.float32), jnp.uint8
+    ).reshape(16)
+    return jnp.concatenate([scal, inlier_mask.astype(jnp.uint8)])
+
+
 # ── Euclidean clustering ─────────────────────────────────────────────────────
 
 

@@ -314,6 +314,12 @@ def _degrade_to_xla(run, use_kernel: bool):
 
 @partial(jax.jit, static_argnames=("wr", "use_kernel"))
 def _cluster_labels_packed(xyz, valid, radius, *, wr: int, use_kernel: bool):
+    """Returns i32[N + 1]: [labels, exact flag] in ONE fetch (each extra
+    fetch is a full RPC round-trip on the tunneled harness). The
+    label->order sort stays on HOST: a measured device-side stable
+    lax.sort + doubled fetch cost ~45 ms more at 100K than numpy's
+    argsort (TPU sorts are bitonic O(n log^2 n); the tunnel charges per
+    byte)."""
     from .sweep import sweep_cluster_labels
 
     labels, exact = sweep_cluster_labels(
@@ -330,7 +336,10 @@ def cluster_labels(xyz, valid, radius: float):
 
     Primary backend: sweep min-label propagation (hook + pointer jumping,
     `sweep.sweep_cluster_labels`); the collapsed cell-graph path remains
-    as the second attempt for window-overflow cases."""
+    as the second attempt for window-overflow cases.
+
+    Returns (sorted_labels i32[N] ascending, order i32[N] original row
+    ids, stable) as host arrays, or None."""
     n = xyz.shape[0]
     if n < CELLGRID_MAX_N and n > BRUTE_THRESHOLD // 4:
         from .sweep import CLUSTER_RESIDENT_BYTES, sweep_cluster_labels
@@ -352,8 +361,7 @@ def cluster_labels(xyz, valid, radius: float):
 
             def run(uk, wr=wr):
                 # One fetch: labels and the exact flag ride one packed
-                # vector (a second scalar fetch costs a full RPC
-                # round-trip on the tunneled harness).
+                # vector.
                 packed = np.asarray(
                     _cluster_labels_packed(
                         xyz, valid, np.float32(radius), wr=wr,
@@ -364,7 +372,8 @@ def cluster_labels(xyz, valid, radius: float):
 
             labels, exact = _degrade_to_xla(run, _kernel_preference())
             if exact:
-                return labels
+                order = np.argsort(labels, kind="stable").astype(np.int32)
+                return labels[order], order
     ext = _extent(xyz, valid)
     max_abs = ext[2] if ext else 0.0
     # cell = r/2 keeps the cell diagonal below r (same-cell points are all
@@ -385,7 +394,9 @@ def cluster_labels(xyz, valid, radius: float):
         if bool(grid.overflow):
             continue
         adjacency = cell_graph_adjacency(grid, jnp.float32(radius))
-        return cell_graph_labels(grid, adjacency)
+        labels = np.asarray(cell_graph_labels(grid, adjacency))
+        order = np.argsort(labels, kind="stable").astype(labels.dtype)
+        return labels[order], order
     return None
 
 

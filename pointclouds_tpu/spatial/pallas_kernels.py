@@ -1616,41 +1616,49 @@ def _insert_smallest_with_idx(regs_v, regs_i, v, i):
     return out_v, out_i
 
 
-def _sweep_knn_kernel(k: int, wr: int, per_seg: int, nshift: int):
+def _sweep_knn_kernel(k: int, wr: int, per_seg: int, nshift: int,
+                      resident: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     nwin = nshift * wr
 
-    def kernel(starts_ref, q_ref, pts_ref, out_ref, win, sems):
+    def kernel(starts_ref, q_ref, pts_ref, out_ref, *scratch):
         b = pl.program_id(0)
         nb = pl.num_programs(0)
         bv = starts_ref[3 * nshift, b]
         big = jnp.float32(jnp.inf)
 
-        def dma(blk, j, slot):
-            st = starts_ref[j, blk]
-            return pltpu.make_async_copy(
-                pts_ref.at[pl.ds(st, wr), :, :],
-                win.at[pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr), :, :],
-                sems.at[slot, jnp.int32(j)],
+        if not resident:
+            win, sems = scratch
+
+            def dma(blk, j, slot):
+                st = starts_ref[j, blk]
+                return pltpu.make_async_copy(
+                    pts_ref.at[pl.ds(st, wr), :, :],
+                    win.at[
+                        pl.ds(slot * jnp.int32(nwin) + jnp.int32(j * wr), wr),
+                        :,
+                        :,
+                    ],
+                    sems.at[slot, jnp.int32(j)],
+                )
+
+            @pl.when(jnp.logical_and(b == jnp.int32(0), bv != 0))
+            def _():
+                for j in range(nshift):
+                    dma(jnp.int32(0), j, jnp.int32(0)).start()
+
+            nxt_b = jnp.minimum(b + jnp.int32(1), nb - jnp.int32(1))
+
+            @pl.when(
+                jnp.logical_and(
+                    b + jnp.int32(1) < nb, starts_ref[3 * nshift, nxt_b] != 0
+                )
             )
-
-        @pl.when(jnp.logical_and(b == jnp.int32(0), bv != 0))
-        def _():
-            for j in range(nshift):
-                dma(jnp.int32(0), j, jnp.int32(0)).start()
-
-        nxt_b = jnp.minimum(b + jnp.int32(1), nb - jnp.int32(1))
-
-        @pl.when(
-            jnp.logical_and(
-                b + jnp.int32(1) < nb, starts_ref[3 * nshift, nxt_b] != 0
-            )
-        )
-        def _():
-            nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
-            for j in range(nshift):
-                dma(nxt_b, j, nxt).start()
+            def _():
+                nxt = jax.lax.rem(b + jnp.int32(1), jnp.int32(2))
+                for j in range(nshift):
+                    dma(nxt_b, j, nxt).start()
 
         @pl.when(bv == 0)
         def _():
@@ -1664,16 +1672,11 @@ def _sweep_knn_kernel(k: int, wr: int, per_seg: int, nshift: int):
 
         @pl.when(bv != 0)
         def _():
-            slot = jax.lax.rem(b, jnp.int32(2))
-            for j in range(nshift):
-                dma(b, j, slot).wait()
-
             qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
             qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
             qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
             qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
 
-            base = slot * jnp.int32(nwin)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
                 jnp.float32
             )  # (f32 iota is not a legal tpu.iota result type)
@@ -1683,35 +1686,86 @@ def _sweep_knn_kernel(k: int, wr: int, per_seg: int, nshift: int):
                 jnp.full((128, 128), jnp.float32(-1.0)) for _ in range(per_seg)
             ]
             cnt = jnp.zeros((128, 128), jnp.float32)
-            for j in range(nshift):
-                sk = starts_ref[nshift + j, b]
-                ln = starts_ref[2 * nshift + j, b]
-                for r in range(wr):
+
+            if resident:
+                # Windows walked in place with DYNAMIC per-shift bounds:
+                # work scales with the actual candidate rows, not
+                # nshift * wr (the static unroll below costs ~10x more at
+                # wr=16 where the median window is 1-2 rows).
+                state = (tuple(regs_v), tuple(regs_i), cnt)
+                for j in range(nshift):
                     st = starts_ref[j, b]
-                    row = win[pl.ds(base + jnp.int32(j * wr + r), 1), :, :]
-                    cx = row[0, 0:1, :]
-                    cy = row[0, 1:2, :]
-                    cz = row[0, 2:3, :]
-                    cw = row[0, 3:4, :]
-                    d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-                    keep = jnp.where(
-                        jnp.logical_and(
-                            jnp.int32(r) >= sk, jnp.int32(r) < ln
-                        ),
-                        jnp.float32(1.0),
-                        jnp.float32(0.0),
-                    )
-                    pair = qm * cw * keep
-                    w = jnp.where(pair > 0.5, d2, big)
-                    gidx = (
-                        (st + jnp.int32(r)).astype(jnp.float32)
-                        * jnp.float32(128.0)
-                        + lane
-                    )  # [1, 128] global sorted position, exact-int f32
-                    regs_v, regs_i = _insert_smallest_with_idx(
-                        regs_v, regs_i, w, gidx + 0.0 * d2
-                    )
-                    cnt = cnt + jnp.where(pair > 0.5, jnp.float32(1.0), 0.0)
+                    sk = starts_ref[nshift + j, b]
+                    ln = starts_ref[2 * nshift + j, b]
+
+                    def body(r, s, st=st):
+                        rv, ri, cnt_ = s
+                        row = pts_ref[pl.ds(st + r, 1), :, :]
+                        cx = row[0, 0:1, :]
+                        cy = row[0, 1:2, :]
+                        cz = row[0, 2:3, :]
+                        cw = row[0, 3:4, :]
+                        d2 = (
+                            (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                        )
+                        pair = qm * cw
+                        w = jnp.where(pair > 0.5, d2, big)
+                        gidx = (
+                            (st + r).astype(jnp.float32) * jnp.float32(128.0)
+                            + lane
+                        )
+                        rv2, ri2 = _insert_smallest_with_idx(
+                            list(rv), list(ri), w, gidx + 0.0 * d2
+                        )
+                        cnt_ = cnt_ + jnp.where(
+                            pair > 0.5, jnp.float32(1.0), 0.0
+                        )
+                        return (tuple(rv2), tuple(ri2), cnt_)
+
+                    state = jax.lax.fori_loop(sk, ln, body, state)
+                regs_v, regs_i, cnt = (
+                    list(state[0]), list(state[1]), state[2]
+                )
+            else:
+                slot = jax.lax.rem(b, jnp.int32(2))
+                for j in range(nshift):
+                    dma(b, j, slot).wait()
+                base = slot * jnp.int32(nwin)
+                for j in range(nshift):
+                    sk = starts_ref[nshift + j, b]
+                    ln = starts_ref[2 * nshift + j, b]
+                    for r in range(wr):
+                        st = starts_ref[j, b]
+                        row = win[
+                            pl.ds(base + jnp.int32(j * wr + r), 1), :, :
+                        ]
+                        cx = row[0, 0:1, :]
+                        cy = row[0, 1:2, :]
+                        cz = row[0, 2:3, :]
+                        cw = row[0, 3:4, :]
+                        d2 = (
+                            (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                        )
+                        keep = jnp.where(
+                            jnp.logical_and(
+                                jnp.int32(r) >= sk, jnp.int32(r) < ln
+                            ),
+                            jnp.float32(1.0),
+                            jnp.float32(0.0),
+                        )
+                        pair = qm * cw * keep
+                        w = jnp.where(pair > 0.5, d2, big)
+                        gidx = (
+                            (st + jnp.int32(r)).astype(jnp.float32)
+                            * jnp.float32(128.0)
+                            + lane
+                        )  # [1, 128] global sorted position, exact-int f32
+                        regs_v, regs_i = _insert_smallest_with_idx(
+                            regs_v, regs_i, w, gidx + 0.0 * d2
+                        )
+                        cnt = cnt + jnp.where(
+                            pair > 0.5, jnp.float32(1.0), 0.0
+                        )
 
             count_all = jnp.sum(
                 jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True
@@ -1791,17 +1845,28 @@ def sweep_knn_select(pts_planar, starts, *, k: int, wr: int = 4,
         starts.shape,
     )
     starts = jnp.transpose(starts)
-    kern = _sweep_knn_kernel(k, wr, per_seg, nshift)
+    # Resident path (planar fits VMEM): windows read in place with DYNAMIC
+    # per-shift bounds — the DMA path's static wr-unroll costs ~10x the
+    # actual candidate work at wr=16 (median window 1-2 rows).
+    resident = nr * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES
+    kern = _sweep_knn_kernel(k, wr, per_seg, nshift, resident)
     z = np.int32(0)
+    pts_spec = (
+        pl.BlockSpec((nr, 4, 128), lambda b, starts_ref: (z, z, z))
+        if resident
+        else pl.BlockSpec(memory_space=pl.ANY)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 4, 128), lambda b, starts_ref: (b, z, z)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pts_spec,
         ],
         out_specs=pl.BlockSpec((2 * k + 3, 128), lambda b, starts_ref: (z, b)),
-        scratch_shapes=[
+        scratch_shapes=[]
+        if resident
+        else [
             pltpu.VMEM((2 * nshift * wr, 4, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, nshift)),
         ],
@@ -1815,3 +1880,275 @@ def sweep_knn_select(pts_planar, starts, *, k: int, wr: int = 4,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(starts, pts_planar, pts_planar)
+
+
+# ── Fused 1-NN (distance + argmin) kernel ────────────────────────────────────
+#
+# Correspondence search for ICP (ops/registration._nn_1): each source
+# point's nearest neighbor in the target cloud. The XLA one-shot path
+# materializes the full [Q, N] distance matrix in HBM (~1 GB at the
+# reference's 10K x 10K row) and re-reads it for the argmin — ~9.5 ms per
+# ICP iteration, all bandwidth. This kernel keeps the target VMEM-resident
+# and reduces each [128-query, 128-candidate] tile in registers: no HBM
+# transient at all, compute-bound at ~N*Q*8 VPU flops.
+# (ref: crates/registration/src/correspondence.rs:16-39 — per-point
+# kdtree.knn(k=1); same exact-distance semantics, batched TPU-style.)
+
+
+def _nn_argmin_kernel(nr: int):
+    def kernel(q_ref, cand_ref, out_ref):
+        big = jnp.float32(jnp.inf)
+
+        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
+        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+            jnp.float32
+        )
+
+        def row_step(r, state):
+            best, bpos = state
+            row = cand_ref[pl.ds(r, 1), :, :]
+            cx = row[0, 0:1, :]
+            cy = row[0, 1:2, :]
+            cz = row[0, 2:3, :]
+            cw = row[0, 3:4, :]
+            d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+            w = jnp.where(cw > 0.5, d2, big)  # [128, 128]
+            rowmin = jnp.min(w, axis=1, keepdims=True)  # [128, 1]
+            # Tie-break toward the LAST index (matches _nn_1's XLA path:
+            # first-index ties systematically pull backwards on symmetric
+            # scenes and stall ICP): max position among per-row ties, and
+            # cross-row <= so later rows overwrite equal minima.
+            pos = lane + jnp.float32(128.0) * r.astype(jnp.float32)
+            rowpos = jnp.max(
+                jnp.where(w <= rowmin, pos, jnp.float32(-1.0)),
+                axis=1,
+                keepdims=True,
+            )
+            upd = rowmin <= best
+            bpos = jnp.where(upd, rowpos, bpos)
+            best = jnp.minimum(best, rowmin)
+            return best, bpos
+
+        best0 = jnp.full((128, 1), big, jnp.float32)
+        bpos0 = jnp.zeros((128, 1), jnp.float32)
+        best, bpos = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nr), row_step, (best0, bpos0)
+        )
+        out_ref[0:1, :] = jnp.transpose(best, (1, 0))
+        out_ref[1:2, :] = jnp.transpose(bpos, (1, 0))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def nn_argmin(q_planar, cand_planar, *, interpret: bool = False):
+    """For every query, the exact squared distance to — and position of —
+    its nearest valid candidate.
+
+    q_planar f32[QB, 4, 128] (channels x/y/z/any), cand_planar
+    f32[NR, 4, 128] (w channel = validity, VMEM-resident: callers gate on
+    RESIDENT_PLANAR_BYTES). Returns f32[2, QB*128]: row 0 = min d2
+    (direct (q-p)^2 form, exact per pair; +inf if no valid candidate),
+    row 1 = flat candidate position (exact in f32 below 2^24 points;
+    ties take the LAST position). Invalid queries return garbage rows —
+    callers mask by query validity.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = cand_planar.shape
+    qb = q_planar.shape[0]
+    assert (nch, width) == (4, 128), cand_planar.shape
+    z = np.int32(0)
+    out = pl.pallas_call(
+        _nn_argmin_kernel(nr),
+        grid=(qb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b: (b, z, z)),
+            # Whole target VMEM-resident for every grid step (explicit
+            # identity map — see rescue_select).
+            pl.BlockSpec((nr, 4, 128), lambda b: (z, z, z)),
+        ],
+        out_specs=pl.BlockSpec((2, 128), lambda b: (z, b)),
+        out_shape=jax.ShapeDtypeStruct((2, qb * 128), jnp.float32),
+        interpret=interpret,
+    )(q_planar, cand_planar)
+    return out[0], out[1]
+
+
+# ── Brute k-NN rescue kernel (unconditionally exact, with indices) ───────────
+#
+# The fused per-op rescue (ops/fusedops): flagged queries re-resolved
+# against the WHOLE cloud. The XLA path does lax.top_k over [cap, N]
+# distance rows — ~50 ms at [4096, 131K] on TPU (top_k over 131K lanes is
+# a partial sort). Here each query lane keeps its own k smallest in
+# registers (per_seg = k, so every global k-smallest candidate survives
+# its lane's selection — exact WITHOUT a certificate), then the standard
+# phase-2 extraction merges lanes. Candidates stay VMEM-resident in
+# original order, so flat positions are original row ids.
+
+
+def _brute_knn_kernel(k: int, nr: int):
+    def kernel(q_ref, cand_ref, out_ref):
+        big = jnp.float32(jnp.inf)
+
+        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
+        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+            jnp.float32
+        )
+
+        regs_v0 = tuple(jnp.full((128, 128), big) for _ in range(k))
+        regs_i0 = tuple(
+            jnp.full((128, 128), jnp.float32(-1.0)) for _ in range(k)
+        )
+
+        def row_step(r, state):
+            rv, ri, cnt = state
+            row = cand_ref[pl.ds(r, 1), :, :]
+            cx = row[0, 0:1, :]
+            cy = row[0, 1:2, :]
+            cz = row[0, 2:3, :]
+            cw = row[0, 3:4, :]
+            d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+            pair = qm * cw
+            w = jnp.where(pair > 0.5, d2, big)
+            gidx = r.astype(jnp.float32) * jnp.float32(128.0) + lane
+            rv2, ri2 = _insert_smallest_with_idx(
+                list(rv), list(ri), w, gidx + 0.0 * d2
+            )
+            cnt = cnt + jnp.where(pair > 0.5, jnp.float32(1.0), 0.0)
+            return (tuple(rv2), tuple(ri2), cnt)
+
+        regs_v, regs_i, cnt = jax.lax.fori_loop(
+            jnp.int32(0),
+            jnp.int32(nr),
+            row_step,
+            (regs_v0, regs_i0, jnp.zeros((128, 128), jnp.float32)),
+        )
+
+        fv = jnp.concatenate(
+            [jnp.transpose(x, (1, 0)) for x in regs_v], axis=0
+        )  # [k*128, 128]
+        fi = jnp.concatenate(
+            [jnp.transpose(x, (1, 0)) for x in regs_i], axis=0
+        )
+        nf = k * 128
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nf, 128), 0)
+
+        zf = jnp.zeros((1, 128), jnp.float32)
+        fw, count = fv, zf
+        for i in range(k):
+            mn = jnp.min(fw, axis=0, keepdims=True)
+            ok = jnp.isfinite(mn)
+            am = jnp.min(
+                jnp.where(fw == mn, rows, jnp.int32(nf)),
+                axis=0,
+                keepdims=True,
+            )
+            hitm = jnp.where(rows == am, jnp.float32(1.0), jnp.float32(0.0))
+            idx_val = jnp.sum(hitm * fi, axis=0, keepdims=True)
+            out_ref[i : i + 1, :] = jnp.where(
+                ok, jnp.sqrt(jnp.maximum(mn, 0.0)), big
+            )
+            out_ref[k + i : k + i + 1, :] = jnp.where(
+                ok, idx_val, jnp.float32(-1.0)
+            )
+            count = count + jnp.where(ok, jnp.float32(1.0), 0.0)
+            fw = jnp.where(rows == am, big, fw)
+        out_ref[2 * k : 2 * k + 1, :] = count
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def brute_knn_idx(q_planar, cand_planar, *, k: int, interpret: bool = False):
+    """Exact k nearest valid candidates of every query over the WHOLE
+    resident candidate array (no windows, no certificate needed).
+
+    Returns f32[2k + 1, QB*128]: rows [0, k) Euclidean distances ascending
+    (+inf pad), rows [k, 2k) flat candidate positions (-1 pad; exact-int
+    f32, callers gate n <= 2^24), row 2k = valid-candidate count. Ties
+    resolve toward the smallest position (matches lax.top_k).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = cand_planar.shape
+    qb = q_planar.shape[0]
+    assert (nch, width) == (4, 128), cand_planar.shape
+    z = np.int32(0)
+    return pl.pallas_call(
+        _brute_knn_kernel(k, nr),
+        grid=(qb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b: (b, z, z)),
+            pl.BlockSpec((nr, 4, 128), lambda b: (z, z, z)),
+        ],
+        out_specs=pl.BlockSpec((2 * k + 1, 128), lambda b: (z, b)),
+        out_shape=jax.ShapeDtypeStruct((2 * k + 1, qb * 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q_planar, cand_planar)
+
+
+def _brute_radius_count_kernel(nr: int):
+    def kernel(q_ref, cand_ref, out_ref):
+        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
+        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+        qr2 = jnp.transpose(q_ref[0, 3:4, :], (1, 0))  # r^2, 0 = invalid
+
+        def row_step(r, cnt):
+            row = cand_ref[pl.ds(r, 1), :, :]
+            cx = row[0, 0:1, :]
+            cy = row[0, 1:2, :]
+            cz = row[0, 2:3, :]
+            cw = row[0, 3:4, :]
+            d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+            hit = jnp.where(
+                jnp.logical_and(cw > 0.5, d2 <= qr2),
+                jnp.float32(1.0),
+                jnp.float32(0.0),
+            )
+            return cnt + hit
+
+        cnt = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nr), row_step,
+            jnp.zeros((128, 128), jnp.float32),
+        )
+        out_ref[0:1, :] = jnp.sum(
+            jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def brute_radius_count(q_planar, cand_planar, *, interpret: bool = False):
+    """Exact inclusive within-radius counts of every query over the whole
+    resident candidate array. The per-query squared radius rides the
+    query w channel (0 marks an invalid query -> count 0). Returns
+    f32[QB*128] counts."""
+    nr, nch, width = cand_planar.shape
+    qb = q_planar.shape[0]
+    assert (nch, width) == (4, 128), cand_planar.shape
+    z = np.int32(0)
+    out = pl.pallas_call(
+        _brute_radius_count_kernel(nr),
+        grid=(qb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b: (b, z, z)),
+            pl.BlockSpec((nr, 4, 128), lambda b: (z, z, z)),
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda b: (z, b)),
+        out_shape=jax.ShapeDtypeStruct((1, qb * 128), jnp.float32),
+        interpret=interpret,
+    )(q_planar, cand_planar)
+    return out[0]
