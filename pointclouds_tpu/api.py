@@ -345,7 +345,9 @@ def statistical_outlier_removal(
         )
         return out, np.asarray(info)
 
-    out, info = _engine._degrade_to_xla(run, _engine._kernel_preference())
+    out, info = _engine._degrade_to_xla(
+        run, _engine._kernel_preference(), memo_key=("sor_fused", n, k)
+    )
     if info[1]:
         return PointCloud._from(out, int(info[0]))
 
@@ -387,7 +389,9 @@ def radius_outlier_removal(
         )
         return out, np.asarray(info)
 
-    out, info = _engine._degrade_to_xla(run, _engine._kernel_preference())
+    out, info = _engine._degrade_to_xla(
+        run, _engine._kernel_preference(), memo_key=("ror_fused", n)
+    )
     if info[1]:
         return PointCloud._from(out, int(info[0]))
 
@@ -434,7 +438,8 @@ def estimate_normals_with_viewpoint(
             return nrm, int(np.asarray(exact))
 
         normals, exact = _engine._degrade_to_xla(
-            run, _engine._kernel_preference()
+            run, _engine._kernel_preference(),
+            memo_key=("normals_fused", n, k),
         )
         if not exact:
             # Rescue-cap overflow: multi-dispatch engine path (rescues any
@@ -505,6 +510,7 @@ def icp_point_to_point(
         run,
         _engine._kernel_preference()
         and _registration.nn_kernel_fits(target._arrs.capacity),
+        memo_key=("icp_nn", target._arrs.capacity),
     )
     return _finish_icp(out)
 
@@ -543,6 +549,7 @@ def icp_point_to_plane(
         run,
         _engine._kernel_preference()
         and _registration.nn_kernel_fits(target._arrs.capacity),
+        memo_key=("icp_nn", target._arrs.capacity),
     )
     return _finish_icp(out)
 

@@ -297,18 +297,30 @@ def _sweep_wr(n: int) -> int:
     return 4
 
 
-def _degrade_to_xla(run, use_kernel: bool):
+_KERNEL_FAIL_MEMO: set = set()
+
+
+def _degrade_to_xla(run, use_kernel: bool, memo_key=None):
     """Run a sweep attempt (``run(use_kernel)`` must include its first host
     sync so compile/execute errors surface inside). The remote Mosaic
     compiler intermittently rejects valid kernels, and the VMEM-resident
     kernels can exceed their budget on huge clouds — degrade to the XLA
     mirror (same math, HBM-streamed) instead of raising through the public
-    API."""
+    API.
+
+    ``memo_key`` (hashable, shape-identifying) records kernel failures:
+    failed compiles are NOT cached by jit, so without the memo every
+    subsequent same-shape call re-pays the failed remote compile attempt
+    before degrading (~50+ ms per call on the tunneled harness)."""
+    if memo_key is not None and memo_key in _KERNEL_FAIL_MEMO:
+        use_kernel = False
     try:
         return run(use_kernel)
     except Exception:
         if not use_kernel:
             raise
+        if memo_key is not None:
+            _KERNEL_FAIL_MEMO.add(memo_key)
         return run(False)
 
 
@@ -370,7 +382,9 @@ def cluster_labels(xyz, valid, radius: float):
                 )
                 return packed[:-1], bool(packed[-1])
 
-            labels, exact = _degrade_to_xla(run, _kernel_preference())
+            labels, exact = _degrade_to_xla(
+                run, _kernel_preference(), memo_key=("cluster", n, wr)
+            )
             if exact:
                 order = np.argsort(labels, kind="stable").astype(np.int32)
                 return labels[order], order
@@ -471,7 +485,9 @@ def sor_means(xyz, valid, k: int):
         )
         return m, ok, bool(cert)
 
-    mean, point_ok, certified = _degrade_to_xla(run, _kernel_preference())
+    mean, point_ok, certified = _degrade_to_xla(
+        run, _kernel_preference(), memo_key=("sor_means", n, k)
+    )
     if certified:
         return mean
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
@@ -531,7 +547,9 @@ def radius_count_sweep(pxyz, pvalid, radius: float):
         finite = jnp.all(jnp.isfinite(pxyz), axis=-1)
         return c, ok, np.asarray(jnp.logical_and(pvalid & finite, ~ok))
 
-    counts, point_ok, residual = _degrade_to_xla(run, _kernel_preference())
+    counts, point_ok, residual = _degrade_to_xla(
+        run, _kernel_preference(), memo_key=("radius_count", n)
+    )
     if not residual.any():
         return counts
     rows = np.nonzero(residual)[0]
@@ -664,7 +682,9 @@ def _knn_sweep_same_cloud(pxyz, pvalid, k: int):
         )
         return d, i, nv, int(np.asarray(exact))
 
-    dists, idx, nvalid, exact = _degrade_to_xla(run, _kernel_preference())
+    dists, idx, nvalid, exact = _degrade_to_xla(
+        run, _kernel_preference(), memo_key=("knn_same", n, k)
+    )
     if not exact:
         return None  # sweep was a bad fit for this cloud
     return dists, idx, nvalid

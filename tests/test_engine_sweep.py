@@ -125,3 +125,25 @@ def test_engine_knn_sweep_path_matches_oracle():
     uniq[:, :-1] &= d[:, :-1] != d[:, 1:]
     uniq[:, 1:] &= d[:, 1:] != d[:, :-1]
     assert (same | ~uniq).all()
+
+
+def test_degrade_to_xla_memoizes_kernel_failures():
+    """A failed kernel attempt with a memo_key must not re-pay the failed
+    attempt on subsequent same-key calls (failed compiles are not cached
+    by jit, so each retry would cost a full remote compile on TPU)."""
+    from pointclouds_tpu.spatial import engine
+
+    calls = []
+
+    def run(uk):
+        calls.append(uk)
+        if uk:
+            raise RuntimeError("simulated Mosaic rejection")
+        return "xla"
+
+    key = ("test-memo", id(run))
+    assert engine._degrade_to_xla(run, True, memo_key=key) == "xla"
+    assert calls == [True, False]
+    assert engine._degrade_to_xla(run, True, memo_key=key) == "xla"
+    assert calls == [True, False, False]  # no second kernel attempt
+    engine._KERNEL_FAIL_MEMO.discard(key)
