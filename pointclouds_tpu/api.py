@@ -510,7 +510,7 @@ def icp_point_to_point(
         run,
         _engine._kernel_preference()
         and _registration.nn_kernel_fits(target._arrs.capacity),
-        memo_key=("icp_nn", target._arrs.capacity),
+        memo_key=("icp_p2p", target._arrs.capacity, int(max_iterations)),
     )
     return _finish_icp(out)
 
@@ -549,7 +549,7 @@ def icp_point_to_plane(
         run,
         _engine._kernel_preference()
         and _registration.nn_kernel_fits(target._arrs.capacity),
-        memo_key=("icp_nn", target._arrs.capacity),
+        memo_key=("icp_p2pl", target._arrs.capacity, int(max_iterations)),
     )
     return _finish_icp(out)
 

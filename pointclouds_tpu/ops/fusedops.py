@@ -66,14 +66,9 @@ def _rescue_kernel_fits(n: int, k: int) -> bool:
     """Static gate for the Pallas brute rescue kernels: the candidate
     planar array must be VMEM-resident, the per-lane register file
     (per_seg = k) must stay small, and flat positions exact in f32."""
-    from ..spatial.pallas_kernels import RESIDENT_PLANAR_BYTES
+    from ..spatial.pallas_kernels import planar_resident_fits
 
-    nr = max(-(-n // 128), 1)
-    return (
-        nr * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES
-        and k <= 24
-        and n <= 2**24
-    )
+    return planar_resident_fits(n) and k <= 24 and n <= 2**24
 
 
 def _rescue_knn(xyz, valid, sub_xyz, sub_valid, k: int, use_kernel: bool):

@@ -62,10 +62,9 @@ def _to_planar(xyz, use):
 def nn_kernel_fits(n_tgt: int) -> bool:
     """Static gate for the fused 1-NN kernel: the target planar array must
     be VMEM-resident and positions must stay exact in f32."""
-    from ..spatial.pallas_kernels import RESIDENT_PLANAR_BYTES
+    from ..spatial.pallas_kernels import planar_resident_fits
 
-    nr = max(-(-n_tgt // 128), 1)
-    return nr * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES and n_tgt <= 2**24
+    return planar_resident_fits(n_tgt) and n_tgt <= 2**24
 
 
 def _nn_1(qxyz, q_use, pxyz, p_use, use_kernel: bool = False,
@@ -417,7 +416,7 @@ def _icp_loop(
 
 
 def _pack_icp(out):
-    """Pack the 6-tuple ICP result into one f32[15] vector
+    """Pack the 6-tuple ICP result into one f32[16] vector
     ([rot(9), trans(3), fitness, rmse, converged, iterations] — the last
     two exactly representable in f32) so the host API fetches ONE array
     instead of six (each fetch is an RPC round-trip on the tunneled

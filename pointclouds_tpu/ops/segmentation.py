@@ -146,20 +146,6 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
 
 
 @partial(jax.jit, static_argnames=("iterations", "assume_compact"))
-def ransac_plane_packed(xyz, valid, threshold, seed, iterations: int,
-                        *, assume_compact: bool = False):
-    """ransac_plane_masked with the scalar outputs packed into one f32[4]
-    vector ([nx, ny, nz, d]) so the host API fetches two arrays instead
-    of four (each device->host fetch is a full RPC round-trip on the
-    tunneled harness)."""
-    normal, d, inlier_mask = ransac_plane_masked(
-        xyz, valid, threshold, seed, iterations,
-        assume_compact=assume_compact,
-    )
-    return jnp.concatenate([normal, d[None]]), inlier_mask
-
-
-@partial(jax.jit, static_argnames=("iterations", "assume_compact"))
 def ransac_plane_bytes(xyz, valid, threshold, seed, iterations: int,
                        *, assume_compact: bool = False):
     """ransac_plane_masked with EVERYTHING in one uint8[16 + N] buffer:

@@ -289,11 +289,10 @@ def _sweep_wr(n: int) -> int:
     only certifies more blocks (fewer flagged rows -> smaller brute
     rescues); the XLA mirror materializes static [wr, ...] windows, so
     the CPU/mirror path keeps the small default."""
-    from .pallas_kernels import RESIDENT_PLANAR_BYTES
+    from .pallas_kernels import planar_resident_fits
 
-    nrows = max(-(-n // 128), 1)
-    if _kernel_preference() and nrows * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES:
-        return min(nrows, 16)
+    if _kernel_preference() and planar_resident_fits(n):
+        return min(max(-(-n // 128), 1), 16)
     return 4
 
 
@@ -341,10 +340,9 @@ def _cluster_labels_packed(xyz, valid, radius, *, wr: int, use_kernel: bool):
 
 
 def cluster_labels(xyz, valid, radius: float):
-    """Connected-component labels under inclusive distance ``radius``.
-    Returns int32[N] labels in original point order (non-finite/invalid
-    points keep their own row), or None if no backend can certify
-    exactness (caller falls back).
+    """Connected-component labels under inclusive distance ``radius``
+    (non-finite/invalid points keep their own row as a singleton label),
+    or None if no backend can certify exactness (caller falls back).
 
     Primary backend: sweep min-label propagation (hook + pointer jumping,
     `sweep.sweep_cluster_labels`); the collapsed cell-graph path remains

@@ -30,6 +30,15 @@ from jax.experimental import pallas as pl
 # a v5e's VMEM next to the kernels' own scratch.
 RESIDENT_PLANAR_BYTES = 8 * 1024 * 1024
 
+
+def planar_resident_fits(n_points: int) -> bool:
+    """True iff a cloud of ``n_points`` packs into a [NR, 4, 128] f32
+    planar array small enough to hold VMEM-resident for a whole kernel.
+    THE residency gate — every resident-kernel caller must route through
+    here so the budget can't drift between copies."""
+    nr = max(-(-int(n_points) // 128), 1)
+    return nr * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES
+
 # Relative inclusion band for two-phase kernels that re-derive d2 against a
 # kth threshold (see the KNN-moments section comment): ~7 ulp, comfortably
 # above any FMA-contraction jitter in a 3-term squared distance, far below
@@ -542,7 +551,7 @@ def sweep_select(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 4,
     # Clouds whose planar array fits comfortably in VMEM skip the window
     # DMAs entirely and read candidates in place (same trick as
     # cluster_propagate); larger clouds keep the double-buffered DMA path.
-    resident = nr * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES
+    resident = planar_resident_fits(nr * 128)
     kern = _sweep_select_kernel(k, wr, per_seg, nshift, resident)
     z = np.int32(0)
     pts_spec = (
@@ -1848,7 +1857,7 @@ def sweep_knn_select(pts_planar, starts, *, k: int, wr: int = 4,
     # Resident path (planar fits VMEM): windows read in place with DYNAMIC
     # per-shift bounds — the DMA path's static wr-unroll costs ~10x the
     # actual candidate work at wr=16 (median window 1-2 rows).
-    resident = nr * 4 * 128 * 4 <= RESIDENT_PLANAR_BYTES
+    resident = planar_resident_fits(nr * 128)
     kern = _sweep_knn_kernel(k, wr, per_seg, nshift, resident)
     z = np.int32(0)
     pts_spec = (
@@ -2134,8 +2143,10 @@ def _brute_radius_count_kernel(nr: int):
 def brute_radius_count(q_planar, cand_planar, *, interpret: bool = False):
     """Exact inclusive within-radius counts of every query over the whole
     resident candidate array. The per-query squared radius rides the
-    query w channel (0 marks an invalid query -> count 0). Returns
-    f32[QB*128] counts."""
+    query w channel; w = 0 marks an invalid query, but a coincident valid
+    candidate still satisfies d2 <= 0, so invalid-query rows can return
+    nonzero counts — callers MUST mask by query validity afterwards (the
+    fused ops do). Returns f32[QB*128] counts."""
     nr, nch, width = cand_planar.shape
     qb = q_planar.shape[0]
     assert (nch, width) == (4, 128), cand_planar.shape

@@ -47,8 +47,8 @@ def main():
 
     # ── euclidean_cluster breakdown ──
     print("== euclidean_cluster 100K r=0.5 ==")
-    labels = t("engine.cluster_labels (total, host fn)",
-               lambda: engine.cluster_labels(xyz, valid, 0.5))
+    res = t("engine.cluster_labels (total, host fn)",
+              lambda: engine.cluster_labels(xyz, valid, 0.5))
     from pointclouds_tpu.spatial.sweep import sweep_cluster_labels
     n = xyz.shape[0]
     nrows = max(-(-n // 128), 1)
@@ -62,7 +62,12 @@ def main():
 
     lab, exact = t("sweep_cluster_labels wr=big (one jit)", raw)
     print(f"   exact={exact}")
-    labels_np = np.asarray(labels)[: cseg.len()]
+    # cluster_labels returns (sorted_labels, order); rebuild original-order
+    # labels for the epilogue timing below.
+    sorted_labels_, order_ = res
+    labels_np = np.empty_like(sorted_labels_)
+    labels_np[order_] = sorted_labels_
+    labels_np = labels_np[: cseg.len()]
     def epilogue():
         order = np.argsort(labels_np, kind="stable")
         sorted_labels = labels_np[order]
