@@ -787,7 +787,7 @@ def radius_search(cloud: PointCloud, query, radius: float):
             if not np.all(np.isfinite(row)):
                 out.append([])
             else:
-                out.append([int(i) for i in index.radius(row, radius)])
+                out.append(np.asarray(index.radius(row, radius)).tolist())
         return out
     q = qa.reshape(3)
     if (
@@ -797,7 +797,9 @@ def radius_search(cloud: PointCloud, query, radius: float):
         or not np.all(np.isfinite(q))
     ):
         return []
-    return [int(i) for i in cloud._index().radius(q, radius)]
+    # ndarray.tolist yields Python ints directly (a per-element int()
+    # loop costs ~10 us/call at typical hit counts).
+    return np.asarray(cloud._index().radius(q, radius)).tolist()
 
 
 def radius_search_unsorted(cloud: PointCloud, query, radius: float):
@@ -816,4 +818,4 @@ def knn_indices(cloud: PointCloud, query, k: int):
     if k <= 0 or cloud.is_empty() or not np.all(np.isfinite(q)):
         return []
     rows, _ = cloud._index().knn(q, min(k, cloud.len()))
-    return [int(i) for i in rows]
+    return np.asarray(rows).tolist()

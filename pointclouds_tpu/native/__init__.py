@@ -142,3 +142,117 @@ def gather_xyz_f32(buf: bytes, n: int, stride: int, off_x, off_y, off_z):
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
+
+
+# ── Native host cell index (libpcindex.so) ───────────────────────────────────
+
+_SO_IDX = os.path.join(_DIR, "libpcindex.so")
+_idx_lib = None
+
+
+def _load_index():
+    global _idx_lib
+    if _idx_lib is not None:
+        return _idx_lib
+    if not os.path.exists(_SO_IDX):
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR, "libpcindex.so"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_IDX)
+    except OSError:
+        return None
+    lib.pcidx_build.restype = ctypes.c_void_p
+    lib.pcidx_build.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.pcidx_nvalid.restype = ctypes.c_int64
+    lib.pcidx_nvalid.argtypes = [ctypes.c_void_p]
+    lib.pcidx_free.restype = None
+    lib.pcidx_free.argtypes = [ctypes.c_void_p]
+    lib.pcidx_knn.restype = ctypes.c_int64
+    lib.pcidx_knn.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.pcidx_radius.restype = ctypes.c_int64
+    lib.pcidx_radius.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    _idx_lib = lib
+    return lib
+
+
+class NativeCellIndex:
+    """ctypes handle for the C++ build-once host index (pcindex.cpp).
+    Same exact semantics as spatial/hostindex.HostCellIndex; ~100x less
+    per-query interpreter overhead. Use `create_index`; returns None when
+    the toolchain/library is unavailable (callers keep the numpy path)."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._h = handle
+
+    def __del__(self):
+        try:
+            self._lib.pcidx_free(self._h)
+        except Exception:
+            pass
+
+    def knn(self, q, k: int):
+        import numpy as np
+
+        qa = np.ascontiguousarray(np.asarray(q, np.float64).reshape(3))
+        rows = np.empty((k,), np.int64)
+        dists = np.empty((k,), np.float64)
+        cnt = self._lib.pcidx_knn(
+            self._h,
+            qa.ctypes.data_as(ctypes.c_void_p),
+            k,
+            rows.ctypes.data_as(ctypes.c_void_p),
+            dists.ctypes.data_as(ctypes.c_void_p),
+        )
+        return rows[:cnt], dists[:cnt]
+
+    def radius(self, q, radius: float):
+        import numpy as np
+
+        qa = np.ascontiguousarray(np.asarray(q, np.float64).reshape(3))
+        cap = 256
+        while True:
+            rows = np.empty((cap,), np.int64)
+            cnt = self._lib.pcidx_radius(
+                self._h,
+                qa.ctypes.data_as(ctypes.c_void_p),
+                float(radius),
+                rows.ctypes.data_as(ctypes.c_void_p),
+                cap,
+            )
+            if cnt <= cap:
+                return rows[:cnt]
+            cap = int(cnt)
+
+
+def create_index(xyz, valid):
+    """Build a native host index over (xyz f32[N,3], valid bool[N]), or
+    None if the native library is unavailable."""
+    import numpy as np
+
+    lib = _load_index()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(np.asarray(xyz, np.float32))
+    v = np.ascontiguousarray(np.asarray(valid, np.uint8))
+    h = lib.pcidx_build(
+        xyz.ctypes.data_as(ctypes.c_void_p),
+        v.ctypes.data_as(ctypes.c_void_p),
+        xyz.shape[0],
+    )
+    return NativeCellIndex(lib, h)

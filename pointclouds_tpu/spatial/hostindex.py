@@ -26,10 +26,25 @@ _TARGET_PER_CELL = 8.0
 
 
 class HostCellIndex:
-    """Sorted-by-cell host arrays + binary-searchable cell runs."""
+    """Sorted-by-cell host arrays + binary-searchable cell runs.
+
+    When the native C++ index (native/pcindex.cpp) is available it takes
+    over both the build and the queries — same grid construction, same
+    exact-f64 semantics, same tie order, ~100x less per-query interpreter
+    overhead (the reference KD-tree serves ~1.5 us/query; numpy pays
+    ~100-300 us of per-call overhead). This numpy implementation remains
+    the contract definition and the no-toolchain fallback."""
 
     def __init__(self, xyz: np.ndarray, valid: np.ndarray):
         xyz = np.asarray(xyz, np.float32)
+        from .. import native
+
+        self._native = native.create_index(xyz, np.asarray(valid, bool))
+        if self._native is not None:
+            self.n = xyz.shape[0]
+            self.n_valid = int(self._native._lib.pcidx_nvalid(self._native._h))
+            self.empty = self.n_valid == 0
+            return
         finite = np.isfinite(xyz).all(axis=1)
         use = np.asarray(valid, bool) & finite
         self.n = xyz.shape[0]
@@ -94,6 +109,8 @@ class HostCellIndex:
         ``q``, ascending. Exact (f64 distance check)."""
         if self.empty:
             return np.empty((0,), np.int64)
+        if self._native is not None:
+            return self._native.radius(q, radius)
         q = np.asarray(q, np.float64).reshape(3)
         reach = int(np.ceil(radius / self.cell)) + 1
         idx = self._gather(*self._candidate_slices(q, reach))
@@ -108,6 +125,8 @@ class HostCellIndex:
         ring until the kth distance is provably covered."""
         if self.empty or k <= 0:
             return np.empty((0,), np.int64), np.empty((0,), np.float64)
+        if self._native is not None:
+            return self._native.knn(q, k)
         q = np.asarray(q, np.float64).reshape(3)
         reach = 1
         # A reach that covers the whole grid from the query's cell (the

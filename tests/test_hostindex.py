@@ -103,3 +103,41 @@ def test_api_knn_small_batch_matches_brute():
             ((data.astype(np.float64) - qs[r].astype(np.float64)) ** 2).sum(1)
         )
         np.testing.assert_allclose(np.sort(d[r]), np.sort(dd)[:8], rtol=1e-6)
+
+
+def test_native_index_matches_numpy_path(monkeypatch):
+    """The C++ index (native/pcindex.cpp) must reproduce the numpy
+    HostCellIndex exactly: same rows, same distances, same tie order."""
+    import pointclouds_tpu.spatial.hostindex as hi
+    from pointclouds_tpu import native
+
+    if native.create_index(np.zeros((1, 3), np.float32),
+                           np.ones(1, bool)) is None:
+        import pytest
+
+        pytest.skip("native index unavailable (no toolchain)")
+
+    rng = np.random.default_rng(7)
+    pts = (rng.random((5000, 3)) * 10).astype(np.float32)
+    pts[17] = np.nan  # non-finite row must be excluded
+    valid = np.ones(len(pts), bool)
+    valid[23] = False
+
+    ix_native = hi.HostCellIndex(pts, valid)
+    assert ix_native._native is not None
+    monkeypatch.setattr(native, "create_index", lambda *a: None)
+    ix_numpy = hi.HostCellIndex(pts, valid)
+    assert ix_numpy._native is None
+
+    queries = np.vstack(
+        [pts[rng.integers(0, len(pts), 20)] + 0.003,
+         (rng.random((5, 3)) * 14 - 2).astype(np.float32)]
+    )
+    for q in queries:
+        rn, dn = ix_native.knn(q, 8)
+        rp, dp = ix_numpy.knn(q, 8)
+        assert list(rn) == list(rp)
+        np.testing.assert_allclose(dn, dp, rtol=0, atol=0)
+        hn = ix_native.radius(q, 0.4)
+        hp = ix_numpy.radius(q, 0.4)
+        assert list(hn) == list(hp)
