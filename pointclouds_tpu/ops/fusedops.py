@@ -71,7 +71,8 @@ def _rescue_kernel_fits(n: int, k: int) -> bool:
     return planar_resident_fits(n) and k <= 24 and n <= 2**24
 
 
-def _rescue_knn(xyz, valid, sub_xyz, sub_valid, k: int, use_kernel: bool):
+def _rescue_knn(xyz, valid, sub_xyz, sub_valid, k: int, use_kernel: bool,
+                interpret: bool = False):
     """Exact k-NN of the compacted flagged queries against the whole
     cloud: Pallas brute kernel (per-lane k-selection in registers, no
     [cap, N] HBM transient, no lax.top_k) when the planar fits VMEM,
@@ -84,7 +85,8 @@ def _rescue_knn(xyz, valid, sub_xyz, sub_valid, k: int, use_kernel: bool):
 
         use = jnp.logical_and(valid, jnp.all(jnp.isfinite(xyz), axis=-1))
         out = brute_knn_idx(
-            _to_planar(sub_xyz, sub_valid), _to_planar(xyz, use), k=k
+            _to_planar(sub_xyz, sub_valid), _to_planar(xyz, use), k=k,
+            interpret=interpret,
         )
         cap = sub_xyz.shape[0]
         dists = jnp.transpose(out[:k, :cap])
@@ -98,7 +100,7 @@ def _rescue_knn(xyz, valid, sub_xyz, sub_valid, k: int, use_kernel: bool):
 
 
 def _rescue_radius_count(xyz, valid, sub_xyz, sub_valid, radius,
-                         use_kernel: bool):
+                         use_kernel: bool, interpret: bool = False):
     """Exact inclusive within-radius counts of the flagged queries against
     the whole cloud (Pallas resident kernel when it fits, else XLA)."""
     n = xyz.shape[0]
@@ -120,7 +122,9 @@ def _rescue_radius_count(xyz, valid, sub_xyz, sub_valid, radius,
             )
         )
         cap = sub_xyz.shape[0]
-        counts = brute_radius_count(qp, _to_planar(xyz, use))[:cap]
+        counts = brute_radius_count(
+            qp, _to_planar(xyz, use), interpret=interpret
+        )[:cap]
         return counts.astype(jnp.int32)
     return bruteforce_radius_count(
         xyz, valid, sub_xyz, sub_valid, radius
@@ -163,8 +167,10 @@ def _flagged_rows(residual, cap: int):
 # ── SOR ──────────────────────────────────────────────────────────────────────
 
 
-@partial(jax.jit, static_argnames=("k", "wr", "cap", "use_kernel"))
-def sor_fused(arrs, std_mul, *, k: int, wr: int, cap: int, use_kernel: bool):
+@partial(jax.jit, static_argnames=("k", "wr", "cap", "use_kernel",
+                                   "interpret"))
+def sor_fused(arrs, std_mul, *, k: int, wr: int, cap: int,
+              use_kernel: bool, interpret: bool = False):
     """statistical_outlier_removal in one dispatch.
 
     Returns (compacted CloudArrays, info i32[2] = [new_count, exact]).
@@ -178,7 +184,8 @@ def sor_fused(arrs, std_mul, *, k: int, wr: int, cap: int, use_kernel: bool):
     n = xyz.shape[0]
     cell = _cell_estimate_device(xyz, valid, jnp.float32(k + 1))
     mean, ok, _ = sweep_sor_two_pass(
-        xyz, valid, cell, k=k, wr=wr, use_kernel=use_kernel
+        xyz, valid, cell, k=k, wr=wr, use_kernel=use_kernel,
+        interpret=interpret,
     )
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     residual = jnp.logical_and(
@@ -186,7 +193,9 @@ def sor_fused(arrs, std_mul, *, k: int, wr: int, cap: int, use_kernel: bool):
     )
     rows, sub_valid, nflag = _flagged_rows(residual, cap)
     sub_xyz = jnp.take(xyz, jnp.minimum(rows, n - 1), axis=0)
-    sd, _, sv = _rescue_knn(xyz, valid, sub_xyz, sub_valid, k + 1, use_kernel)
+    sd, _, sv = _rescue_knn(
+        xyz, valid, sub_xyz, sub_valid, k + 1, use_kernel, interpret
+    )
     sub_means = sor_mean_dists_from_knn(
         sd, sv, jnp.all(jnp.isfinite(sub_xyz), axis=-1)
     )
@@ -213,9 +222,11 @@ def sor_fused_small(arrs, std_mul, *, k: int):
 # ── Radius outlier removal ───────────────────────────────────────────────────
 
 
-@partial(jax.jit, static_argnames=("wr", "cap", "use_kernel"))
+@partial(jax.jit, static_argnames=("wr", "cap", "use_kernel",
+                                   "interpret"))
 def ror_fused(
-    arrs, radius, min_neighbors, *, wr: int, cap: int, use_kernel: bool
+    arrs, radius, min_neighbors, *, wr: int, cap: int,
+    use_kernel: bool, interpret: bool = False,
 ):
     """radius_outlier_removal in one dispatch (count includes self,
     inclusive boundary — ref: crates/filters/src/radius_outlier.rs:4-18)."""
@@ -224,7 +235,8 @@ def ror_fused(
     xyz, valid = arrs.xyz, arrs.valid
     n = xyz.shape[0]
     counts, ok = sweep_radius_count(
-        xyz, valid, radius, wr=wr, use_kernel=use_kernel
+        xyz, valid, radius, wr=wr, use_kernel=use_kernel,
+        interpret=interpret,
     )
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     residual = jnp.logical_and(
@@ -238,6 +250,7 @@ def ror_fused(
         sub_valid,
         radius,
         use_kernel,
+        interpret,
     )
     counts = counts.at[rows].set(
         jnp.where(sub_valid, sub_counts, 0), mode="drop"
@@ -263,9 +276,10 @@ def ror_fused_small(arrs, radius, min_neighbors):
 # ── Normals ──────────────────────────────────────────────────────────────────
 
 
-@partial(jax.jit, static_argnames=("k", "wr", "cap", "use_kernel"))
+@partial(jax.jit, static_argnames=("k", "wr", "cap", "use_kernel",
+                                   "interpret"))
 def normals_fused(xyz, valid, viewpoint, *, k: int, wr: int, cap: int,
-                  use_kernel: bool):
+                  use_kernel: bool, interpret: bool = False):
     """estimate_normals in one dispatch: fused KNN-moments sweep + exact
     brute rescue + Cardano + orientation. Returns (normals f32[N,3],
     exact i32[])."""
@@ -275,7 +289,8 @@ def normals_fused(xyz, valid, viewpoint, *, k: int, wr: int, cap: int,
     vp = jnp.asarray(viewpoint, jnp.float32)
     cell = _cell_estimate_device(xyz, valid, jnp.float32(k))
     m1, m2, cnt, ok = sweep_knn_moments(
-        xyz, valid, cell, k=k, wr=wr, use_kernel=use_kernel
+        xyz, valid, cell, k=k, wr=wr, use_kernel=use_kernel,
+        interpret=interpret,
     )
     nrm = _normals_from_moments(xyz, m1, m2, cnt, vp)
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
@@ -284,7 +299,9 @@ def normals_fused(xyz, valid, viewpoint, *, k: int, wr: int, cap: int,
     )
     rows, sub_valid, nflag = _flagged_rows(residual, cap)
     sub_xyz = jnp.take(xyz, jnp.minimum(rows, n - 1), axis=0)
-    sd, si, sv = _rescue_knn(xyz, valid, sub_xyz, sub_valid, k, use_kernel)
+    sd, si, sv = _rescue_knn(
+        xyz, valid, sub_xyz, sub_valid, k, use_kernel, interpret
+    )
     sub_n = normals_from_knn(xyz, si, sv, vp, query_xyz=sub_xyz)
     nrm = nrm.at[rows].set(
         jnp.where(sub_valid[:, None], sub_n, 0.0), mode="drop"
@@ -302,8 +319,10 @@ def normals_fused_small(xyz, valid, viewpoint, *, k: int):
 # ── Same-cloud KNN ───────────────────────────────────────────────────────────
 
 
-@partial(jax.jit, static_argnames=("k", "wr", "cap", "use_kernel"))
-def knn_fused(xyz, valid, *, k: int, wr: int, cap: int, use_kernel: bool):
+@partial(jax.jit, static_argnames=("k", "wr", "cap", "use_kernel",
+                                   "interpret"))
+def knn_fused(xyz, valid, *, k: int, wr: int, cap: int,
+              use_kernel: bool, interpret: bool = False):
     """Whole-cloud KNN (self included) in one dispatch: sweep + exact
     brute rescue. Returns (dists, idx, nvalid, exact i32[])."""
     from ..spatial.sweep import sweep_knn
@@ -311,7 +330,8 @@ def knn_fused(xyz, valid, *, k: int, wr: int, cap: int, use_kernel: bool):
     n = xyz.shape[0]
     cell = _cell_estimate_device(xyz, valid, jnp.float32(k))
     d, i, nv, ok = sweep_knn(
-        xyz, valid, cell, k=k, wr=wr, use_kernel=use_kernel
+        xyz, valid, cell, k=k, wr=wr, use_kernel=use_kernel,
+        interpret=interpret,
     )
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     residual = jnp.logical_and(
@@ -320,7 +340,7 @@ def knn_fused(xyz, valid, *, k: int, wr: int, cap: int, use_kernel: bool):
     rows, sub_valid, nflag = _flagged_rows(residual, cap)
     d3, i3, v3 = _rescue_knn(
         xyz, valid, jnp.take(xyz, jnp.minimum(rows, n - 1), axis=0),
-        sub_valid, k, use_kernel,
+        sub_valid, k, use_kernel, interpret,
     )
     d = d.at[rows].set(jnp.where(sub_valid[:, None], d3, 0.0), mode="drop")
     i = i.at[rows].set(
