@@ -186,6 +186,11 @@ def _load_index():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
         ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.pcidx_knn_batch.restype = None
+    lib.pcidx_knn_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _idx_lib = lib
     return lib
 
@@ -220,6 +225,29 @@ class NativeCellIndex:
             dists.ctypes.data_as(ctypes.c_void_p),
         )
         return rows[:cnt], dists[:cnt]
+
+    def knn_batch(self, qs, k: int):
+        """(rows i64[nq, k], dists f64[nq, k], counts i64[nq]) — one C
+        call for the whole batch (the per-query Python loop costs ~40 us
+        of interpreter overhead per call). Rows beyond counts[i] are
+        garbage; callers mask."""
+        import numpy as np
+
+        qa = np.ascontiguousarray(np.asarray(qs, np.float64).reshape(-1, 3))
+        nq = qa.shape[0]
+        rows = np.empty((nq, k), np.int64)
+        dists = np.empty((nq, k), np.float64)
+        counts = np.empty((nq,), np.int64)
+        self._lib.pcidx_knn_batch(
+            self._h,
+            qa.ctypes.data_as(ctypes.c_void_p),
+            nq,
+            k,
+            rows.ctypes.data_as(ctypes.c_void_p),
+            dists.ctypes.data_as(ctypes.c_void_p),
+            counts.ctypes.data_as(ctypes.c_void_p),
+        )
+        return rows, dists, counts
 
     def radius(self, q, radius: float):
         import numpy as np

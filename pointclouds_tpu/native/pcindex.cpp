@@ -361,3 +361,18 @@ int64_t pcidx_radius(void* h, const double* q, double radius,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Batched KNN: nq queries in one call (the Python per-query loop costs
+// ~40 us/call of interpreter overhead). out_rows/out_dists are [nq * k];
+// out_counts[i] = results found for query i (rows beyond it untouched).
+void pcidx_knn_batch(void* h, const double* qs, int64_t nq, int64_t k,
+                     int64_t* out_rows, double* out_dists,
+                     int64_t* out_counts) {
+    for (int64_t i = 0; i < nq; ++i)
+        out_counts[i] =
+            pcidx_knn(h, qs + i * 3, k, out_rows + i * k, out_dists + i * k);
+}
+
+}  // extern "C"
