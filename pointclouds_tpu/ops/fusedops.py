@@ -110,16 +110,18 @@ def _rescue_radius_count(xyz, valid, sub_xyz, sub_valid, radius,
 
         use = jnp.logical_and(valid, jnp.all(jnp.isfinite(xyz), axis=-1))
         qfin = jnp.all(jnp.isfinite(sub_xyz), axis=-1)
+        # r^2 rides the query w channel; -1 marks an invalid query (so
+        # radius = 0 keeps inclusive coincident-point semantics, and
+        # fully-padding blocks are skipped in-kernel).
         r2w = jnp.where(
-            jnp.logical_and(sub_valid, qfin), radius * radius, 0.0
+            jnp.logical_and(sub_valid, qfin), radius * radius, -1.0
         )
-        # r^2 rides the query w channel (w = 0 marks invalid -> count 0);
-        # repack by scaling the 0/1 w of the standard planar layout.
         qp = _to_planar(sub_xyz, sub_valid)
-        qp = qp.at[:, 3, :].multiply(
-            jnp.pad(r2w, (0, qp.shape[0] * 128 - r2w.shape[0])).reshape(
-                qp.shape[0], 128
-            )
+        qp = qp.at[:, 3, :].set(
+            jnp.pad(
+                r2w, (0, qp.shape[0] * 128 - r2w.shape[0]),
+                constant_values=-1.0,
+            ).reshape(qp.shape[0], 128)
         )
         cap = sub_xyz.shape[0]
         counts = brute_radius_count(

@@ -2003,74 +2003,93 @@ def _brute_knn_kernel(k: int, nr: int):
     def kernel(q_ref, cand_ref, out_ref):
         big = jnp.float32(jnp.inf)
 
-        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
-        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
-        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
-        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+        qm_row = q_ref[0, 3:4, :]  # [1, 128]
+        # The fused-op callers compact flagged queries to the FRONT, so
+        # whole trailing blocks are padding: skipping them makes the
+        # static-cap rescue cost scale with the true flagged count
+        # (ceil(nflag/128) blocks), not with cap.
+        bv = jnp.max(qm_row)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
-            jnp.float32
-        )
+        @pl.when(bv <= 0.5)
+        def _():
+            z = jnp.zeros((1, 128), jnp.float32)
+            for i in range(k):
+                out_ref[i : i + 1, :] = z + big
+                out_ref[k + i : k + i + 1, :] = z - jnp.float32(1.0)
+            out_ref[2 * k : 2 * k + 1, :] = z
 
-        regs_v0 = tuple(jnp.full((128, 128), big) for _ in range(k))
-        regs_i0 = tuple(
-            jnp.full((128, 128), jnp.float32(-1.0)) for _ in range(k)
-        )
+        @pl.when(bv > 0.5)
+        def _():
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
+            qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+            qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+            qm = jnp.transpose(qm_row, (1, 0))
 
-        def row_step(r, state):
-            rv, ri, cnt = state
-            row = cand_ref[pl.ds(r, 1), :, :]
-            cx = row[0, 0:1, :]
-            cy = row[0, 1:2, :]
-            cz = row[0, 2:3, :]
-            cw = row[0, 3:4, :]
-            d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-            pair = qm * cw
-            w = jnp.where(pair > 0.5, d2, big)
-            gidx = r.astype(jnp.float32) * jnp.float32(128.0) + lane
-            rv2, ri2 = _insert_smallest_with_idx(
-                list(rv), list(ri), w, gidx + 0.0 * d2
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+                jnp.float32
             )
-            cnt = cnt + jnp.where(pair > 0.5, jnp.float32(1.0), 0.0)
-            return (tuple(rv2), tuple(ri2), cnt)
 
-        regs_v, regs_i, cnt = jax.lax.fori_loop(
-            jnp.int32(0),
-            jnp.int32(nr),
-            row_step,
-            (regs_v0, regs_i0, jnp.zeros((128, 128), jnp.float32)),
-        )
+            regs_v0 = tuple(jnp.full((128, 128), big) for _ in range(k))
+            regs_i0 = tuple(
+                jnp.full((128, 128), jnp.float32(-1.0)) for _ in range(k)
+            )
 
-        fv = jnp.concatenate(
-            [jnp.transpose(x, (1, 0)) for x in regs_v], axis=0
-        )  # [k*128, 128]
-        fi = jnp.concatenate(
-            [jnp.transpose(x, (1, 0)) for x in regs_i], axis=0
-        )
-        nf = k * 128
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nf, 128), 0)
+            def row_step(r, state):
+                rv, ri, cnt = state
+                row = cand_ref[pl.ds(r, 1), :, :]
+                cx = row[0, 0:1, :]
+                cy = row[0, 1:2, :]
+                cz = row[0, 2:3, :]
+                cw = row[0, 3:4, :]
+                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                pair = qm * cw
+                w = jnp.where(pair > 0.5, d2, big)
+                gidx = r.astype(jnp.float32) * jnp.float32(128.0) + lane
+                rv2, ri2 = _insert_smallest_with_idx(
+                    list(rv), list(ri), w, gidx + 0.0 * d2
+                )
+                cnt = cnt + jnp.where(pair > 0.5, jnp.float32(1.0), 0.0)
+                return (tuple(rv2), tuple(ri2), cnt)
 
-        zf = jnp.zeros((1, 128), jnp.float32)
-        fw, count = fv, zf
-        for i in range(k):
-            mn = jnp.min(fw, axis=0, keepdims=True)
-            ok = jnp.isfinite(mn)
-            am = jnp.min(
-                jnp.where(fw == mn, rows, jnp.int32(nf)),
-                axis=0,
-                keepdims=True,
+            regs_v, regs_i, cnt = jax.lax.fori_loop(
+                jnp.int32(0),
+                jnp.int32(nr),
+                row_step,
+                (regs_v0, regs_i0, jnp.zeros((128, 128), jnp.float32)),
             )
-            hitm = jnp.where(rows == am, jnp.float32(1.0), jnp.float32(0.0))
-            idx_val = jnp.sum(hitm * fi, axis=0, keepdims=True)
-            out_ref[i : i + 1, :] = jnp.where(
-                ok, jnp.sqrt(jnp.maximum(mn, 0.0)), big
+
+            fv = jnp.concatenate(
+                [jnp.transpose(x, (1, 0)) for x in regs_v], axis=0
+            )  # [k*128, 128]
+            fi = jnp.concatenate(
+                [jnp.transpose(x, (1, 0)) for x in regs_i], axis=0
             )
-            out_ref[k + i : k + i + 1, :] = jnp.where(
-                ok, idx_val, jnp.float32(-1.0)
-            )
-            count = count + jnp.where(ok, jnp.float32(1.0), 0.0)
-            fw = jnp.where(rows == am, big, fw)
-        out_ref[2 * k : 2 * k + 1, :] = count
+            nf = k * 128
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nf, 128), 0)
+
+            zf = jnp.zeros((1, 128), jnp.float32)
+            fw, count = fv, zf
+            for i in range(k):
+                mn = jnp.min(fw, axis=0, keepdims=True)
+                ok = jnp.isfinite(mn)
+                am = jnp.min(
+                    jnp.where(fw == mn, rows, jnp.int32(nf)),
+                    axis=0,
+                    keepdims=True,
+                )
+                hitm = jnp.where(
+                    rows == am, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                idx_val = jnp.sum(hitm * fi, axis=0, keepdims=True)
+                out_ref[i : i + 1, :] = jnp.where(
+                    ok, jnp.sqrt(jnp.maximum(mn, 0.0)), big
+                )
+                out_ref[k + i : k + i + 1, :] = jnp.where(
+                    ok, idx_val, jnp.float32(-1.0)
+                )
+                count = count + jnp.where(ok, jnp.float32(1.0), 0.0)
+                fw = jnp.where(rows == am, big, fw)
+            out_ref[2 * k : 2 * k + 1, :] = count
 
     return kernel
 
@@ -2109,32 +2128,43 @@ def brute_knn_idx(q_planar, cand_planar, *, k: int, interpret: bool = False):
 
 def _brute_radius_count_kernel(nr: int):
     def kernel(q_ref, cand_ref, out_ref):
-        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
-        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
-        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
-        qr2 = jnp.transpose(q_ref[0, 3:4, :], (1, 0))  # r^2, 0 = invalid
+        qr2_row = q_ref[0, 3:4, :]  # [1, 128] r^2; -1 marks invalid
+        bv = jnp.max(qr2_row)
 
-        def row_step(r, cnt):
-            row = cand_ref[pl.ds(r, 1), :, :]
-            cx = row[0, 0:1, :]
-            cy = row[0, 1:2, :]
-            cz = row[0, 2:3, :]
-            cw = row[0, 3:4, :]
-            d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-            hit = jnp.where(
-                jnp.logical_and(cw > 0.5, d2 <= qr2),
-                jnp.float32(1.0),
-                jnp.float32(0.0),
+        @pl.when(bv < 0.0)
+        def _():
+            # Whole block is padding (flagged queries are front-compacted):
+            # skip the candidate walk entirely.
+            out_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32)
+
+        @pl.when(bv >= 0.0)
+        def _():
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
+            qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+            qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+            qr2 = jnp.transpose(qr2_row, (1, 0))
+
+            def row_step(r, cnt):
+                row = cand_ref[pl.ds(r, 1), :, :]
+                cx = row[0, 0:1, :]
+                cy = row[0, 1:2, :]
+                cz = row[0, 2:3, :]
+                cw = row[0, 3:4, :]
+                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                hit = jnp.where(
+                    jnp.logical_and(cw > 0.5, d2 <= qr2),
+                    jnp.float32(1.0),
+                    jnp.float32(0.0),
+                )
+                return cnt + hit
+
+            cnt = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(nr), row_step,
+                jnp.zeros((128, 128), jnp.float32),
             )
-            return cnt + hit
-
-        cnt = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(nr), row_step,
-            jnp.zeros((128, 128), jnp.float32),
-        )
-        out_ref[0:1, :] = jnp.sum(
-            jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True
-        )
+            out_ref[0:1, :] = jnp.sum(
+                jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True
+            )
 
     return kernel
 
@@ -2143,10 +2173,9 @@ def _brute_radius_count_kernel(nr: int):
 def brute_radius_count(q_planar, cand_planar, *, interpret: bool = False):
     """Exact inclusive within-radius counts of every query over the whole
     resident candidate array. The per-query squared radius rides the
-    query w channel; w = 0 marks an invalid query, but a coincident valid
-    candidate still satisfies d2 <= 0, so invalid-query rows can return
-    nonzero counts — callers MUST mask by query validity afterwards (the
-    fused ops do). Returns f32[QB*128] counts."""
+    query w channel; w = -1 marks an invalid query (d2 <= -1 is never
+    true, so invalid rows count 0, and radius = 0 keeps its inclusive
+    coincident-point semantics). Returns f32[QB*128] counts."""
     nr, nch, width = cand_planar.shape
     qb = q_planar.shape[0]
     assert (nch, width) == (4, 128), cand_planar.shape

@@ -54,9 +54,11 @@ def test_brute_radius_count_matches_xla():
     qu = jnp.asarray(rng.random(n_q) > 0.1)
     pu = jnp.asarray(rng.random(n_p) > 0.1)
     qp = _to_planar(jnp.asarray(q), qu)
-    r2w = jnp.where(np.asarray(qu), np.float32(r * r), 0.0)
-    qp = qp.at[:, 3, :].multiply(
-        jnp.pad(r2w, (0, qp.shape[0] * 128 - n_q)).reshape(qp.shape[0], 128)
+    r2w = jnp.where(np.asarray(qu), np.float32(r * r), -1.0)
+    qp = qp.at[:, 3, :].set(
+        jnp.pad(
+            r2w, (0, qp.shape[0] * 128 - n_q), constant_values=-1.0
+        ).reshape(qp.shape[0], 128)
     )
     counts = np.asarray(
         brute_radius_count(
