@@ -285,13 +285,17 @@ def normals_fused(xyz, valid, viewpoint, *, k: int, wr: int, cap: int,
     """estimate_normals in one dispatch: fused KNN-moments sweep + exact
     brute rescue + Cardano + orientation. Returns (normals f32[N,3],
     exact i32[])."""
-    from ..spatial.sweep import sweep_knn_moments
+    from ..spatial.sweep import sweep_moments_two_pass
 
     n = xyz.shape[0]
     vp = jnp.asarray(viewpoint, jnp.float32)
     cell = _cell_estimate_device(xyz, valid, jnp.float32(k))
-    m1, m2, cnt, ok = sweep_knn_moments(
-        xyz, valid, cell, k=k, wr=wr, use_kernel=use_kernel,
+    # Pass 1 fused moments kernel + in-graph AABB-group-pruned exact
+    # rescue (rescue_knn_idx); the whole-cloud rescue below then only
+    # sees the rare isolated-beyond-4-cells remainder (and skips its
+    # padding blocks), so its static cap costs ~nothing.
+    m1, m2, cnt, ok = sweep_moments_two_pass(
+        xyz, valid, cell, k=k, fix_cap=cap, wr=wr, use_kernel=use_kernel,
         interpret=interpret,
     )
     nrm = _normals_from_moments(xyz, m1, m2, cnt, vp)
@@ -327,12 +331,14 @@ def knn_fused(xyz, valid, *, k: int, wr: int, cap: int,
               use_kernel: bool, interpret: bool = False):
     """Whole-cloud KNN (self included) in one dispatch: sweep + exact
     brute rescue. Returns (dists, idx, nvalid, exact i32[])."""
-    from ..spatial.sweep import sweep_knn
+    from ..spatial.sweep import sweep_knn_two_pass
 
     n = xyz.shape[0]
     cell = _cell_estimate_device(xyz, valid, jnp.float32(k))
-    d, i, nv, ok = sweep_knn(
-        xyz, valid, cell, k=k, wr=wr, use_kernel=use_kernel,
+    # Pass 1 sweep + in-graph AABB-group-pruned exact rescue; the
+    # whole-cloud rescue below only sees the isolated remainder.
+    d, i, nv, ok = sweep_knn_two_pass(
+        xyz, valid, cell, k=k, fix_cap=cap, wr=wr, use_kernel=use_kernel,
         interpret=interpret,
     )
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)

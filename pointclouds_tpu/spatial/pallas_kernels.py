@@ -2192,3 +2192,189 @@ def brute_radius_count(q_planar, cand_planar, *, interpret: bool = False):
         interpret=interpret,
     )(q_planar, cand_planar)
     return out[0]
+
+
+# ── Group-pruned k-NN rescue kernel (with indices + certificates) ────────────
+#
+# The generic twin of `rescue_select` (which serves SOR's pass-2): flagged
+# queries are re-resolved against only the candidate row-GROUPS whose
+# bounding box intersects the rescue ball (active lists computed in-graph
+# by the caller — sweep.sweep_knn_two_pass). Returns distances AND global
+# sorted-frame positions, plus the count / kth / per-lane-squeeze
+# certificate, so KNN-with-indices and normals can rescue without paying
+# a whole-cloud scan.
+
+
+def _rescue_knn_kernel(k: int, per_seg: int, gr: int, ng: int):
+    def kernel(active_ref, q_ref, cand_ref, out_ref):
+        b = pl.program_id(0)
+        big = jnp.float32(jnp.inf)
+
+        qm_row = q_ref[0, 3:4, :]
+        bv = jnp.max(qm_row)
+
+        @pl.when(bv <= 0.5)
+        def _():
+            z = jnp.zeros((1, 128), jnp.float32)
+            for i in range(k):
+                out_ref[i : i + 1, :] = z + big
+                out_ref[k + i : k + i + 1, :] = z - jnp.float32(1.0)
+            out_ref[2 * k : 2 * k + 1, :] = z
+            out_ref[2 * k + 1 : 2 * k + 2, :] = z
+            out_ref[2 * k + 2 : 2 * k + 3, :] = z + jnp.float32(1.0)
+
+        @pl.when(bv > 0.5)
+        def _():
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
+            qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+            qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+            qm = jnp.transpose(qm_row, (1, 0))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+                jnp.float32
+            )
+
+            def group_step(t, state):
+                rv, ri, cnt = state
+                g = active_ref[b, jnp.int32(1) + t]
+                base = g * jnp.int32(gr)
+                for r in range(gr):
+                    row = cand_ref[pl.ds(base + jnp.int32(r), 1), :, :]
+                    cx = row[0, 0:1, :]
+                    cy = row[0, 1:2, :]
+                    cz = row[0, 2:3, :]
+                    cw = row[0, 3:4, :]
+                    d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                    pair = qm * cw
+                    w = jnp.where(pair > 0.5, d2, big)
+                    gidx = (
+                        (base + jnp.int32(r)).astype(jnp.float32)
+                        * jnp.float32(128.0)
+                        + lane
+                    )
+                    rv, ri = _insert_smallest_with_idx(
+                        rv, ri, w, gidx + 0.0 * d2
+                    )
+                    cnt = cnt + jnp.where(
+                        pair > 0.5, jnp.float32(1.0), 0.0
+                    )
+                return (rv, ri, cnt)
+
+            regs_v0 = [jnp.full((128, 128), big) for _ in range(per_seg)]
+            regs_i0 = [
+                jnp.full((128, 128), jnp.float32(-1.0))
+                for _ in range(per_seg)
+            ]
+            regs_v, regs_i, cnt = jax.lax.fori_loop(
+                jnp.int32(0),
+                active_ref[b, 0].astype(jnp.int32),
+                group_step,
+                (regs_v0, regs_i0, jnp.zeros((128, 128), jnp.float32)),
+            )
+
+            count_all = jnp.sum(
+                jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True
+            )
+            seg_last = regs_v[-1]
+
+            fv = jnp.concatenate(
+                [jnp.transpose(x, (1, 0)) for x in regs_v], axis=0
+            )
+            fi = jnp.concatenate(
+                [jnp.transpose(x, (1, 0)) for x in regs_i], axis=0
+            )
+            nf = per_seg * 128
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nf, 128), 0)
+
+            zf = jnp.zeros((1, 128), jnp.float32)
+            fw, count, kth = fv, zf, zf
+            for i in range(k):
+                mn = jnp.min(fw, axis=0, keepdims=True)
+                ok = jnp.isfinite(mn)
+                am = jnp.min(
+                    jnp.where(fw == mn, rows, jnp.int32(nf)),
+                    axis=0,
+                    keepdims=True,
+                )
+                hitm = jnp.where(
+                    rows == am, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                idx_val = jnp.sum(hitm * fi, axis=0, keepdims=True)
+                out_ref[i : i + 1, :] = jnp.where(
+                    ok, jnp.sqrt(jnp.maximum(mn, 0.0)), big
+                )
+                out_ref[k + i : k + i + 1, :] = jnp.where(
+                    ok, idx_val, jnp.float32(-1.0)
+                )
+                count = count + jnp.where(ok, jnp.float32(1.0), 0.0)
+                kth = jnp.where(ok, mn, kth)
+                fw = jnp.where(rows == am, big, fw)
+
+            # Per-lane squeeze certificate (cert1 of the sweep KNN kernel):
+            # every lane's per_seg-th finalist must be >= the extracted
+            # kth, else a closer candidate may have been squeezed out.
+            sl_t = jnp.transpose(seg_last, (1, 0))
+            cert1 = jnp.min(
+                jnp.where(sl_t >= kth, jnp.float32(1.0), jnp.float32(0.0)),
+                axis=0,
+                keepdims=True,
+            )
+            cert2 = jnp.where(
+                count >= jnp.minimum(jnp.float32(k), count_all),
+                jnp.float32(1.0),
+                jnp.float32(0.0),
+            )
+            out_ref[2 * k : 2 * k + 1, :] = count
+            out_ref[2 * k + 1 : 2 * k + 2, :] = kth
+            out_ref[2 * k + 2 : 2 * k + 3, :] = cert1 * cert2
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "per_seg", "gr", "interpret"))
+def rescue_knn_idx(cand_planar, q_planar, active, *, k: int,
+                   per_seg: int = 4, gr: int = 8,
+                   interpret: bool = False):
+    """Group-pruned exact k-NN of flagged query blocks with positions.
+
+    cand_planar f32[NRG, 4, 128] (NRG a multiple of gr, VMEM-resident),
+    q_planar f32[QB, 4, 128], active i32[QB, 1+NG]: per block, the count
+    and ascending indices of candidate row-groups to visit. Soundness
+    contract: a pruned group must contain no candidate within the
+    caller's rescue radius of any query in the block — callers certify
+    with kth <= radius^2 afterwards.
+
+    Returns f32[2k + 3, QB*128]: rows [0, k) Euclidean distances
+    ascending (+inf pad), rows [k, 2k) flat positions in the padded
+    SORTED frame (-1 pad), rows 2k..2k+2 = count / kth d2 / segment
+    certificate. Fully-padding query blocks are skipped in-kernel.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = cand_planar.shape
+    qb = q_planar.shape[0]
+    ng = nr // gr
+    assert (nch, width) == (4, 128) and nr % gr == 0, cand_planar.shape
+    assert active.shape == (qb, 1 + ng), (active.shape, qb, ng)
+    kern = _rescue_knn_kernel(k, per_seg, gr, ng)
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b, active_ref: (b, z, z)),
+            pl.BlockSpec((nr, 4, 128), lambda b, active_ref: (z, z, z)),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * k + 3, 128), lambda b, active_ref: (z, b)
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2 * k + 3, qb * 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(active, q_planar, cand_planar)

@@ -380,114 +380,18 @@ def sweep_sor_two_pass(
         interpret=interpret,
         use_kernel=use_kernel,
     )
-    from ..core.cloud import compaction_order
-
     n = xyz.shape[0]
     kp1 = k + 1
     planar = p["planar"]
     order = p["order"]
     use = p["use"]
-    nrows = planar.shape[0]
-    gr = RESCUE_GROUP_ROWS
-    # planar rows are padded to >= wr; pad further to a group multiple.
-    gpad = (-nrows) % gr
-    if gpad:
-        planar_g = jnp.concatenate(
-            [planar, jnp.zeros((gpad, 4, 128), jnp.float32)], axis=0
-        )
-    else:
-        planar_g = planar
-    ng = planar_g.shape[0] // gr
 
     flagged = jnp.logical_and(use, jnp.logical_not(p["point_ok"]))
-    n_flagged = jnp.sum(flagged.astype(jnp.int32))
-    # Pack flagged queries in SORTED order: spatially coherent blocks give
-    # tight AABBs and deep pruning.
-    flagged_sorted = jnp.take(flagged, order)  # [n]
-    fq = compaction_order(flagged_sorted)
-    # Clamp the rescue capacity to the (128-rounded) cloud size: small
-    # clouds otherwise under-fill the query blocks.
-    qcap = min(fix_cap, ((n + 127) // 128) * 128)
-    qsel = fq[: min(qcap, n)].astype(jnp.int32)
-    if qcap > n:
-        qsel = jnp.concatenate([qsel, jnp.zeros((qcap - n,), jnp.int32)])
-    qvalid = jnp.take(flagged_sorted, qsel)
-    if qcap > n:
-        qvalid = jnp.logical_and(
-            qvalid, jnp.arange(qcap, dtype=jnp.int32) < n
-        )
-
-    flat = planar.reshape(nrows, 4 * 128)
-    chan = lambda c: planar[:, c, :].reshape(-1)  # noqa: E731
-    del flat
-    qx = jnp.take(chan(0), qsel)
-    qy = jnp.take(chan(1), qsel)
-    qz = jnp.take(chan(2), qsel)
-    qb = qcap // 128
-    q_planar = jnp.stack(
-        [
-            qx.reshape(qb, 128),
-            qy.reshape(qb, 128),
-            qz.reshape(qb, 128),
-            qvalid.astype(jnp.float32).reshape(qb, 128),
-        ],
-        axis=1,
-    )  # [QB, 4, 128]
-
-    # ── AABB prune mask ──
     radius = rescue_cells * cell_size
-    big = jnp.float32(jnp.inf)
-    gw = planar_g[:, 3, :].reshape(ng, -1) > 0.5  # [NG, gr*128]
-
-    def gminmax(c):
-        v = planar_g[:, c, :].reshape(ng, -1)
-        return (
-            jnp.min(jnp.where(gw, v, big), axis=1),
-            jnp.max(jnp.where(gw, v, -big), axis=1),
-        )
-
-    gxn, gxx = gminmax(0)
-    gyn, gyx = gminmax(1)
-    gzn, gzx = gminmax(2)
-
-    qv = qvalid.reshape(qb, 128)
-
-    def qminmax(a):
-        v = a.reshape(qb, 128)
-        return (
-            jnp.min(jnp.where(qv, v, big), axis=1),
-            jnp.max(jnp.where(qv, v, -big), axis=1),
-        )
-
-    qxn, qxx = qminmax(qx)
-    qyn, qyx = qminmax(qy)
-    qzn, qzx = qminmax(qz)
-
-    def gap(qn, qx_, gn, gx_):
-        return jnp.maximum(
-            0.0, jnp.maximum(qn[:, None] - gx_[None, :], gn[None, :] - qx_[:, None])
-        )
-
-    gap2 = (
-        gap(qxn, qxx, gxn, gxx) ** 2
-        + gap(qyn, qyx, gyn, gyx) ** 2
-        + gap(qzn, qzx, gzn, gzx) ** 2
-    )  # [QB, NG]
-    # fp guard: prune strictly OUTSIDE an inflated ball; certify strictly
-    # INSIDE a deflated one. Empty groups/blocks give gap = +inf - -inf
-    # = nan-free (+inf) and prune away.
-    r2_prune = (radius * 1.00001) ** 2 + 1e-6
-    keep = gap2 <= r2_prune  # [QB, NG]
-    keep = jnp.where(jnp.isnan(gap2), False, keep)
-    # (.astype: jnp.sum would promote i32 to i64 under x64 and i64 scalars
-    # break Mosaic's convert lowering.)
-    counts = jnp.sum(keep.astype(jnp.int32), axis=1).astype(jnp.int32)  # [QB]
-    # Ascending active-group lists (False sorts after True with stable
-    # argsort on ~keep).
-    act = jnp.argsort(jnp.logical_not(keep), axis=1, stable=True).astype(
-        jnp.int32
+    planar_g, q_planar, active, qvalid, qsel = _rescue_structure(
+        planar, order, flagged, fix_cap, n, radius
     )
-    active = jnp.concatenate([counts[:, None], act], axis=1)  # [QB, 1+NG]
+    gr = RESCUE_GROUP_ROWS
 
     # Residency gate: rescue_select holds planar_g fully in VMEM.
     if use_kernel and planar_g.shape[0] * 4 * 128 * 4 > RESCUE_RESIDENT_BYTES:
@@ -538,6 +442,116 @@ def sweep_sor_two_pass(
         jnp.any(jnp.logical_and(use, jnp.logical_not(point_ok)))
     )
     return mean, point_ok, certified
+
+
+def _rescue_structure(planar, order, flagged, fix_cap: int, n: int, radius):
+    """Shared pass-2 front end: compact flagged queries (in SORTED order,
+    so blocks are spatially coherent and AABBs tight), pad the planar
+    array to rescue groups, and build per-block AABB-pruned active-group
+    lists for `rescue_select` / `rescue_knn_idx`.
+
+    Returns (planar_g, q_planar [QB,4,128], active i32[QB,1+NG],
+    qvalid bool[qcap], qsel i32[qcap] — sorted-frame positions)."""
+    from ..core.cloud import compaction_order
+
+    nrows = planar.shape[0]
+    gr = RESCUE_GROUP_ROWS
+    # planar rows are padded to >= wr; pad further to a group multiple.
+    gpad = (-nrows) % gr
+    if gpad:
+        planar_g = jnp.concatenate(
+            [planar, jnp.zeros((gpad, 4, 128), jnp.float32)], axis=0
+        )
+    else:
+        planar_g = planar
+    ng = planar_g.shape[0] // gr
+
+    # Pack flagged queries in SORTED order: spatially coherent blocks give
+    # tight AABBs and deep pruning.
+    flagged_sorted = jnp.take(flagged, order)  # [n]
+    fq = compaction_order(flagged_sorted)
+    # Clamp the rescue capacity to the (128-rounded) cloud size: small
+    # clouds otherwise under-fill the query blocks.
+    qcap = min(fix_cap, ((n + 127) // 128) * 128)
+    qsel = fq[: min(qcap, n)].astype(jnp.int32)
+    if qcap > n:
+        qsel = jnp.concatenate([qsel, jnp.zeros((qcap - n,), jnp.int32)])
+    qvalid = jnp.take(flagged_sorted, qsel)
+    if qcap > n:
+        qvalid = jnp.logical_and(
+            qvalid, jnp.arange(qcap, dtype=jnp.int32) < n
+        )
+
+    chan = lambda c: planar[:, c, :].reshape(-1)  # noqa: E731
+    qx = jnp.take(chan(0), qsel)
+    qy = jnp.take(chan(1), qsel)
+    qz = jnp.take(chan(2), qsel)
+    qb = qcap // 128
+    q_planar = jnp.stack(
+        [
+            qx.reshape(qb, 128),
+            qy.reshape(qb, 128),
+            qz.reshape(qb, 128),
+            qvalid.astype(jnp.float32).reshape(qb, 128),
+        ],
+        axis=1,
+    )  # [QB, 4, 128]
+
+    # ── AABB prune mask ──
+    big = jnp.float32(jnp.inf)
+    gw = planar_g[:, 3, :].reshape(ng, -1) > 0.5  # [NG, gr*128]
+
+    def gminmax(c):
+        v = planar_g[:, c, :].reshape(ng, -1)
+        return (
+            jnp.min(jnp.where(gw, v, big), axis=1),
+            jnp.max(jnp.where(gw, v, -big), axis=1),
+        )
+
+    gxn, gxx = gminmax(0)
+    gyn, gyx = gminmax(1)
+    gzn, gzx = gminmax(2)
+
+    qv = qvalid.reshape(qb, 128)
+
+    def qminmax(a):
+        v = a.reshape(qb, 128)
+        return (
+            jnp.min(jnp.where(qv, v, big), axis=1),
+            jnp.max(jnp.where(qv, v, -big), axis=1),
+        )
+
+    qxn, qxx = qminmax(qx)
+    qyn, qyx = qminmax(qy)
+    qzn, qzx = qminmax(qz)
+
+    def gap(qn, qx_, gn, gx_):
+        return jnp.maximum(
+            0.0,
+            jnp.maximum(qn[:, None] - gx_[None, :], gn[None, :] - qx_[:, None]),
+        )
+
+    gap2 = (
+        gap(qxn, qxx, gxn, gxx) ** 2
+        + gap(qyn, qyx, gyn, gyx) ** 2
+        + gap(qzn, qzx, gzn, gzx) ** 2
+    )  # [QB, NG]
+    # fp guard: prune strictly OUTSIDE an inflated ball; certify strictly
+    # INSIDE a deflated one. Empty groups/blocks give gap = +inf - -inf
+    # = nan-free (+inf) and prune away.
+    r2_prune = (radius * 1.00001) ** 2 + 1e-6
+    keep = gap2 <= r2_prune  # [QB, NG]
+    keep = jnp.where(jnp.isnan(gap2), False, keep)
+    # (.astype: jnp.sum would promote i32 to i64 under x64 and i64 scalars
+    # break Mosaic's convert lowering.)
+    counts = jnp.sum(keep.astype(jnp.int32), axis=1).astype(jnp.int32)
+    # Ascending active-group lists (False sorts after True with stable
+    # argsort on ~keep).
+    act = jnp.argsort(jnp.logical_not(keep), axis=1, stable=True).astype(
+        jnp.int32
+    )
+    active = jnp.concatenate([counts[:, None], act], axis=1)  # [QB, 1+NG]
+    return planar_g, q_planar, active, qvalid, qsel
 
 
 def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
@@ -950,7 +964,14 @@ def sweep_knn_moments_rows(
     no [N, 3]/[N, 6] tile-padded intermediates are ever materialized.
     """
     s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    return _moments_pass1(
+        s, cell_size, k=k, wr=wr, per_seg=per_seg, interpret=interpret,
+        use_kernel=use_kernel,
+    )
 
+
+def _moments_pass1(s, cell_size, *, k: int, wr: int, per_seg: int,
+                   interpret: bool, use_kernel: bool):
     if use_kernel:
         from .pallas_kernels import sweep_moments
 
@@ -1227,7 +1248,17 @@ def sweep_knn(
     """
     s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
     n = xyz.shape[0]
+    return _knn_pass1(
+        s, n, cell_size, k=k, wr=wr, per_seg=per_seg, interpret=interpret,
+        use_kernel=use_kernel,
+    )[:4]
 
+
+def _knn_pass1(s, n, cell_size, *, k: int, wr: int, per_seg: int,
+               interpret: bool, use_kernel: bool):
+    """Kernel/mirror dispatch + unsort + certification for the all-points
+    KNN sweep. Returns (dists, idx, nvalid, point_ok, want_f) in original
+    order (shared by `sweep_knn` and `sweep_knn_two_pass`)."""
     if use_kernel:
         from .pallas_kernels import sweep_knn_select
 
@@ -1254,14 +1285,7 @@ def sweep_knn(
     kth = unsort(kth_s)
     point_ok = unsort(ok_sorted)
 
-    # sorted position -> original row id
-    order_pad = jnp.concatenate(
-        [s["order"].astype(jnp.int32), jnp.full((1,), -1, jnp.int32)]
-    )
-    pos_i = jnp.clip(pos.astype(jnp.int32), -1, n - 1)
-    idx = jnp.where(
-        pos_i >= 0, jnp.take(order_pad, jnp.clip(pos_i, 0, n - 1)), -1
-    )
+    idx = _positions_to_rows(pos, s["order"], n)
     nvalid = jnp.isfinite(dists)
 
     hi_cells = jnp.max(
@@ -1272,12 +1296,23 @@ def sweep_knn(
     margin = (hi_cells * 4.0 * 1.2e-7 + 1e-6) * cell_size
     safe = jnp.maximum(cell_size - margin, 0.0)
     n_valid_total = jnp.sum(s["use"].astype(jnp.int32))
-    want = jnp.minimum(k, n_valid_total)
-    point_ok = jnp.logical_and(point_ok, count >= want.astype(jnp.float32))
+    want_f = jnp.minimum(k, n_valid_total).astype(jnp.float32)
+    point_ok = jnp.logical_and(point_ok, count >= want_f)
     point_ok = jnp.logical_and(point_ok, kth <= safe * safe)
     point_ok = jnp.logical_and(point_ok, s["use"])
     point_ok = jnp.logical_and(point_ok, jnp.logical_not(s["table_overflow"]))
-    return dists, idx, nvalid, point_ok
+    return dists, idx, nvalid, point_ok, want_f
+
+
+def _positions_to_rows(pos, order, n):
+    """Global sorted-frame positions (f32, -1 pad) -> original row ids."""
+    order_pad = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.full((1,), -1, jnp.int32)]
+    )
+    pos_i = jnp.clip(pos.astype(jnp.int32), -1, n - 1)
+    return jnp.where(
+        pos_i >= 0, jnp.take(order_pad, jnp.clip(pos_i, 0, n - 1)), -1
+    )
 
 
 def _sweep_knn_xla(planar, starts_skip, *, k: int, wr: int):
@@ -1346,3 +1381,271 @@ def _sweep_knn_xla(planar, starts_skip, *, k: int, wr: int):
 
     out = jax.lax.map(block_fn, (starts_skip, planar[:nb]))  # [NB, 2k+3, 128]
     return jnp.transpose(out, (1, 0, 2)).reshape(2 * k + 3, -1)
+
+
+def _rescue_knn_xla(planar_g, q_planar, active, *, k: int, gr: int):
+    """XLA mirror of `pallas_kernels.rescue_knn_idx`: exact k smallest
+    with positions over the active-group candidate set (top_k based; the
+    mirror is unconditionally exact over the active set, so its segment
+    certificate is always 1 — tie ORDER may differ from the kernel at
+    equal distances; distances are identical)."""
+    ng = planar_g.shape[0] // gr
+    cx = planar_g[:, 0, :].reshape(-1)
+    cy = planar_g[:, 1, :].reshape(-1)
+    cz = planar_g[:, 2, :].reshape(-1)
+    cw = planar_g[:, 3, :].reshape(-1) > 0.5
+
+    def block_fn(args):
+        act, qrow = args
+        cnt, idx = act[0], act[1:]
+        gmask = (
+            jnp.zeros((ng,), bool)
+            .at[jnp.where(jnp.arange(ng) < cnt, idx, ng)]
+            .set(True, mode="drop")
+        )
+        candmask = jnp.logical_and(cw, jnp.repeat(gmask, gr * 128))
+        qx, qy, qz = qrow[0], qrow[1], qrow[2]
+        qm = qrow[3] > 0.5
+        d2 = (
+            (qx[:, None] - cx[None, :]) ** 2
+            + (qy[:, None] - cy[None, :]) ** 2
+            + (qz[:, None] - cz[None, :]) ** 2
+        )
+        v = jnp.logical_and(qm[:, None], candmask[None, :])
+        d2m = jnp.where(v, d2, jnp.inf)
+        neg, pos = jax.lax.top_k(-d2m, k)
+        dd = -neg  # [128, k] ascending
+        found = jnp.isfinite(dd)
+        count = jnp.sum(found.astype(jnp.float32), axis=1)
+        kth = jnp.max(jnp.where(found, dd, 0.0), axis=1)
+        dist = jnp.where(found, jnp.sqrt(jnp.maximum(dd, 0.0)), jnp.inf)
+        posf = jnp.where(found, pos.astype(jnp.float32), -1.0)
+        return dist, posf, count, kth, jnp.ones((128,), jnp.float32)
+
+    dist, posf, count, kth, seg = jax.lax.map(block_fn, (active, q_planar))
+    qn = dist.shape[0] * 128
+    return jnp.concatenate(
+        [
+            jnp.transpose(dist.reshape(-1, k)),  # [k, QN]
+            jnp.transpose(posf.reshape(-1, k)),
+            count.reshape(1, qn),
+            kth.reshape(1, qn),
+            seg.reshape(1, qn),
+        ],
+        axis=0,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "fix_cap", "rescue_cells", "wr", "per_seg", "rescue_per_seg",
+        "table_size", "interpret", "use_kernel",
+    ),
+)
+def sweep_knn_two_pass(
+    xyz,
+    valid,
+    cell_size,
+    *,
+    k: int,
+    fix_cap: int = 4096,
+    rescue_cells: float = 4.0,
+    wr: int = 4,
+    per_seg: int = 4,
+    rescue_per_seg: int = 4,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """All-points KNN (distances + ORIGINAL indices): pass-1 sweep + exact
+    AABB-group-pruned rescue of flagged queries (the KNN twin of
+    `sweep_sor_two_pass`, kernel `pallas_kernels.rescue_knn_idx`).
+
+    Flagged queries are re-resolved against only the candidate row-groups
+    within ``rescue_cells * cell_size`` of their (cell-sorted, coherent)
+    query block; a rescued row is certified exact iff its kth distance
+    lands strictly inside the rescue ball, its count meets min(k, total),
+    and the per-lane squeeze certificate holds. Rows uncertified after
+    both passes keep their pass-1 values and point_ok=False (callers fall
+    back to a whole-cloud rescue)."""
+    n = xyz.shape[0]
+    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    dists, idx, nvalid, point_ok, want_f = _knn_pass1(
+        s, n, cell_size, k=k, wr=wr, per_seg=per_seg, interpret=interpret,
+        use_kernel=use_kernel,
+    )
+
+    planar = s["planar"]
+    order = s["order"]
+    use = s["use"]
+    flagged = jnp.logical_and(use, jnp.logical_not(point_ok))
+    radius = rescue_cells * cell_size
+    planar_g, q_planar, active, qvalid, qsel = _rescue_structure(
+        planar, order, flagged, fix_cap, n, radius
+    )
+    gr = RESCUE_GROUP_ROWS
+
+    if use_kernel and planar_g.shape[0] * 4 * 128 * 4 > RESCUE_RESIDENT_BYTES:
+        use_kernel = False
+    if use_kernel:
+        from .pallas_kernels import rescue_knn_idx
+
+        rout = rescue_knn_idx(
+            planar_g, q_planar, active, k=k, per_seg=rescue_per_seg, gr=gr,
+            interpret=interpret,
+        )
+    else:
+        rout = _rescue_knn_xla(planar_g, q_planar, active, k=k, gr=gr)
+
+    rd = jnp.transpose(rout[:k])  # [qcap, k] Euclidean ascending
+    rpos = jnp.transpose(rout[k : 2 * k])
+    rcount = rout[2 * k]
+    rkth = rout[2 * k + 1]
+    rseg_ok = rout[2 * k + 2] > 0.5
+
+    r2_cert = (radius * 0.99999) ** 2
+    rok = jnp.logical_and(rcount >= want_f, rkth <= r2_cert)
+    rok = jnp.logical_and(rok, rseg_ok)
+    rok = jnp.logical_and(rok, qvalid)
+    rok = jnp.logical_and(rok, jnp.logical_not(s["table_overflow"]))
+
+    ridx = _positions_to_rows(rpos, order, n)
+    rnvalid = jnp.isfinite(rd)
+
+    # Scatter back only CERTIFIED rescues (uncertified rows keep pass-1
+    # values and stay flagged for the caller's whole-cloud fallback).
+    rows_orig = jnp.take(
+        jnp.concatenate(
+            [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
+        ),
+        jnp.minimum(qsel, n),
+    )
+    rows_orig = jnp.where(rok, rows_orig, n)  # drop uncertified slots
+    dists = dists.at[rows_orig].set(
+        jnp.where(rok[:, None], rd, 0.0), mode="drop"
+    )
+    idx = idx.at[rows_orig].set(
+        jnp.where(rok[:, None], ridx, 0), mode="drop"
+    )
+    nvalid = nvalid.at[rows_orig].set(
+        jnp.where(rok[:, None], rnvalid, False), mode="drop"
+    )
+    point_ok = point_ok.at[rows_orig].set(rok, mode="drop")
+    return dists, idx, nvalid, point_ok
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "fix_cap", "rescue_cells", "wr", "per_seg", "rescue_per_seg",
+        "table_size", "interpret", "use_kernel",
+    ),
+)
+def sweep_moments_two_pass(
+    xyz,
+    valid,
+    cell_size,
+    *,
+    k: int,
+    fix_cap: int = 4096,
+    rescue_cells: float = 4.0,
+    wr: int = 4,
+    per_seg: int = 3,
+    rescue_per_seg: int = 4,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """KNN moments with the AABB-group-pruned exact rescue: pass-1 fused
+    moments kernel, then flagged rows re-resolved by `rescue_knn_idx`
+    (their moments recomputed from the rescued neighbor indices — an
+    O(fix_cap * k) gather). Same (m1 [N,3], m2 [N,6], count, point_ok)
+    contract as `sweep_knn_moments`; rescued rows are certified exact up
+    to kth-distance tie CHOICE (the exact engine's brute rescue picks
+    ties the same way), so the tie-free bit pass 1 demands is not
+    re-imposed here."""
+    n = xyz.shape[0]
+    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    m1r, m2r, count, point_ok = _moments_pass1(
+        s, cell_size, k=k, wr=wr, per_seg=per_seg, interpret=interpret,
+        use_kernel=use_kernel,
+    )
+
+    planar = s["planar"]
+    order = s["order"]
+    use = s["use"]
+    flagged = jnp.logical_and(use, jnp.logical_not(point_ok))
+    radius = rescue_cells * cell_size
+    planar_g, q_planar, active, qvalid, qsel = _rescue_structure(
+        planar, order, flagged, fix_cap, n, radius
+    )
+    gr = RESCUE_GROUP_ROWS
+
+    if use_kernel and planar_g.shape[0] * 4 * 128 * 4 > RESCUE_RESIDENT_BYTES:
+        use_kernel = False
+    if use_kernel:
+        from .pallas_kernels import rescue_knn_idx
+
+        rout = rescue_knn_idx(
+            planar_g, q_planar, active, k=k, per_seg=rescue_per_seg, gr=gr,
+            interpret=interpret,
+        )
+    else:
+        rout = _rescue_knn_xla(planar_g, q_planar, active, k=k, gr=gr)
+
+    rd = jnp.transpose(rout[:k])  # [qcap, k]
+    rpos = jnp.transpose(rout[k : 2 * k])
+    rcount = rout[2 * k]
+    rkth = rout[2 * k + 1]
+    rseg_ok = rout[2 * k + 2] > 0.5
+
+    n_valid_total = jnp.sum(use.astype(jnp.int32))
+    want_f = jnp.minimum(k, n_valid_total).astype(jnp.float32)
+    r2_cert = (radius * 0.99999) ** 2
+    rok = jnp.logical_and(rcount >= want_f, rkth <= r2_cert)
+    rok = jnp.logical_and(rok, rseg_ok)
+    rok = jnp.logical_and(rok, qvalid)
+    rok = jnp.logical_and(rok, jnp.logical_not(s["table_overflow"]))
+
+    # Query-centered moments from the rescued neighbor indices.
+    ridx = _positions_to_rows(rpos, order, n)  # [qcap, k] original rows
+    rnb_valid = jnp.isfinite(rd)
+    nb = jnp.take(xyz, jnp.clip(ridx, 0, n - 1), axis=0)  # [qcap, k, 3]
+    rows_orig = jnp.take(
+        jnp.concatenate(
+            [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
+        ),
+        jnp.minimum(qsel, n),
+    )
+    qpts = jnp.take(xyz, jnp.clip(rows_orig, 0, n - 1), axis=0)  # [qcap, 3]
+    rel = jnp.where(
+        rnb_valid[:, :, None], nb - qpts[:, None, :], 0.0
+    )  # [qcap, k, 3]
+    rm1 = jnp.sum(rel, axis=1)  # [qcap, 3]
+    rm2 = jnp.stack(
+        [
+            jnp.sum(rel[:, :, 0] * rel[:, :, 0], axis=1),
+            jnp.sum(rel[:, :, 1] * rel[:, :, 1], axis=1),
+            jnp.sum(rel[:, :, 2] * rel[:, :, 2], axis=1),
+            jnp.sum(rel[:, :, 0] * rel[:, :, 1], axis=1),
+            jnp.sum(rel[:, :, 0] * rel[:, :, 2], axis=1),
+            jnp.sum(rel[:, :, 1] * rel[:, :, 2], axis=1),
+        ],
+        axis=1,
+    )  # [qcap, 6]
+    rcnt = jnp.sum(rnb_valid.astype(jnp.float32), axis=1)
+
+    # Scatter back only CERTIFIED rescues.
+    rows_drop = jnp.where(rok, rows_orig, n)
+    m1 = jnp.transpose(m1r).at[rows_drop].set(
+        jnp.where(rok[:, None], rm1, 0.0), mode="drop"
+    )
+    m2 = jnp.transpose(m2r).at[rows_drop].set(
+        jnp.where(rok[:, None], rm2, 0.0), mode="drop"
+    )
+    count = count.at[rows_drop].set(
+        jnp.where(rok, rcnt, 0.0), mode="drop"
+    )
+    point_ok = point_ok.at[rows_drop].set(rok, mode="drop")
+    return m1, m2, count, point_ok

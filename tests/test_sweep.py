@@ -163,3 +163,45 @@ def test_sweep_all_invalid(use_kernel):
     )
     assert not np.asarray(ok).any()
     assert np.isinf(np.asarray(mean)).all()
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sweep_knn_two_pass_rescues_flagged(use_kernel):
+    """The AABB-group-pruned rescue must certify (and exactly resolve)
+    nearly every row pass 1 flags on a mixed-density cloud."""
+    from pointclouds_tpu.spatial import engine
+    from pointclouds_tpu.spatial.knn import bruteforce_knn
+    from pointclouds_tpu.spatial.sweep import sweep_knn, sweep_knn_two_pass
+
+    rng = np.random.default_rng(0)
+    pts = np.vstack([
+        (rng.random((4000, 3)) * 8).astype(np.float32),
+        (rng.random((96, 3)) * 16 - 4).astype(np.float32),
+    ])
+    import pointclouds_tpu as pc
+
+    c = pc.PointCloud.from_numpy(pts)
+    xyz, valid = c._arrs.xyz, c._arrs.valid
+    k = 10
+    cell = jnp.float32(
+        float(np.asarray(engine.estimate_cell_size(xyz, valid, k)))
+    )
+    d1, _, _, ok1 = sweep_knn(
+        xyz, valid, cell, k=k, wr=4, use_kernel=use_kernel,
+        interpret=use_kernel,
+    )
+    d2, i2, v2, ok2 = sweep_knn_two_pass(
+        xyz, valid, cell, k=k, wr=4, use_kernel=use_kernel,
+        interpret=use_kernel,
+    )
+    ok1, ok2 = np.asarray(ok1), np.asarray(ok2)
+    assert ok2.sum() > ok1.sum()  # the rescue certified flagged rows
+    assert ok2.sum() >= len(pts) - 8  # nearly everything certified
+
+    bd, bi, bv = map(
+        np.asarray, bruteforce_knn(xyz, valid, xyz, valid, k)
+    )
+    sel = ok2
+    np.testing.assert_allclose(np.asarray(d2)[sel], bd[sel], atol=2e-5)
+    mismatch = (np.asarray(i2)[sel] != bi[sel]) & np.asarray(v2)[sel]
+    assert mismatch.mean() < 1e-3  # ties only
