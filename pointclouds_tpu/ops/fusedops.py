@@ -232,12 +232,15 @@ def ror_fused(
 ):
     """radius_outlier_removal in one dispatch (count includes self,
     inclusive boundary — ref: crates/filters/src/radius_outlier.rs:4-18)."""
-    from ..spatial.sweep import sweep_radius_count
+    from ..spatial.sweep import sweep_radius_count_two_pass
 
     xyz, valid = arrs.xyz, arrs.valid
     n = xyz.shape[0]
-    counts, ok = sweep_radius_count(
-        xyz, valid, radius, wr=wr, use_kernel=use_kernel,
+    # Pass 1 count kernel + in-graph AABB-group-pruned exact rescue of
+    # window-overflow rows (no distance certificate needed: the prune
+    # ball IS the query radius).
+    counts, ok = sweep_radius_count_two_pass(
+        xyz, valid, radius, fix_cap=cap, wr=wr, use_kernel=use_kernel,
         interpret=interpret,
     )
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)

@@ -2378,3 +2378,85 @@ def rescue_knn_idx(cand_planar, q_planar, active, *, k: int,
         ),
         interpret=interpret,
     )(active, q_planar, cand_planar)
+
+
+def _rescue_radius_count_kernel(gr: int, ng: int):
+    def kernel(active_ref, q_ref, cand_ref, out_ref):
+        b = pl.program_id(0)
+
+        qr2_row = q_ref[0, 3:4, :]  # r^2; -1 marks invalid
+        bv = jnp.max(qr2_row)
+
+        @pl.when(bv < 0.0)
+        def _():
+            out_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32)
+
+        @pl.when(bv >= 0.0)
+        def _():
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+            qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+            qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+            qr2 = jnp.transpose(qr2_row, (1, 0))
+
+            def group_step(t, cnt):
+                g = active_ref[b, jnp.int32(1) + t]
+                base = g * jnp.int32(gr)
+                for r in range(gr):
+                    row = cand_ref[pl.ds(base + jnp.int32(r), 1), :, :]
+                    cx = row[0, 0:1, :]
+                    cy = row[0, 1:2, :]
+                    cz = row[0, 2:3, :]
+                    cw = row[0, 3:4, :]
+                    d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                    cnt = cnt + jnp.where(
+                        jnp.logical_and(cw > 0.5, d2 <= qr2),
+                        jnp.float32(1.0),
+                        jnp.float32(0.0),
+                    )
+                return cnt
+
+            cnt = jax.lax.fori_loop(
+                jnp.int32(0),
+                active_ref[b, 0].astype(jnp.int32),
+                group_step,
+                jnp.zeros((128, 128), jnp.float32),
+            )
+            out_ref[0:1, :] = jnp.sum(
+                jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True
+            )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("gr", "interpret"))
+def rescue_radius_count_groups(cand_planar, q_planar, active, *,
+                               gr: int = 8, interpret: bool = False):
+    """Group-pruned exact inclusive within-radius counts of flagged query
+    blocks. The per-query r^2 rides the query w channel (-1 = invalid).
+    Counting needs no kth certificate: the caller's active lists cover
+    every group intersecting the radius ball, so valid-query counts are
+    exact by construction. Returns f32[QB*128]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = cand_planar.shape
+    qb = q_planar.shape[0]
+    ng = nr // gr
+    assert (nch, width) == (4, 128) and nr % gr == 0, cand_planar.shape
+    assert active.shape == (qb, 1 + ng), (active.shape, qb, ng)
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b, active_ref: (b, z, z)),
+            pl.BlockSpec((nr, 4, 128), lambda b, active_ref: (z, z, z)),
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda b, active_ref: (z, b)),
+    )
+    out = pl.pallas_call(
+        _rescue_radius_count_kernel(gr, ng),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, qb * 128), jnp.float32),
+        interpret=interpret,
+    )(active, q_planar, cand_planar)
+    return out[0]

@@ -1649,3 +1649,121 @@ def sweep_moments_two_pass(
     )
     point_ok = point_ok.at[rows_drop].set(rok, mode="drop")
     return m1, m2, count, point_ok
+
+
+def _rescue_radius_count_xla(planar_g, q_planar, active, *, gr: int):
+    """XLA mirror of `pallas_kernels.rescue_radius_count_groups`."""
+    ng = planar_g.shape[0] // gr
+    cx = planar_g[:, 0, :].reshape(-1)
+    cy = planar_g[:, 1, :].reshape(-1)
+    cz = planar_g[:, 2, :].reshape(-1)
+    cw = planar_g[:, 3, :].reshape(-1) > 0.5
+
+    def block_fn(args):
+        act, qrow = args
+        cnt, idx = act[0], act[1:]
+        gmask = (
+            jnp.zeros((ng,), bool)
+            .at[jnp.where(jnp.arange(ng) < cnt, idx, ng)]
+            .set(True, mode="drop")
+        )
+        candmask = jnp.logical_and(cw, jnp.repeat(gmask, gr * 128))
+        qx, qy, qz, qr2 = qrow[0], qrow[1], qrow[2], qrow[3]
+        d2 = (
+            (qx[:, None] - cx[None, :]) ** 2
+            + (qy[:, None] - cy[None, :]) ** 2
+            + (qz[:, None] - cz[None, :]) ** 2
+        )
+        hit = jnp.logical_and(candmask[None, :], d2 <= qr2[:, None])
+        return jnp.sum(hit.astype(jnp.float32), axis=1)
+
+    return jax.lax.map(block_fn, (active, q_planar)).reshape(-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fix_cap", "wr", "table_size", "interpret", "use_kernel"),
+)
+def sweep_radius_count_two_pass(
+    xyz,
+    valid,
+    radius,
+    *,
+    fix_cap: int = 4096,
+    wr: int = 4,
+    table_size: int = SWEEP_TABLE_SIZE,
+    interpret: bool = False,
+    use_kernel: bool = True,
+):
+    """Within-radius counts with the AABB-group-pruned exact rescue of
+    window-overflow rows. Counting needs no distance certificate (the
+    prune ball IS the query radius, so unpruned groups cover every true
+    neighbor) — rescued valid rows are exact by construction; only
+    fix_cap overflow or a table overflow leaves rows flagged."""
+    n = xyz.shape[0]
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    use_mask = jnp.logical_and(valid, finite)
+
+    hi_abs = jnp.max(jnp.where(use_mask[:, None], jnp.abs(xyz), 0.0))
+    cell_size = radius * 1.00002 + hi_abs * 6e-7 + 1e-7
+
+    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    r2 = jnp.float32(radius) * jnp.float32(radius)
+    planar_r2 = s["planar"].at[:, 3, :].multiply(r2)
+
+    if use_kernel:
+        from .pallas_kernels import count_within
+
+        counts_f = count_within(
+            planar_r2, s["starts_skip"], wr=wr, interpret=interpret
+        )
+    else:
+        counts_f = _count_within_xla(planar_r2, s["starts_skip"], wr=wr)
+
+    ok_sorted = jnp.repeat(s["block_ok"], 128)
+    packed = jnp.stack([counts_f, ok_sorted.astype(jnp.float32)])
+    res = jnp.take(packed, s["inv"], axis=1)
+    counts = res[0].astype(jnp.int32)
+    point_ok = jnp.logical_and(res[1] > 0.5, s["use"])
+    point_ok = jnp.logical_and(point_ok, jnp.logical_not(s["table_overflow"]))
+    counts = jnp.where(s["use"], counts, 0)
+
+    # ── pass 2: pruned rescue of window-overflow rows ──
+    flagged = jnp.logical_and(s["use"], jnp.logical_not(point_ok))
+    planar_g, q_planar, active, qvalid, qsel = _rescue_structure(
+        s["planar"], s["order"], flagged, fix_cap, n, radius
+    )
+    gr = RESCUE_GROUP_ROWS
+    # r^2 rides the query w channel (-1 marks invalid/padding).
+    q_planar = q_planar.at[:, 3, :].set(
+        jnp.where(
+            q_planar[:, 3, :] > 0.5, r2, jnp.float32(-1.0)
+        )
+    )
+
+    if use_kernel and planar_g.shape[0] * 4 * 128 * 4 > RESCUE_RESIDENT_BYTES:
+        use_kernel = False
+    if use_kernel:
+        from .pallas_kernels import rescue_radius_count_groups
+
+        rcounts = rescue_radius_count_groups(
+            planar_g, q_planar, active, gr=gr, interpret=interpret
+        )
+    else:
+        rcounts = _rescue_radius_count_xla(
+            planar_g, q_planar, active, gr=gr
+        )
+
+    rok = jnp.logical_and(qvalid, jnp.logical_not(s["table_overflow"]))
+    rows_orig = jnp.take(
+        jnp.concatenate(
+            [s["order"].astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
+        ),
+        jnp.minimum(qsel, n),
+    )
+    rows_drop = jnp.where(rok, rows_orig, n)
+    counts = counts.at[rows_drop].set(
+        jnp.where(rok, rcounts.astype(jnp.int32), 0), mode="drop"
+    )
+    point_ok = point_ok.at[rows_drop].set(rok, mode="drop")
+    return counts, point_ok

@@ -205,3 +205,42 @@ def test_sweep_knn_two_pass_rescues_flagged(use_kernel):
     np.testing.assert_allclose(np.asarray(d2)[sel], bd[sel], atol=2e-5)
     mismatch = (np.asarray(i2)[sel] != bi[sel]) & np.asarray(v2)[sel]
     assert mismatch.mean() < 1e-3  # ties only
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sweep_radius_count_two_pass_rescues_overflow(use_kernel):
+    """A dense clump overflows the wr-row windows; the pruned rescue must
+    resolve those rows exactly (no certificate needed — the prune ball is
+    the query radius)."""
+    from pointclouds_tpu.spatial.knn import bruteforce_radius_count
+    from pointclouds_tpu.spatial.sweep import (
+        sweep_radius_count,
+        sweep_radius_count_two_pass,
+    )
+
+    rng = np.random.default_rng(2)
+    pts = np.vstack([
+        (rng.random((3000, 3)) * 10).astype(np.float32),
+        # Dense clump: ~1100 points inside one radius ball.
+        (rng.random((1096, 3)) * 0.4 + 5.0).astype(np.float32),
+    ])
+    import pointclouds_tpu as pc
+
+    c = pc.PointCloud.from_numpy(pts)
+    xyz, valid = c._arrs.xyz, c._arrs.valid
+    r = np.float32(0.5)
+    c1, ok1 = sweep_radius_count(
+        xyz, valid, r, wr=4, use_kernel=use_kernel, interpret=use_kernel
+    )
+    c2, ok2 = sweep_radius_count_two_pass(
+        xyz, valid, r, wr=4, use_kernel=use_kernel, interpret=use_kernel
+    )
+    ok1, ok2 = np.asarray(ok1), np.asarray(ok2)
+    assert ok1.sum() < len(pts)  # the clump genuinely overflowed windows
+    assert ok2.sum() == len(pts)  # ...and the rescue resolved every row
+
+    ref = np.asarray(
+        bruteforce_radius_count(xyz, valid, xyz, valid, r)
+    )
+    sel = np.asarray(valid)
+    np.testing.assert_array_equal(np.asarray(c2)[sel], ref[sel])
