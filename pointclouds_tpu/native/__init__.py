@@ -148,12 +148,17 @@ def gather_xyz_f32(buf: bytes, n: int, stride: int, off_x, off_y, off_z):
 
 _SO_IDX = os.path.join(_DIR, "libpcindex.so")
 _idx_lib = None
+_idx_load_failed = False
 
 
 def _load_index():
-    global _idx_lib
+    global _idx_lib, _idx_load_failed
     if _idx_lib is not None:
         return _idx_lib
+    if _idx_load_failed:
+        # Memoize failure: without this every new PointCloud's first
+        # single-point query would re-run the (failing) `make` subprocess.
+        return None
     if not os.path.exists(_SO_IDX):
         try:
             subprocess.run(
@@ -163,10 +168,12 @@ def _load_index():
                 timeout=120,
             )
         except Exception:
+            _idx_load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_SO_IDX)
     except OSError:
+        _idx_load_failed = True
         return None
     lib.pcidx_build.restype = ctypes.c_void_p
     lib.pcidx_build.argtypes = [

@@ -14,10 +14,11 @@
 // cell-sorted candidate order (a per-candidate sequence number makes the
 // (d2, seq) order total — identical to numpy's stable argsort).
 //
-// Queries iterate cell RUNS in place (no gathered index vector), keep the
-// k best in a bounded max-heap (O(n log k), no full sort), and reuse
-// per-index scratch buffers. Calls are serialized by the Python GIL, so
-// the scratch needs no locking.
+// Queries iterate cell RUNS in place (no gathered index vector) and keep
+// the k best in a bounded max-heap (O(n log k), no full sort). All query
+// state is stack-local: ctypes releases the GIL around foreign calls, so
+// concurrent queries on one index MUST NOT share scratch (a shared
+// vector race corrupts the heap).
 
 #include <algorithm>
 #include <cmath>
@@ -51,9 +52,6 @@ struct Index {
     // enough; empty => fall back to binary search over slin). starts[c]
     // .. starts[c+1] is cell c's run.
     std::vector<int64_t> starts;
-    // Query scratch (GIL-serialized).
-    std::vector<Cand> heap;
-    std::vector<int64_t> hits;
 };
 
 constexpr int64_t kDenseTableMax = 8 * 1024 * 1024;
@@ -68,38 +66,6 @@ inline double d2_at(const Index& ix, int64_t pos, const double q[3]) {
     const double dy = p[1] - q[1];
     const double dz = p[2] - q[2];
     return dx * dx + dy * dy + dz * dz;
-}
-
-// Visit every candidate run (contiguous z-span per (x, y) cell column)
-// within `reach` of q's cell, in the numpy gather order.
-template <typename F>
-void for_each_run(const Index& ix, const double q[3], int64_t reach, F&& f) {
-    int64_t cq[3];
-    for (int a = 0; a < 3; ++a)
-        cq[a] = (int64_t)std::floor((q[a] - ix.mn[a]) / ix.cell);
-    const int64_t ex = ix.extent[0], ey = ix.extent[1], ez = ix.extent[2];
-    const int64_t x0 = std::max<int64_t>(cq[0] - reach, 0);
-    const int64_t x1 = std::min<int64_t>(cq[0] + reach, ex - 1);
-    const int64_t y0 = std::max<int64_t>(cq[1] - reach, 0);
-    const int64_t y1 = std::min<int64_t>(cq[1] + reach, ey - 1);
-    const int64_t z0 = std::max<int64_t>(cq[2] - reach, 0);
-    const int64_t z1 = std::min<int64_t>(cq[2] + reach, ez - 1);
-    if (x1 < x0 || y1 < y0 || z1 < z0) return;
-    const bool dense = !ix.starts.empty();
-    for (int64_t x = x0; x <= x1; ++x) {
-        for (int64_t y = y0; y <= y1; ++y) {
-            const int64_t base = (x * ey + y) * ez;
-            int64_t s, e;
-            if (dense) {
-                s = ix.starts[base + z0];
-                e = ix.starts[base + z1 + 1];
-            } else {
-                s = lower_bound_lin(ix.slin, base + z0);
-                e = lower_bound_lin(ix.slin, base + z1 + 1);
-            }
-            if (e > s) f(s, e);
-        }
-    }
 }
 
 }  // namespace
@@ -137,8 +103,18 @@ void* pcidx_build(const float* xyz, const uint8_t* valid, int64_t n) {
         span_max = std::max(span_max, span[a]);
         ix->mn[a] = mn[a];
     }
-    // Same sizing as the numpy class: ~8 points per cell.
-    double cell = std::cbrt(vol * 8.0 / std::max<int64_t>(ix->n_valid, 1));
+    // Same sizing as the numpy class: ~8 points per cell, BLENDED over
+    // 3D / planar / linear density so degenerate clouds (flat planes,
+    // collinear scans) never explode the cell count (identical
+    // arithmetic to the numpy twin: pow, not cbrt — they differ by ulps
+    // and the parity contract is bit-exact).
+    double sspan[3] = {span[0], span[1], span[2]};
+    std::sort(sspan, sspan + 3);
+    const double nv = (double)std::max<int64_t>(ix->n_valid, 1);
+    const double c3 = std::pow(vol * 8.0 / nv, 1.0 / 3.0);
+    const double c2 = std::sqrt(sspan[1] * sspan[2] * 8.0 / nv);
+    const double c1 = sspan[2] * 8.0 / nv;
+    const double cell = std::max(c3, std::max(c2, c1));
     ix->cell = std::min(std::max(cell, 1e-9), span_max);
 
     std::vector<int64_t> lin(ix->n_valid);
@@ -199,7 +175,8 @@ int64_t pcidx_knn(void* h, const double* q, int64_t k, int64_t* out_rows,
     if (ix.n_valid == 0 || k <= 0) return 0;
 
     const int64_t want = std::min<int64_t>(k, ix.n_valid);
-    auto& heap = ix.heap;  // max-heap of the k best (cand_less order)
+    std::vector<Cand> heap;  // stack-local: calls run GIL-released
+    heap.reserve((size_t)k);
 
     // Scan every cell intersecting the ball of radius r around q (exact
     // per-axis AABB window + per-column planar pruning): if the kth
@@ -293,11 +270,11 @@ int64_t pcidx_knn(void* h, const double* q, int64_t k, int64_t* out_rows,
             break;
         }
     }
-    std::sort_heap(ix.heap.begin(), ix.heap.end(), cand_less);
-    const int64_t kk = (int64_t)ix.heap.size();
+    std::sort_heap(heap.begin(), heap.end(), cand_less);
+    const int64_t kk = (int64_t)heap.size();
     for (int64_t j = 0; j < kk; ++j) {
-        out_rows[j] = ix.srows[ix.heap[j].pos];
-        out_dists[j] = std::sqrt(ix.heap[j].d2);
+        out_rows[j] = ix.srows[heap[j].pos];
+        out_dists[j] = std::sqrt(heap[j].d2);
     }
     return kk;
 }
@@ -310,8 +287,7 @@ int64_t pcidx_radius(void* h, const double* q, double radius,
     Index& ix = *(Index*)h;
     if (ix.n_valid == 0) return 0;
     const double r2 = radius * radius;
-    auto& hits = ix.hits;
-    hits.clear();
+    std::vector<int64_t> hits;  // stack-local: calls run GIL-released
 
     // Exact per-axis window of the ball's AABB (a strictly smaller
     // superset of the true hit set than the numpy path's cubic

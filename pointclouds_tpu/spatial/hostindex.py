@@ -60,7 +60,17 @@ class HostCellIndex:
         mx = pts.max(axis=0)
         span = np.maximum(mx - mn, 1e-12)
         vol = float(span.prod())
-        cell = (vol * _TARGET_PER_CELL / max(self.n_valid, 1)) ** (1.0 / 3.0)
+        # Blended 3D / planar / linear density (~8 pts per cell): the
+        # unblended 3D formula explodes the cell count on degenerate
+        # clouds (a flat plane gives vol ~ 1e-12 -> billions of cells ->
+        # seconds per query). Arithmetic kept IDENTICAL to the C++ twin
+        # (pcindex.cpp) so the grids are bit-equal.
+        sspan = np.sort(span)
+        nv = float(max(self.n_valid, 1))
+        c3 = (vol * _TARGET_PER_CELL / nv) ** (1.0 / 3.0)
+        c2 = float(np.sqrt(sspan[1] * sspan[2] * _TARGET_PER_CELL / nv))
+        c1 = float(sspan[2] * _TARGET_PER_CELL / nv)
+        cell = max(c3, max(c2, c1))
         # Clamp: between the finest axis resolution and the whole span.
         self.cell = float(min(max(cell, 1e-9), span.max()))
         self.mn = mn

@@ -603,47 +603,71 @@ def _rescue_select_kernel(k: int, per_seg: int, gr: int, ng: int):
         b = pl.program_id(0)
         big = jnp.float32(jnp.inf)
 
-        qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
-        qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
-        qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
-        qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+        qm_row = q_ref[0, 3:4, :]
+        bv = jnp.max(qm_row)
 
-        def group_step(t, state):
-            regs, cnt = state
-            g = active_ref[b, jnp.int32(1) + t]
-            base = g * jnp.int32(gr)
-            for r in range(gr):
-                row = cand_ref[pl.ds(base + jnp.int32(r), 1), :, :]
-                cx = row[0, 0:1, :]
-                cy = row[0, 1:2, :]
-                cz = row[0, 2:3, :]
-                cw = row[0, 3:4, :]
-                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-                pair = qm * cw
-                w = jnp.where(pair > 0.5, d2, big)
-                regs = _insert_smallest(regs, w)
-                cnt = cnt + jnp.where(
-                    pair > 0.5, jnp.float32(1.0), jnp.float32(0.0)
-                )
-            return regs, cnt
+        # Flagged queries are front-compacted: whole trailing blocks are
+        # padding — skip their group walk entirely (same gate as the
+        # sibling rescue kernels).
+        @pl.when(bv <= 0.5)
+        def _():
+            z = jnp.zeros((1, 128), jnp.float32)
+            out_ref[0:1, :] = z
+            out_ref[1:2, :] = z
+            out_ref[2:3, :] = z
+            out_ref[3:4, :] = z + jnp.float32(1.0)
 
-        regs0 = [jnp.full((128, 128), big) for _ in range(per_seg)]
-        cnt0 = jnp.zeros((128, 128), jnp.float32)
-        regs, cnt = jax.lax.fori_loop(
-            jnp.int32(0),
-            active_ref[b, 0].astype(jnp.int32),
-            group_step,
-            (regs0, cnt0),
-        )
-
-        count_all = jnp.sum(jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True)
-        total, count, kth, ok = _phase2_from_finalists(regs, count_all, 128, k)
-        out_ref[0:1, :] = total
-        out_ref[1:2, :] = count
-        out_ref[2:3, :] = kth
-        out_ref[3:4, :] = ok
+        @pl.when(bv > 0.5)
+        def _():
+            _rescue_select_body(
+                active_ref, q_ref, cand_ref, out_ref, b, k, per_seg, gr
+            )
 
     return kernel
+
+
+def _rescue_select_body(active_ref, q_ref, cand_ref, out_ref, b, k, per_seg,
+                        gr):
+    big = jnp.float32(jnp.inf)
+    qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
+    qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+    qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+    qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+
+    def group_step(t, state):
+        regs, cnt = state
+        g = active_ref[b, jnp.int32(1) + t]
+        base = g * jnp.int32(gr)
+        for r in range(gr):
+            row = cand_ref[pl.ds(base + jnp.int32(r), 1), :, :]
+            cx = row[0, 0:1, :]
+            cy = row[0, 1:2, :]
+            cz = row[0, 2:3, :]
+            cw = row[0, 3:4, :]
+            d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+            pair = qm * cw
+            w = jnp.where(pair > 0.5, d2, big)
+            regs = _insert_smallest(regs, w)
+            cnt = cnt + jnp.where(
+                pair > 0.5, jnp.float32(1.0), jnp.float32(0.0)
+            )
+        return regs, cnt
+
+    regs0 = [jnp.full((128, 128), big) for _ in range(per_seg)]
+    cnt0 = jnp.zeros((128, 128), jnp.float32)
+    regs, cnt = jax.lax.fori_loop(
+        jnp.int32(0),
+        active_ref[b, 0].astype(jnp.int32),
+        group_step,
+        (regs0, cnt0),
+    )
+
+    count_all = jnp.sum(jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True)
+    total, count, kth, ok = _phase2_from_finalists(regs, count_all, 128, k)
+    out_ref[0:1, :] = total
+    out_ref[1:2, :] = count
+    out_ref[2:3, :] = kth
+    out_ref[3:4, :] = ok
 
 
 @partial(jax.jit, static_argnames=("k", "per_seg", "gr", "interpret"))
@@ -2205,7 +2229,7 @@ def brute_radius_count(q_planar, cand_planar, *, interpret: bool = False):
 # a whole-cloud scan.
 
 
-def _rescue_knn_kernel(k: int, per_seg: int, gr: int, ng: int):
+def _rescue_knn_kernel(k: int, per_seg: int, gr: int):
     def kernel(active_ref, q_ref, cand_ref, out_ref):
         b = pl.program_id(0)
         big = jnp.float32(jnp.inf)
@@ -2356,7 +2380,7 @@ def rescue_knn_idx(cand_planar, q_planar, active, *, k: int,
     ng = nr // gr
     assert (nch, width) == (4, 128) and nr % gr == 0, cand_planar.shape
     assert active.shape == (qb, 1 + ng), (active.shape, qb, ng)
-    kern = _rescue_knn_kernel(k, per_seg, gr, ng)
+    kern = _rescue_knn_kernel(k, per_seg, gr)
     z = np.int32(0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -2380,7 +2404,7 @@ def rescue_knn_idx(cand_planar, q_planar, active, *, k: int,
     )(active, q_planar, cand_planar)
 
 
-def _rescue_radius_count_kernel(gr: int, ng: int):
+def _rescue_radius_count_kernel(gr: int):
     def kernel(active_ref, q_ref, cand_ref, out_ref):
         b = pl.program_id(0)
 
@@ -2454,7 +2478,7 @@ def rescue_radius_count_groups(cand_planar, q_planar, active, *,
         out_specs=pl.BlockSpec((1, 128), lambda b, active_ref: (z, b)),
     )
     out = pl.pallas_call(
-        _rescue_radius_count_kernel(gr, ng),
+        _rescue_radius_count_kernel(gr),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, qb * 128), jnp.float32),
         interpret=interpret,

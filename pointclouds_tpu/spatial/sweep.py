@@ -394,8 +394,7 @@ def sweep_sor_two_pass(
     gr = RESCUE_GROUP_ROWS
 
     # Residency gate: rescue_select holds planar_g fully in VMEM.
-    if use_kernel and planar_g.shape[0] * 4 * 128 * 4 > RESCUE_RESIDENT_BYTES:
-        use_kernel = False
+    use_kernel = _rescue_kernel_ok(use_kernel, planar_g)
     if use_kernel:
         from .pallas_kernels import rescue_select
 
@@ -418,17 +417,14 @@ def sweep_sor_two_pass(
         jnp.inf,
     )
     rmean = jnp.where(rcount >= want, rmean, jnp.inf)
-    r2_cert = (radius * 0.99999) ** 2
+    r2_cert = _rescue_cert_r2(radius)
     rok = jnp.logical_and(rcount >= want, rkth <= r2_cert)
     rok = jnp.logical_and(rok, rseg_ok)
     rok = jnp.logical_and(rok, qvalid)
     rok = jnp.logical_and(rok, jnp.logical_not(p["table_overflow"]))
 
     # ── Scatter back to original rows ──
-    rows_orig = jnp.take(
-        jnp.concatenate([order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]),
-        jnp.minimum(qsel, n),
-    )
+    rows_orig = _rescue_rows_orig(order, qsel, n)
     rows_orig = jnp.where(qvalid, rows_orig, n)  # drop non-flagged slots
     mean = p["mean"].at[rows_orig].set(
         jnp.where(qvalid, rmean, 0.0), mode="drop"
@@ -552,6 +548,30 @@ def _rescue_structure(planar, order, flagged, fix_cap: int, n: int, radius):
     )
     active = jnp.concatenate([counts[:, None], act], axis=1)  # [QB, 1+NG]
     return planar_g, q_planar, active, qvalid, qsel
+
+
+def _rescue_kernel_ok(use_kernel: bool, planar_g) -> bool:
+    """Shared residency gate for the VMEM-resident rescue kernels."""
+    return (
+        use_kernel
+        and planar_g.shape[0] * 4 * 128 * 4 <= RESCUE_RESIDENT_BYTES
+    )
+
+
+def _rescue_cert_r2(radius):
+    """Shared certification radius: strictly INSIDE the (inflated) prune
+    ball, so fp rounding can never certify an uncovered neighbor."""
+    return (radius * 0.99999) ** 2
+
+
+def _rescue_rows_orig(order, qsel, n):
+    """Original row ids of the compacted rescue queries (n = drop slot)."""
+    return jnp.take(
+        jnp.concatenate(
+            [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
+        ),
+        jnp.minimum(qsel, n),
+    )
 
 
 def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
@@ -1149,14 +1169,22 @@ def sweep_radius_count(
     27-cell neighborhood covers the ball; only window overflow or a table
     overflow can flag a row).
     """
-    n = xyz.shape[0]
+    s = _radius_structure(xyz, valid, radius, wr, table_size)
+    counts, point_ok = _radius_pass1(
+        s, radius, wr=wr, interpret=interpret, use_kernel=use_kernel
+    )
+    return counts, point_ok
+
+
+def _radius_structure(xyz, valid, radius, wr, table_size):
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     use = jnp.logical_and(valid, finite)
-
     hi_abs = jnp.max(jnp.where(use[:, None], jnp.abs(xyz), 0.0))
     cell_size = radius * 1.00002 + hi_abs * 6e-7 + 1e-7
+    return _sorted_structure(xyz, valid, cell_size, wr, table_size)
 
-    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+
+def _radius_pass1(s, radius, *, wr: int, interpret: bool, use_kernel: bool):
     r2 = jnp.float32(radius) * jnp.float32(radius)
     planar = s["planar"].at[:, 3, :].multiply(r2)  # w: 1 -> r2, 0 stays 0
 
@@ -1486,8 +1514,7 @@ def sweep_knn_two_pass(
     )
     gr = RESCUE_GROUP_ROWS
 
-    if use_kernel and planar_g.shape[0] * 4 * 128 * 4 > RESCUE_RESIDENT_BYTES:
-        use_kernel = False
+    use_kernel = _rescue_kernel_ok(use_kernel, planar_g)
     if use_kernel:
         from .pallas_kernels import rescue_knn_idx
 
@@ -1504,7 +1531,7 @@ def sweep_knn_two_pass(
     rkth = rout[2 * k + 1]
     rseg_ok = rout[2 * k + 2] > 0.5
 
-    r2_cert = (radius * 0.99999) ** 2
+    r2_cert = _rescue_cert_r2(radius)
     rok = jnp.logical_and(rcount >= want_f, rkth <= r2_cert)
     rok = jnp.logical_and(rok, rseg_ok)
     rok = jnp.logical_and(rok, qvalid)
@@ -1515,12 +1542,7 @@ def sweep_knn_two_pass(
 
     # Scatter back only CERTIFIED rescues (uncertified rows keep pass-1
     # values and stay flagged for the caller's whole-cloud fallback).
-    rows_orig = jnp.take(
-        jnp.concatenate(
-            [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
-        ),
-        jnp.minimum(qsel, n),
-    )
+    rows_orig = _rescue_rows_orig(order, qsel, n)
     rows_orig = jnp.where(rok, rows_orig, n)  # drop uncertified slots
     dists = dists.at[rows_orig].set(
         jnp.where(rok[:, None], rd, 0.0), mode="drop"
@@ -1582,8 +1604,7 @@ def sweep_moments_two_pass(
     )
     gr = RESCUE_GROUP_ROWS
 
-    if use_kernel and planar_g.shape[0] * 4 * 128 * 4 > RESCUE_RESIDENT_BYTES:
-        use_kernel = False
+    use_kernel = _rescue_kernel_ok(use_kernel, planar_g)
     if use_kernel:
         from .pallas_kernels import rescue_knn_idx
 
@@ -1602,7 +1623,7 @@ def sweep_moments_two_pass(
 
     n_valid_total = jnp.sum(use.astype(jnp.int32))
     want_f = jnp.minimum(k, n_valid_total).astype(jnp.float32)
-    r2_cert = (radius * 0.99999) ** 2
+    r2_cert = _rescue_cert_r2(radius)
     rok = jnp.logical_and(rcount >= want_f, rkth <= r2_cert)
     rok = jnp.logical_and(rok, rseg_ok)
     rok = jnp.logical_and(rok, qvalid)
@@ -1612,12 +1633,7 @@ def sweep_moments_two_pass(
     ridx = _positions_to_rows(rpos, order, n)  # [qcap, k] original rows
     rnb_valid = jnp.isfinite(rd)
     nb = jnp.take(xyz, jnp.clip(ridx, 0, n - 1), axis=0)  # [qcap, k, 3]
-    rows_orig = jnp.take(
-        jnp.concatenate(
-            [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
-        ),
-        jnp.minimum(qsel, n),
-    )
+    rows_orig = _rescue_rows_orig(order, qsel, n)
     qpts = jnp.take(xyz, jnp.clip(rows_orig, 0, n - 1), axis=0)  # [qcap, 3]
     rel = jnp.where(
         rnb_valid[:, :, None], nb - qpts[:, None, :], 0.0
@@ -1701,32 +1717,11 @@ def sweep_radius_count_two_pass(
     neighbor) — rescued valid rows are exact by construction; only
     fix_cap overflow or a table overflow leaves rows flagged."""
     n = xyz.shape[0]
-    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
-    use_mask = jnp.logical_and(valid, finite)
-
-    hi_abs = jnp.max(jnp.where(use_mask[:, None], jnp.abs(xyz), 0.0))
-    cell_size = radius * 1.00002 + hi_abs * 6e-7 + 1e-7
-
-    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    s = _radius_structure(xyz, valid, radius, wr, table_size)
+    counts, point_ok = _radius_pass1(
+        s, radius, wr=wr, interpret=interpret, use_kernel=use_kernel
+    )
     r2 = jnp.float32(radius) * jnp.float32(radius)
-    planar_r2 = s["planar"].at[:, 3, :].multiply(r2)
-
-    if use_kernel:
-        from .pallas_kernels import count_within
-
-        counts_f = count_within(
-            planar_r2, s["starts_skip"], wr=wr, interpret=interpret
-        )
-    else:
-        counts_f = _count_within_xla(planar_r2, s["starts_skip"], wr=wr)
-
-    ok_sorted = jnp.repeat(s["block_ok"], 128)
-    packed = jnp.stack([counts_f, ok_sorted.astype(jnp.float32)])
-    res = jnp.take(packed, s["inv"], axis=1)
-    counts = res[0].astype(jnp.int32)
-    point_ok = jnp.logical_and(res[1] > 0.5, s["use"])
-    point_ok = jnp.logical_and(point_ok, jnp.logical_not(s["table_overflow"]))
-    counts = jnp.where(s["use"], counts, 0)
 
     # ── pass 2: pruned rescue of window-overflow rows ──
     flagged = jnp.logical_and(s["use"], jnp.logical_not(point_ok))
@@ -1741,8 +1736,7 @@ def sweep_radius_count_two_pass(
         )
     )
 
-    if use_kernel and planar_g.shape[0] * 4 * 128 * 4 > RESCUE_RESIDENT_BYTES:
-        use_kernel = False
+    use_kernel = _rescue_kernel_ok(use_kernel, planar_g)
     if use_kernel:
         from .pallas_kernels import rescue_radius_count_groups
 
@@ -1755,12 +1749,7 @@ def sweep_radius_count_two_pass(
         )
 
     rok = jnp.logical_and(qvalid, jnp.logical_not(s["table_overflow"]))
-    rows_orig = jnp.take(
-        jnp.concatenate(
-            [s["order"].astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
-        ),
-        jnp.minimum(qsel, n),
-    )
+    rows_orig = _rescue_rows_orig(s["order"], qsel, n)
     rows_drop = jnp.where(rok, rows_orig, n)
     counts = counts.at[rows_drop].set(
         jnp.where(rok, rcounts.astype(jnp.int32), 0), mode="drop"

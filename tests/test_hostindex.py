@@ -141,3 +141,59 @@ def test_native_index_matches_numpy_path(monkeypatch):
         hn = ix_native.radius(q, 0.4)
         hp = ix_numpy.radius(q, 0.4)
         assert list(hn) == list(hp)
+
+
+def test_index_thread_safety():
+    """ctypes releases the GIL during native calls: concurrent queries on
+    one index must not share mutable scratch (previously SIGABRT)."""
+    import threading
+
+    rng = np.random.default_rng(3)
+    pts = (rng.random((20_000, 3)) * 10).astype(np.float32)
+    ix = HostCellIndex(pts, np.ones(len(pts), bool))
+    errs = []
+
+    def worker():
+        try:
+            for i in range(500):
+                ix.radius(pts[i % 200], 1.0)
+                ix.knn(pts[i % 200], 8)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+
+
+def test_index_degenerate_clouds_fast_and_exact():
+    """Planar / collinear clouds must not explode the cell count (the
+    unblended 3D density formula gave billions of cells -> seconds per
+    query) and stay exact vs brute force."""
+    import time
+
+    rng = np.random.default_rng(4)
+    clouds = {
+        "collinear": np.stack(
+            [np.linspace(0, 100, 1000, dtype=np.float32),
+             np.zeros(1000, np.float32), np.zeros(1000, np.float32)],
+            axis=1,
+        ),
+        "planar": np.concatenate(
+            [(rng.random((5000, 2)) * 50).astype(np.float32),
+             np.zeros((5000, 1), np.float32)], axis=1,
+        ),
+    }
+    for name, pts in clouds.items():
+        ix = HostCellIndex(pts, np.ones(len(pts), bool))
+        t0 = time.perf_counter()
+        for q in pts[:20]:
+            rows, dd = ix.knn(q, 5)
+            d2 = ((pts.astype(np.float64) - q.astype(np.float64)) ** 2).sum(1)
+            ref = np.sort(d2)[:5]
+            np.testing.assert_allclose(dd**2, ref, atol=1e-9)
+        per_ms = (time.perf_counter() - t0) / 20 * 1e3
+        assert per_ms < 50, (name, per_ms)
