@@ -29,7 +29,11 @@ from ..core.cloud import compaction_order
 from ..ops.filters import voxel_downsample_masked
 from ..ops.normals import cardano_smallest_eigvec_comps
 from ..ops.segmentation import ransac_plane_masked
-from ..spatial.sweep import sweep_cluster_labels, sweep_knn_moments_rows
+from ..spatial.sweep import (
+    sweep_cluster_labels,
+    sweep_knn_moments_rows,
+    sweep_moments_two_pass,
+)
 
 
 class AerialPipelineOutput(NamedTuple):
@@ -57,6 +61,8 @@ class AerialPipelineOutput(NamedTuple):
         "cluster_wr",
         "backend",
         "ds_cap",
+        "normals_rescue",
+        "normals_fix_cap",
     ),
 )
 def aerial_pipeline(
@@ -75,6 +81,8 @@ def aerial_pipeline(
     cluster_wr: int = 12,
     backend: str = "auto",
     ds_cap: int | None = None,
+    normals_rescue: bool = False,
+    normals_fix_cap: int = 16384,
 ):
     """Voxel -> sweep normals -> RANSAC -> ground removal -> sweep cluster.
 
@@ -111,13 +119,29 @@ def aerial_pipeline(
     # ([3, N]/[6, N]/1-D components): [N, 3]-shaped intermediates pad
     # their minor axis to 128 on TPU, and this stage runs entirely on
     # 1-D elementwise math until the single output stack. ──
-    m1r, m2r, cnt, nok = sweep_knn_moments_rows(
-        centroids,
-        ds_valid,
-        normals_cell,
-        k=normals_k,
-        use_kernel=use_kernel,
-    )
+    if normals_rescue:
+        # A/B option: AABB-group-pruned exact rescue of the flagged rows
+        # (sweep_moments_two_pass) — raises normals certification from
+        # ~93% toward ~100% for a few ms of rescue work. Default off
+        # pending a TPU cost measurement against the 87 ms budget.
+        m1, m2, cnt, nok = sweep_moments_two_pass(
+            centroids,
+            ds_valid,
+            normals_cell,
+            k=normals_k,
+            fix_cap=normals_fix_cap,
+            use_kernel=use_kernel,
+        )
+        m1r = jnp.transpose(m1)
+        m2r = jnp.transpose(m2)
+    else:
+        m1r, m2r, cnt, nok = sweep_knn_moments_rows(
+            centroids,
+            ds_valid,
+            normals_cell,
+            k=normals_k,
+            use_kernel=use_kernel,
+        )
     denom = jnp.maximum(cnt, 1.0)
     mx, my, mz = m1r[0] / denom, m1r[1] / denom, m1r[2] / denom
     # cov = M2 - cnt * mean mean^T (query-relative)
