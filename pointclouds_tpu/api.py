@@ -743,8 +743,6 @@ def knn(cloud: PointCloud, queries, k: int):
         # microseconds per query after its one-time build.
         index = cloud._index()
         nq = q.shape[0]
-        i_out = np.full((nq, k_eff), -1, np.int32)
-        d_out = np.full((nq, k_eff), np.inf, np.float32)
         finite = np.isfinite(q).all(axis=1)
         native = getattr(index, "_native", None)
         if native is not None and finite.all():
@@ -756,6 +754,8 @@ def knn(cloud: PointCloud, queries, k: int):
             i_out = np.where(got, rows_b, -1).astype(np.int32)
             d_out = np.where(got, dd_b, np.inf).astype(np.float32)
             return i_out, d_out
+        i_out = np.full((nq, k_eff), -1, np.int32)
+        d_out = np.full((nq, k_eff), np.inf, np.float32)
         for r in range(nq):
             if not finite[r]:
                 continue

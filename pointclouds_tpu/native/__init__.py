@@ -14,33 +14,43 @@ import subprocess
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libpcio.so")
 
-_lib = None
+# Shared load/build memo, keyed by .so path. A key present with value
+# None means the build or load already failed — memoized so a missing
+# toolchain doesn't re-run `make` on every call (e.g. once per new
+# PointCloud's first single-point query).
+_libs: dict = {}
 
 
-def _try_build():
+def _build_and_load(so_path: str, make_target: str):
+    """Load `so_path`, building it via `make <make_target>` first if
+    absent. Returns the raw ctypes.CDLL (no prototypes set) or None;
+    both outcomes are memoized."""
+    if so_path in _libs:
+        return _libs[so_path]
+    lib = None
     try:
-        subprocess.run(
-            ["make", "-C", _DIR],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
+        if not os.path.exists(so_path):
+            subprocess.run(
+                ["make", "-C", _DIR, make_target],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(so_path)
     except Exception:
-        return False
+        lib = None
+    _libs[so_path] = lib
+    return lib
+
+
+_configured: set = set()
 
 
 def _load():
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not os.path.exists(_SO):
-        if not _try_build():
-            return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
-        return None
+    lib = _build_and_load(_SO, "libpcio.so")
+    if lib is None or _SO in _configured:
+        return lib
+    _configured.add(_SO)
 
     lib.pcio_decode_las.restype = ctypes.c_int
     lib.pcio_decode_las.argtypes = [
@@ -73,7 +83,6 @@ def _load():
         ctypes.c_int32,
         ctypes.c_void_p,
     ]
-    _lib = lib
     return lib
 
 
@@ -147,34 +156,13 @@ def gather_xyz_f32(buf: bytes, n: int, stride: int, off_x, off_y, off_z):
 # ── Native host cell index (libpcindex.so) ───────────────────────────────────
 
 _SO_IDX = os.path.join(_DIR, "libpcindex.so")
-_idx_lib = None
-_idx_load_failed = False
 
 
 def _load_index():
-    global _idx_lib, _idx_load_failed
-    if _idx_lib is not None:
-        return _idx_lib
-    if _idx_load_failed:
-        # Memoize failure: without this every new PointCloud's first
-        # single-point query would re-run the (failing) `make` subprocess.
-        return None
-    if not os.path.exists(_SO_IDX):
-        try:
-            subprocess.run(
-                ["make", "-C", _DIR, "libpcindex.so"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            _idx_load_failed = True
-            return None
-    try:
-        lib = ctypes.CDLL(_SO_IDX)
-    except OSError:
-        _idx_load_failed = True
-        return None
+    lib = _build_and_load(_SO_IDX, "libpcindex.so")
+    if lib is None or _SO_IDX in _configured:
+        return lib
+    _configured.add(_SO_IDX)
     lib.pcidx_build.restype = ctypes.c_void_p
     lib.pcidx_build.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -198,7 +186,6 @@ def _load_index():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
-    _idx_lib = lib
     return lib
 
 

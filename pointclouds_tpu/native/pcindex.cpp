@@ -173,6 +173,13 @@ int64_t pcidx_knn(void* h, const double* q, int64_t k, int64_t* out_rows,
                   double* out_dists) {
     Index& ix = *(Index*)h;
     if (ix.n_valid == 0 || k <= 0) return 0;
+    // Non-finite query: the radius-doubling certificate below can never
+    // terminate (NaN comparisons are all-false), so bail out empty —
+    // matching the reference KdTree::knn's NaN-query behavior
+    // (crates/spatial/src/kdtree.rs:64-80).
+    if (!std::isfinite(q[0]) || !std::isfinite(q[1]) ||
+        !std::isfinite(q[2]))
+        return 0;
 
     const int64_t want = std::min<int64_t>(k, ix.n_valid);
     std::vector<Cand> heap;  // stack-local: calls run GIL-released
@@ -286,6 +293,12 @@ int64_t pcidx_radius(void* h, const double* q, double radius,
                      int64_t* out_rows, int64_t cap) {
     Index& ix = *(Index*)h;
     if (ix.n_valid == 0) return 0;
+    // Non-finite query or radius: floor(NaN)->int64 below is UB and no
+    // point can certify a distance to a NaN center — return empty, like
+    // the reference KdTree's NaN-query behavior.
+    if (!std::isfinite(q[0]) || !std::isfinite(q[1]) ||
+        !std::isfinite(q[2]) || !std::isfinite(radius))
+        return 0;
     const double r2 = radius * radius;
     std::vector<int64_t> hits;  // stack-local: calls run GIL-released
 

@@ -42,17 +42,14 @@ from ..spatial.knn import (
     bruteforce_knn,
     bruteforce_radius_count,
 )
-from ..spatial.engine import (
-    _brute_sor_means,
-    _normals_from_moments,
-)
+from ..spatial.engine import _brute_sor_means
 from .filters import (
     passthrough_mask,
     sor_keep_mask,
     sor_mean_dists_from_knn,
     voxel_downsample_masked,
 )
-from .normals import normals_from_knn
+from .normals import normals_from_knn, normals_from_moment_rows
 
 
 def fused_rescue_cap(n: int) -> int:
@@ -288,7 +285,7 @@ def normals_fused(xyz, valid, viewpoint, *, k: int, wr: int, cap: int,
     """estimate_normals in one dispatch: fused KNN-moments sweep + exact
     brute rescue + Cardano + orientation. Returns (normals f32[N,3],
     exact i32[])."""
-    from ..spatial.sweep import sweep_moments_two_pass
+    from ..spatial.sweep import sweep_moments_two_pass_rows
 
     n = xyz.shape[0]
     vp = jnp.asarray(viewpoint, jnp.float32)
@@ -296,12 +293,13 @@ def normals_fused(xyz, valid, viewpoint, *, k: int, wr: int, cap: int,
     # Pass 1 fused moments kernel + in-graph AABB-group-pruned exact
     # rescue (rescue_knn_idx); the whole-cloud rescue below then only
     # sees the rare isolated-beyond-4-cells remainder (and skips its
-    # padding blocks), so its static cap costs ~nothing.
-    m1, m2, cnt, ok = sweep_moments_two_pass(
+    # padding blocks), so its static cap costs ~nothing. Row layout
+    # end-to-end: the only [N, 3] is the output stack.
+    m1r, m2r, cnt, ok = sweep_moments_two_pass_rows(
         xyz, valid, cell, k=k, fix_cap=cap, wr=wr, use_kernel=use_kernel,
         interpret=interpret,
     )
-    nrm = _normals_from_moments(xyz, m1, m2, cnt, vp)
+    nrm = normals_from_moment_rows(m1r, m2r, cnt, xyz, vp)
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     residual = jnp.logical_and(
         jnp.logical_and(valid, finite), jnp.logical_not(ok)

@@ -142,6 +142,49 @@ def cardano_smallest_eigvec_comps(c00, c01, c02, c11, c12, c22):
     return tuple(out)
 
 
+def normals_from_moment_rows(m1r, m2r, cnt, xyz, viewpoint):
+    """Oriented unit PCA normals from query-centered KNN moment ROWS
+    (m1r f32[3, N], m2r f32[6, N] in xx,yy,zz,xy,xz,yz order, cnt
+    f32[N]) — the fused sweep kernels' output layout. All math runs on
+    1-D components (see `cardano_smallest_eigvec_comps` for why); the
+    only [N, 3] materialization is the final output stack. Semantics
+    match the reference per-point loop (ref:
+    crates/normals/src/estimate.rs:42-107): degenerate/neighborless
+    rows -> (0, 0, 1), viewpoint orientation flip on dot < 0."""
+    denom = jnp.maximum(cnt, 1.0)
+    mx, my, mz = m1r[0] / denom, m1r[1] / denom, m1r[2] / denom
+    # cov = M2 - cnt * mean mean^T (query-relative moments)
+    vx, vy, vz = cardano_smallest_eigvec_comps(
+        m2r[0] - cnt * mx * mx,
+        m2r[3] - cnt * mx * my,
+        m2r[4] - cnt * mx * mz,
+        m2r[1] - cnt * my * my,
+        m2r[5] - cnt * my * mz,
+        m2r[2] - cnt * mz * mz,
+    )
+    length = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    ok_len = length > 1e-10
+    inv_len = 1.0 / jnp.maximum(length, 1e-30)
+    ux = jnp.where(ok_len, vx * inv_len, vx)
+    uy = jnp.where(ok_len, vy * inv_len, vy)
+    uz = jnp.where(ok_len, vz * inv_len, vz)
+    dot = (
+        ux * (viewpoint[0] - xyz[:, 0])
+        + uy * (viewpoint[1] - xyz[:, 1])
+        + uz * (viewpoint[2] - xyz[:, 2])
+    )
+    flip = jnp.where(dot < 0.0, -1.0, 1.0)
+    none_found = cnt < 1.0
+    return jnp.stack(
+        [
+            jnp.where(none_found, 0.0, ux * flip),
+            jnp.where(none_found, 0.0, uy * flip),
+            jnp.where(none_found, 1.0, uz * flip),
+        ],
+        axis=1,
+    )
+
+
 @jax.jit
 def normals_from_knn(xyz, nbr_idx, nbr_valid, viewpoint, query_xyz=None):
     """Per-point PCA normals from precomputed KNN neighbor lists.

@@ -27,12 +27,12 @@ import jax.numpy as jnp
 
 from ..core.cloud import compaction_order
 from ..ops.filters import voxel_downsample_masked
-from ..ops.normals import cardano_smallest_eigvec_comps
+from ..ops.normals import normals_from_moment_rows
 from ..ops.segmentation import ransac_plane_masked
 from ..spatial.sweep import (
     sweep_cluster_labels,
     sweep_knn_moments_rows,
-    sweep_moments_two_pass,
+    sweep_moments_two_pass_rows,
 )
 
 
@@ -121,10 +121,10 @@ def aerial_pipeline(
     # 1-D elementwise math until the single output stack. ──
     if normals_rescue:
         # A/B option: AABB-group-pruned exact rescue of the flagged rows
-        # (sweep_moments_two_pass) — raises normals certification from
+        # (sweep_moments_two_pass_rows) — raises normals certification from
         # ~93% toward ~100% for a few ms of rescue work. Default off
         # pending a TPU cost measurement against the 87 ms budget.
-        m1, m2, cnt, nok = sweep_moments_two_pass(
+        m1r, m2r, cnt, nok = sweep_moments_two_pass_rows(
             centroids,
             ds_valid,
             normals_cell,
@@ -132,8 +132,6 @@ def aerial_pipeline(
             fix_cap=normals_fix_cap,
             use_kernel=use_kernel,
         )
-        m1r = jnp.transpose(m1)
-        m2r = jnp.transpose(m2)
     else:
         m1r, m2r, cnt, nok = sweep_knn_moments_rows(
             centroids,
@@ -142,38 +140,7 @@ def aerial_pipeline(
             k=normals_k,
             use_kernel=use_kernel,
         )
-    denom = jnp.maximum(cnt, 1.0)
-    mx, my, mz = m1r[0] / denom, m1r[1] / denom, m1r[2] / denom
-    # cov = M2 - cnt * mean mean^T (query-relative)
-    vx, vy, vz = cardano_smallest_eigvec_comps(
-        m2r[0] - cnt * mx * mx,
-        m2r[3] - cnt * mx * my,
-        m2r[4] - cnt * mx * mz,
-        m2r[1] - cnt * my * my,
-        m2r[5] - cnt * my * mz,
-        m2r[2] - cnt * mz * mz,
-    )
-    length = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-    ok_len = length > 1e-10
-    inv_len = 1.0 / jnp.maximum(length, 1e-30)
-    ux = jnp.where(ok_len, vx * inv_len, vx)
-    uy = jnp.where(ok_len, vy * inv_len, vy)
-    uz = jnp.where(ok_len, vz * inv_len, vz)
-    dot = (
-        ux * (viewpoint[0] - centroids[:, 0])
-        + uy * (viewpoint[1] - centroids[:, 1])
-        + uz * (viewpoint[2] - centroids[:, 2])
-    )
-    flip = jnp.where(dot < 0.0, -1.0, 1.0)
-    none_found = cnt < 1.0
-    normals = jnp.stack(
-        [
-            jnp.where(none_found, 0.0, ux * flip),
-            jnp.where(none_found, 0.0, uy * flip),
-            jnp.where(none_found, 1.0, uz * flip),
-        ],
-        axis=1,
-    )
+    normals = normals_from_moment_rows(m1r, m2r, cnt, centroids, viewpoint)
 
     # ── Step 3: RANSAC ground plane ──
     # Voxel output is leading-compact by construction, so RANSAC skips

@@ -629,38 +629,14 @@ def _normals_rescue(xyz, valid, sub_rows, sub_valid, vp, k: int):
 
 @jax.jit
 def _normals_from_moments(xyz, m1, m2, cnt, viewpoint):
-    from ..ops.normals import cardano_smallest_eigvec
+    """Column-layout ([N,3]/[N,6]) adapter over the shared
+    component-planar implementation (ops/normals.py:
+    normals_from_moment_rows) — the transposes are cheap relative to the
+    [N,3,3] covariance this used to materialize."""
+    from ..ops.normals import normals_from_moment_rows
 
-    denom = jnp.maximum(cnt, 1.0)
-    mean = m1 / denom[:, None]
-    cov = jnp.stack(
-        [
-            m2[:, 0] - cnt * mean[:, 0] * mean[:, 0],
-            m2[:, 3] - cnt * mean[:, 0] * mean[:, 1],
-            m2[:, 4] - cnt * mean[:, 0] * mean[:, 2],
-            m2[:, 3] - cnt * mean[:, 0] * mean[:, 1],
-            m2[:, 1] - cnt * mean[:, 1] * mean[:, 1],
-            m2[:, 5] - cnt * mean[:, 1] * mean[:, 2],
-            m2[:, 4] - cnt * mean[:, 0] * mean[:, 2],
-            m2[:, 5] - cnt * mean[:, 1] * mean[:, 2],
-            m2[:, 2] - cnt * mean[:, 2] * mean[:, 2],
-        ],
-        axis=1,
-    ).reshape(-1, 3, 3)
-    vec = cardano_smallest_eigvec(cov)
-    length = jnp.linalg.norm(vec, axis=1)
-    unit = jnp.where(
-        (length > 1e-10)[:, None],
-        vec / jnp.maximum(length, 1e-30)[:, None],
-        vec,
-    )
-    to_vp = viewpoint[None, :] - xyz
-    dot = jnp.sum(unit * to_vp, axis=1)
-    oriented = jnp.where((dot < 0.0)[:, None], -unit, unit)
-    return jnp.where(
-        (cnt < 1.0)[:, None],
-        jnp.array([0.0, 0.0, 1.0], jnp.float32)[None, :],
-        oriented,
+    return normals_from_moment_rows(
+        jnp.transpose(m1), jnp.transpose(m2), cnt, xyz, viewpoint
     )
 
 

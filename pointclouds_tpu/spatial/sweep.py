@@ -467,7 +467,10 @@ def _rescue_structure(planar, order, flagged, fix_cap: int, n: int, radius):
     flagged_sorted = jnp.take(flagged, order)  # [n]
     fq = compaction_order(flagged_sorted)
     # Clamp the rescue capacity to the (128-rounded) cloud size: small
-    # clouds otherwise under-fill the query blocks.
+    # clouds otherwise under-fill the query blocks. fix_cap itself must
+    # land on a 128-row block boundary (the reshape below is [qb, 128]),
+    # so round it up rather than requiring callers to know the rule.
+    fix_cap = ((fix_cap + 127) // 128) * 128
     qcap = min(fix_cap, ((n + 127) // 128) * 128)
     qsel = fq[: min(qcap, n)].astype(jnp.int32)
     if qcap > n:
@@ -574,19 +577,21 @@ def _rescue_rows_orig(order, qsel, n):
     )
 
 
-def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
-                       gr: int):
-    """XLA mirror of `pallas_kernels.rescue_select` (CPU runs and
-    differential tests): same active-group masking, same segmented
-    selection semantics."""
+def _rescue_block_d2(planar_g, gr: int):
+    """Shared scaffold for the rescue XLA mirrors: flattens the grouped
+    planar candidate columns once and returns a per-block function
+    mapping (act i32[1+NG], qrow f32[4, 128]) -> (d2 f32[128, NC],
+    candmask bool[NC], qrow) with the active-group mask applied — the
+    logic every mirror must keep identical to the kernels' (the fourth
+    q channel differs per op: validity bit vs r², so it is left to the
+    caller)."""
     ng = planar_g.shape[0] // gr
     cx = planar_g[:, 0, :].reshape(-1)
     cy = planar_g[:, 1, :].reshape(-1)
     cz = planar_g[:, 2, :].reshape(-1)
     cw = planar_g[:, 3, :].reshape(-1) > 0.5
 
-    def block_fn(args):
-        act, qrow = args  # act i32[1+NG], qrow f32[4, 128]
+    def masked_d2(act, qrow):
         cnt, idx = act[0], act[1:]
         gmask = (
             jnp.zeros((ng,), bool)
@@ -595,12 +600,27 @@ def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
         )
         candmask = jnp.logical_and(cw, jnp.repeat(gmask, gr * 128))
         qx, qy, qz = qrow[0], qrow[1], qrow[2]
-        qm = qrow[3] > 0.5
         d2 = (
             (qx[:, None] - cx[None, :]) ** 2
             + (qy[:, None] - cy[None, :]) ** 2
             + (qz[:, None] - cz[None, :]) ** 2
         )
+        return d2, candmask
+
+    return masked_d2
+
+
+def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
+                       gr: int):
+    """XLA mirror of `pallas_kernels.rescue_select` (CPU runs and
+    differential tests): same active-group masking, same segmented
+    selection semantics."""
+    masked_d2 = _rescue_block_d2(planar_g, gr)
+
+    def block_fn(args):
+        act, qrow = args  # act i32[1+NG], qrow f32[4, 128]
+        d2, candmask = masked_d2(act, qrow)
+        qm = qrow[3] > 0.5
         v = jnp.logical_and(qm[:, None], candmask[None, :])
         return _segmented_smallest_k(d2, v, k, per_seg=per_seg)
 
@@ -1417,28 +1437,12 @@ def _rescue_knn_xla(planar_g, q_planar, active, *, k: int, gr: int):
     mirror is unconditionally exact over the active set, so its segment
     certificate is always 1 — tie ORDER may differ from the kernel at
     equal distances; distances are identical)."""
-    ng = planar_g.shape[0] // gr
-    cx = planar_g[:, 0, :].reshape(-1)
-    cy = planar_g[:, 1, :].reshape(-1)
-    cz = planar_g[:, 2, :].reshape(-1)
-    cw = planar_g[:, 3, :].reshape(-1) > 0.5
+    masked_d2 = _rescue_block_d2(planar_g, gr)
 
     def block_fn(args):
         act, qrow = args
-        cnt, idx = act[0], act[1:]
-        gmask = (
-            jnp.zeros((ng,), bool)
-            .at[jnp.where(jnp.arange(ng) < cnt, idx, ng)]
-            .set(True, mode="drop")
-        )
-        candmask = jnp.logical_and(cw, jnp.repeat(gmask, gr * 128))
-        qx, qy, qz = qrow[0], qrow[1], qrow[2]
+        d2, candmask = masked_d2(act, qrow)
         qm = qrow[3] > 0.5
-        d2 = (
-            (qx[:, None] - cx[None, :]) ** 2
-            + (qy[:, None] - cy[None, :]) ** 2
-            + (qz[:, None] - cz[None, :]) ** 2
-        )
         v = jnp.logical_and(qm[:, None], candmask[None, :])
         d2m = jnp.where(v, d2, jnp.inf)
         neg, pos = jax.lax.top_k(-d2m, k)
@@ -1564,7 +1568,7 @@ def sweep_knn_two_pass(
         "table_size", "interpret", "use_kernel",
     ),
 )
-def sweep_moments_two_pass(
+def sweep_moments_two_pass_rows(
     xyz,
     valid,
     cell_size,
@@ -1582,11 +1586,13 @@ def sweep_moments_two_pass(
     """KNN moments with the AABB-group-pruned exact rescue: pass-1 fused
     moments kernel, then flagged rows re-resolved by `rescue_knn_idx`
     (their moments recomputed from the rescued neighbor indices — an
-    O(fix_cap * k) gather). Same (m1 [N,3], m2 [N,6], count, point_ok)
-    contract as `sweep_knn_moments`; rescued rows are certified exact up
-    to kth-distance tie CHOICE (the exact engine's brute rescue picks
-    ties the same way), so the tie-free bit pass 1 demands is not
-    re-imposed here."""
+    O(fix_cap * k) gather). ROW layout (m1r [3,N], m2r [6,N] in
+    xx,yy,zz,xy,xz,yz order, count, point_ok) — the whole rescue stays
+    component-planar so no [N,3]/[...,3] intermediate ever materializes
+    (TPU pads a minor axis of 3 to 128; see CLAUDE.md). Rescued rows are
+    certified exact up to kth-distance tie CHOICE (the exact engine's
+    brute rescue picks ties the same way), so the tie-free bit pass 1
+    demands is not re-imposed here."""
     n = xyz.shape[0]
     s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
     m1r, m2r, count, point_ok = _moments_pass1(
@@ -1629,67 +1635,57 @@ def sweep_moments_two_pass(
     rok = jnp.logical_and(rok, qvalid)
     rok = jnp.logical_and(rok, jnp.logical_not(s["table_overflow"]))
 
-    # Query-centered moments from the rescued neighbor indices.
+    # Query-centered moments from the rescued neighbor indices —
+    # per-component gathers from the 1-D coordinate columns (a [qcap,k,3]
+    # gather would tile-pad its minor axis 3 to 128).
     ridx = _positions_to_rows(rpos, order, n)  # [qcap, k] original rows
     rnb_valid = jnp.isfinite(rd)
-    nb = jnp.take(xyz, jnp.clip(ridx, 0, n - 1), axis=0)  # [qcap, k, 3]
+    idxc = jnp.clip(ridx, 0, n - 1)
     rows_orig = _rescue_rows_orig(order, qsel, n)
-    qpts = jnp.take(xyz, jnp.clip(rows_orig, 0, n - 1), axis=0)  # [qcap, 3]
-    rel = jnp.where(
-        rnb_valid[:, :, None], nb - qpts[:, None, :], 0.0
-    )  # [qcap, k, 3]
-    rm1 = jnp.sum(rel, axis=1)  # [qcap, 3]
+    rowc = jnp.clip(rows_orig, 0, n - 1)
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    relx = jnp.where(rnb_valid, jnp.take(x, idxc) - jnp.take(x, rowc)[:, None], 0.0)
+    rely = jnp.where(rnb_valid, jnp.take(y, idxc) - jnp.take(y, rowc)[:, None], 0.0)
+    relz = jnp.where(rnb_valid, jnp.take(z, idxc) - jnp.take(z, rowc)[:, None], 0.0)
+    rm1 = jnp.stack(
+        [relx.sum(axis=1), rely.sum(axis=1), relz.sum(axis=1)]
+    )  # [3, qcap]
     rm2 = jnp.stack(
         [
-            jnp.sum(rel[:, :, 0] * rel[:, :, 0], axis=1),
-            jnp.sum(rel[:, :, 1] * rel[:, :, 1], axis=1),
-            jnp.sum(rel[:, :, 2] * rel[:, :, 2], axis=1),
-            jnp.sum(rel[:, :, 0] * rel[:, :, 1], axis=1),
-            jnp.sum(rel[:, :, 0] * rel[:, :, 2], axis=1),
-            jnp.sum(rel[:, :, 1] * rel[:, :, 2], axis=1),
-        ],
-        axis=1,
-    )  # [qcap, 6]
+            (relx * relx).sum(axis=1),
+            (rely * rely).sum(axis=1),
+            (relz * relz).sum(axis=1),
+            (relx * rely).sum(axis=1),
+            (relx * relz).sum(axis=1),
+            (rely * relz).sum(axis=1),
+        ]
+    )  # [6, qcap] — xx,yy,zz,xy,xz,yz, matching pass 1's row order
     rcnt = jnp.sum(rnb_valid.astype(jnp.float32), axis=1)
 
-    # Scatter back only CERTIFIED rescues.
+    # Scatter back only CERTIFIED rescues, along the row layout's point
+    # axis (axis 1).
     rows_drop = jnp.where(rok, rows_orig, n)
-    m1 = jnp.transpose(m1r).at[rows_drop].set(
-        jnp.where(rok[:, None], rm1, 0.0), mode="drop"
+    m1r = m1r.at[:, rows_drop].set(
+        jnp.where(rok[None, :], rm1, 0.0), mode="drop"
     )
-    m2 = jnp.transpose(m2r).at[rows_drop].set(
-        jnp.where(rok[:, None], rm2, 0.0), mode="drop"
+    m2r = m2r.at[:, rows_drop].set(
+        jnp.where(rok[None, :], rm2, 0.0), mode="drop"
     )
     count = count.at[rows_drop].set(
         jnp.where(rok, rcnt, 0.0), mode="drop"
     )
     point_ok = point_ok.at[rows_drop].set(rok, mode="drop")
-    return m1, m2, count, point_ok
+    return m1r, m2r, count, point_ok
 
 
 def _rescue_radius_count_xla(planar_g, q_planar, active, *, gr: int):
     """XLA mirror of `pallas_kernels.rescue_radius_count_groups`."""
-    ng = planar_g.shape[0] // gr
-    cx = planar_g[:, 0, :].reshape(-1)
-    cy = planar_g[:, 1, :].reshape(-1)
-    cz = planar_g[:, 2, :].reshape(-1)
-    cw = planar_g[:, 3, :].reshape(-1) > 0.5
+    masked_d2 = _rescue_block_d2(planar_g, gr)
 
     def block_fn(args):
         act, qrow = args
-        cnt, idx = act[0], act[1:]
-        gmask = (
-            jnp.zeros((ng,), bool)
-            .at[jnp.where(jnp.arange(ng) < cnt, idx, ng)]
-            .set(True, mode="drop")
-        )
-        candmask = jnp.logical_and(cw, jnp.repeat(gmask, gr * 128))
-        qx, qy, qz, qr2 = qrow[0], qrow[1], qrow[2], qrow[3]
-        d2 = (
-            (qx[:, None] - cx[None, :]) ** 2
-            + (qy[:, None] - cy[None, :]) ** 2
-            + (qz[:, None] - cz[None, :]) ** 2
-        )
+        d2, candmask = masked_d2(act, qrow)
+        qr2 = qrow[3]  # r² rides the w channel (−1 marks invalid rows)
         hit = jnp.logical_and(candmask[None, :], d2 <= qr2[:, None])
         return jnp.sum(hit.astype(jnp.float32), axis=1)
 

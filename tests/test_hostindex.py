@@ -197,3 +197,17 @@ def test_index_degenerate_clouds_fast_and_exact():
             np.testing.assert_allclose(dd**2, ref, atol=1e-9)
         per_ms = (time.perf_counter() - t0) / 20 * 1e3
         assert per_ms < 50, (name, per_ms)
+
+
+def test_nonfinite_query_returns_empty_not_hang():
+    """A NaN/Inf query must return empty (reference KdTree semantics,
+    kdtree.rs:64-80) — the native index's radius-doubling certificate
+    would otherwise never terminate (NaN comparisons are all-false)."""
+    xyz = _cloud(7, n=2000)
+    idx = HostCellIndex(xyz, np.ones(len(xyz), bool))
+    for q in ([np.nan, 0, 0], [0, np.inf, 0], [0, 0, -np.inf]):
+        rows, dists = idx.knn(q, 5)
+        assert len(rows) == 0 and len(dists) == 0
+        assert len(idx.radius(q, 1.0)) == 0
+    # Non-finite radius likewise returns empty instead of crashing.
+    assert len(idx.radius([0.0, 0.0, 0.0], np.nan)) == 0

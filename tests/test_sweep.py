@@ -244,3 +244,24 @@ def test_sweep_radius_count_two_pass_rescues_overflow(use_kernel):
     )
     sel = np.asarray(valid)
     np.testing.assert_array_equal(np.asarray(c2)[sel], ref[sel])
+
+
+def test_two_pass_fix_cap_rounds_to_block_multiple():
+    """fix_cap not divisible by 128 must be accepted (rounded up to the
+    query-block size internally), not raise an obscure reshape error."""
+    from pointclouds_tpu.spatial import engine
+    from pointclouds_tpu.spatial.sweep import sweep_knn_two_pass
+
+    rng = np.random.default_rng(5)
+    pts = (rng.random((3000, 3)) * 6).astype(np.float32)
+    import pointclouds_tpu as pc
+
+    c = pc.PointCloud.from_numpy(pts)
+    xyz, valid = c._arrs.xyz, c._arrs.valid
+    cell = jnp.float32(
+        float(np.asarray(engine.estimate_cell_size(xyz, valid, 8)))
+    )
+    d, i, v, ok = sweep_knn_two_pass(
+        xyz, valid, cell, k=8, wr=4, fix_cap=1000, use_kernel=False
+    )
+    assert np.asarray(ok).sum() > 0
