@@ -112,3 +112,48 @@ def test_normals_collinear_points_default():
     assert np.all(np.isfinite(nn))
     # normal must be orthogonal to the line direction (x)
     assert np.all(np.abs(nn[:, 0]) < 1e-3)
+
+
+def test_normals_from_moment_rows_matches_knn_path():
+    """The shared component-planar moments->normals helper (used by the
+    aerial pipeline, normals_fused, and the engine adapter) must agree
+    with the reference-shaped KNN covariance path on the same neighbor
+    sets."""
+    import jax.numpy as jnp
+
+    from pointclouds_tpu.ops.normals import (
+        normals_from_knn,
+        normals_from_moment_rows,
+    )
+    from pointclouds_tpu.spatial.knn import bruteforce_knn
+
+    rng = np.random.default_rng(11)
+    xyz = jnp.asarray((rng.random((600, 3)) * 4).astype(np.float32))
+    valid = jnp.ones((600,), bool)
+    k = 12
+    d, idx, nv = bruteforce_knn(xyz, valid, xyz, valid, k)
+    vp = jnp.zeros((3,), jnp.float32)
+    want = np.asarray(normals_from_knn(xyz, idx, nv, vp))
+
+    # Build query-centered moment rows from the same neighbor sets.
+    nb = np.asarray(jnp.take(xyz, jnp.clip(idx, 0, 599), axis=0))
+    rel = np.where(np.asarray(nv)[:, :, None],
+                   nb - np.asarray(xyz)[:, None, :], 0.0).astype(np.float64)
+    m1r = jnp.asarray(rel.sum(axis=1).T.astype(np.float32))
+    m2r = jnp.asarray(np.stack([
+        (rel[:, :, 0] * rel[:, :, 0]).sum(1),
+        (rel[:, :, 1] * rel[:, :, 1]).sum(1),
+        (rel[:, :, 2] * rel[:, :, 2]).sum(1),
+        (rel[:, :, 0] * rel[:, :, 1]).sum(1),
+        (rel[:, :, 0] * rel[:, :, 2]).sum(1),
+        (rel[:, :, 1] * rel[:, :, 2]).sum(1),
+    ]).astype(np.float32))
+    cnt = jnp.asarray(np.asarray(nv).sum(axis=1).astype(np.float32))
+    got = np.asarray(normals_from_moment_rows(m1r, m2r, cnt, xyz, vp))
+
+    # Same unit normals up to f32 covariance accumulation differences.
+    dots = np.abs((got * want).sum(axis=1))
+    assert (dots > 0.999).mean() > 0.98
+    np.testing.assert_allclose(
+        np.linalg.norm(got, axis=1), 1.0, atol=1e-4
+    )
