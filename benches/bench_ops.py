@@ -70,6 +70,35 @@ def timeit(name, fn, *args, reps=5, floor=0.0, ref_ms=None):
     return out
 
 
+def single_query_bench(c, n_queries=2000):
+    """Per-query cost of the build-once host index (KNN k=10 + radius),
+    mirroring the reference's per-query KD-tree benchmark methodology:
+    build once, then median per-query wall time over a query batch."""
+    rng = np.random.default_rng(9)
+    qs = (rng.random((n_queries, 3)) * 10.0).astype(np.float64)
+
+    t0 = time.perf_counter()
+    idx = c._index()
+    build_ms = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    for q in qs:
+        idx.knn(q, 10)
+    knn_us = (time.perf_counter() - t0) * 1e6 / n_queries
+
+    t0 = time.perf_counter()
+    for q in qs:
+        idx.radius(q, 0.5)
+    rad_us = (time.perf_counter() - t0) * 1e6 / n_queries
+
+    native = getattr(idx, "_native", None) is not None
+    print(
+        f"{'host index 100K (build once)':42s} build={build_ms:7.2f}ms  "
+        f"knn k=10={knn_us:6.2f}us/q (ref=1.47us)  "
+        f"radius={rad_us:6.2f}us/q (ref=0.235us)  native={native}"
+    )
+
+
 def cloud(n, seed=0, box=10.0):
     rng = np.random.default_rng(seed)
     return pc.PointCloud.from_numpy(
@@ -108,6 +137,12 @@ def main():
         return engine.knn(xyz, valid, xyz, valid, 10)
 
     timeit("knn k=10 all 100K pts", knn_all, arrs.xyz, arrs.valid, floor=floor, ref_ms=147.0)
+
+    # Single-query path: the build-once native host index serves the
+    # reference's per-query KD-tree rows (BENCHMARKS.md:43-48 — 1.47 us
+    # KNN k=10, 235 ns radius at 100K). Host-side timing, no dispatch
+    # floor involved.
+    single_query_bench(c100k)
 
     timeit("SOR k=10 10K", pc.statistical_outlier_removal, c10k, 10, 2.0, floor=floor, ref_ms=11.2)
     timeit("SOR k=10 100K", pc.statistical_outlier_removal, c100k, 10, 2.0, floor=floor, ref_ms=128.0)

@@ -193,11 +193,20 @@ class NativeCellIndex:
     """ctypes handle for the C++ build-once host index (pcindex.cpp).
     Same exact semantics as spatial/hostindex.HostCellIndex; ~100x less
     per-query interpreter overhead. Use `create_index`; returns None when
-    the toolchain/library is unavailable (callers keep the numpy path)."""
+    the toolchain/library is unavailable (callers keep the numpy path).
+
+    Per-query scratch (query vector + output arrays + their ctypes
+    pointers) is THREAD-LOCAL and reused across calls: the allocations
+    and `data_as` marshaling cost ~15 us/query, ~2x the C query itself.
+    Results are copied out of the scratch, so returned arrays stay valid
+    across subsequent queries."""
 
     def __init__(self, lib, handle):
+        import threading
+
         self._lib = lib
         self._h = handle
+        self._tls = threading.local()
 
     def __del__(self):
         try:
@@ -205,20 +214,40 @@ class NativeCellIndex:
         except Exception:
             pass
 
-    def knn(self, q, k: int):
+    def _scratch(self, k: int):
         import numpy as np
 
-        qa = np.ascontiguousarray(np.asarray(q, np.float64).reshape(3))
-        rows = np.empty((k,), np.int64)
-        dists = np.empty((k,), np.float64)
-        cnt = self._lib.pcidx_knn(
-            self._h,
-            qa.ctypes.data_as(ctypes.c_void_p),
-            k,
-            rows.ctypes.data_as(ctypes.c_void_p),
-            dists.ctypes.data_as(ctypes.c_void_p),
-        )
-        return rows[:cnt], dists[:cnt]
+        tls = self._tls
+        s = getattr(tls, "s", None)
+        if s is None or s[1].shape[0] < k:
+            qa = np.empty((3,), np.float64)
+            rows = np.empty((max(k, 32),), np.int64)
+            dists = np.empty((max(k, 32),), np.float64)
+            s = (
+                qa,
+                rows,
+                dists,
+                qa.ctypes.data_as(ctypes.c_void_p),
+                rows.ctypes.data_as(ctypes.c_void_p),
+                dists.ctypes.data_as(ctypes.c_void_p),
+            )
+            tls.s = s
+        return s
+
+    @staticmethod
+    def _fill_query(qa, q):
+        try:
+            qa[:] = q
+        except ValueError:  # e.g. a [1, 3]-shaped query
+            import numpy as np
+
+            qa[:] = np.asarray(q, np.float64).reshape(3)
+
+    def knn(self, q, k: int):
+        qa, rows, dists, qp, rp, dp = self._scratch(k)
+        self._fill_query(qa, q)
+        cnt = self._lib.pcidx_knn(self._h, qp, k, rp, dp)
+        return rows[:cnt].copy(), dists[:cnt].copy()
 
     def knn_batch(self, qs, k: int):
         """(rows i64[nq, k], dists f64[nq, k], counts i64[nq]) — one C
@@ -246,20 +275,24 @@ class NativeCellIndex:
     def radius(self, q, radius: float):
         import numpy as np
 
-        qa = np.ascontiguousarray(np.asarray(q, np.float64).reshape(3))
-        cap = 256
+        qa, _, _, qp, _, _ = self._scratch(1)
+        self._fill_query(qa, q)
+        tls = self._tls
+        hits = getattr(tls, "hits", None)
+        if hits is None:
+            hits = (np.empty((256,), np.int64),)
+            hits = (hits[0], hits[0].ctypes.data_as(ctypes.c_void_p))
+            tls.hits = hits
         while True:
-            rows = np.empty((cap,), np.int64)
+            buf, bp = hits
             cnt = self._lib.pcidx_radius(
-                self._h,
-                qa.ctypes.data_as(ctypes.c_void_p),
-                float(radius),
-                rows.ctypes.data_as(ctypes.c_void_p),
-                cap,
+                self._h, qp, float(radius), bp, buf.shape[0]
             )
-            if cnt <= cap:
-                return rows[:cnt]
-            cap = int(cnt)
+            if cnt <= buf.shape[0]:
+                return buf[:cnt].copy()
+            grown = np.empty((int(cnt),), np.int64)
+            hits = (grown, grown.ctypes.data_as(ctypes.c_void_p))
+            tls.hits = hits
 
 
 def create_index(xyz, valid):
