@@ -622,8 +622,13 @@ def euclidean_cluster(
 
 
 def ransac_plane_seeded(
-    cloud: PointCloud, distance_threshold: float, iterations: int, seed: int
+    cloud: PointCloud, distance_threshold: float, iterations: int, seed: int,
+    score_subsample: int | None = None,
 ) -> PlaneResult:
+    """``score_subsample`` is a superset knob (not in the reference
+    surface): tournament hypothesis scoring — see
+    ops/segmentation.ransac_plane_masked. Final inliers are always
+    full-cloud either way."""
     iterations = int(iterations)
     if cloud.len() < 3 or iterations <= 0:
         return PlaneResult(normal=[0.0, 0.0, 1.0], d=0.0, inliers=[])
@@ -634,6 +639,7 @@ def ransac_plane_seeded(
             jnp.float32(distance_threshold),
             int(seed) % (2**31),
             iterations,
+            score_subsample=score_subsample,
         )
     )
     # ONE fetch total: bytes [0:16] carry the f32 scalars (bitcast,

@@ -54,9 +54,12 @@ def _sample_three_distinct(key, iterations: int, cnt):
     return jnp.stack([a, b, c], axis=1)
 
 
-@partial(jax.jit, static_argnames=("iterations", "assume_compact"))
+@partial(jax.jit, static_argnames=("iterations", "assume_compact",
+                                   "score_subsample", "rescore_top"))
 def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
-                        *, assume_compact: bool = False):
+                        *, assume_compact: bool = False,
+                        score_subsample: int | None = None,
+                        rescore_top: int = 8):
     """Batched RANSAC plane fit on a masked cloud.
 
     Returns (normal f32[3], d f32, inlier_mask bool[N]). With fewer than 3
@@ -66,6 +69,16 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
     ``assume_compact=True`` asserts the valid rows are exactly the leading
     ``sum(valid)`` rows (true for voxel-downsample outputs), so sample
     positions are row indices directly and the compaction sort is skipped.
+
+    ``score_subsample=m`` scores every hypothesis on m evenly-spaced
+    valid points, then rescores only the ``rescore_top`` leaders over the
+    FULL cloud and takes the first maximum — the final model and its
+    inliers are always full-cloud counts (the reference itself recomputes
+    final inliers over all points, ref :124-128), only which hypothesis
+    WINS is decided via the tournament. With m >= 4096 the subsample
+    inlier-fraction error is < ~1%, far below the winner's margin on real
+    ground planes, so the chosen plane matches full scoring in practice;
+    the scoring cost drops from O(iters * N) to O(iters * m + top * N).
     """
     n = xyz.shape[0]
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
@@ -73,6 +86,7 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
 
     key = jax.random.PRNGKey(seed)
     samples = _sample_three_distinct(key, iterations, cnt)  # positions
+    order = None
     if assume_compact:
         idx = samples  # position p IS original row p
     else:
@@ -103,30 +117,74 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
         ok = jnp.logical_and(use_pt[:, None], dist <= threshold)
         return jnp.sum(ok.astype(jnp.int32), axis=0)
 
-    if iterations * n <= _SCORE_ONE_SHOT_ELEMS:
-        # One batched MXU matmul for every hypothesis: the sequential
-        # lax.map chunking costs several serialized [N, C] passes; at
-        # demo scale (300 iters x 241K pts -> a 290 MB f32 intermediate)
-        # a single fused dot + mask + reduce is one streamed pass.
-        counts = score_chunk((normal, d))
-    else:
-        pad = (-iterations) % _SCORE_CHUNK
-        normal_p = jnp.concatenate(
-            [normal, jnp.zeros((pad, 3), normal.dtype)]
+    if score_subsample is not None and iterations > rescore_top:
+        # ── Tournament scoring ──
+        m = score_subsample
+        # floor(i * cnt / m) without int32 overflow (i * cnt can exceed
+        # 2^31 at 16M points): i*(cnt//m) + i*(cnt%m)//m, i*(cnt%m) < 2^28.
+        ar = jnp.arange(m, dtype=jnp.int32)
+        pos = ar * (cnt // m) + (ar * (cnt % m)) // m
+        # Duplicate positions appear when cnt < m; mask them so subsample
+        # counts stay counts over distinct points.
+        distinct = jnp.concatenate(
+            [jnp.ones((1,), bool), pos[1:] != pos[:-1]]
         )
-        d_p = jnp.concatenate([d, jnp.zeros((pad,), d.dtype)])
-        nchunks = normal_p.shape[0] // _SCORE_CHUNK
-        counts = jax.lax.map(
-            score_chunk,
-            (
-                normal_p.reshape(nchunks, _SCORE_CHUNK, 3),
-                d_p.reshape(nchunks, _SCORE_CHUNK),
-            ),
-        ).reshape(-1)[:iterations]
-    counts = jnp.where(degenerate, -1, counts)
+        sub_rows = pos if order is None else jnp.take(order, pos)
+        sub_xyz = jnp.take(xyz, sub_rows, axis=0)
+        sub_use = jnp.logical_and(jnp.take(use_pt, sub_rows), distinct)
+        sdist = jnp.abs(
+            jax.lax.dot(sub_xyz, normal.T,
+                        precision=jax.lax.Precision.HIGHEST)
+            + d[None, :]
+        )  # [m, I]
+        sub_counts = jnp.sum(
+            jnp.logical_and(sub_use[:, None], sdist <= threshold)
+            .astype(jnp.int32),
+            axis=0,
+        )
+        sub_counts = jnp.where(degenerate, -1, sub_counts)
+        # Leaders, ties broken toward the EARLIER hypothesis (the
+        # reference's first-max reduce): key = count * I + (I-1-index).
+        ii = jnp.arange(iterations, dtype=jnp.int32)
+        _, top_idx = jax.lax.top_k(
+            sub_counts * iterations + (iterations - 1 - ii), rescore_top
+        )
+        full_counts = score_chunk(
+            (jnp.take(normal, top_idx, axis=0), jnp.take(d, top_idx))
+        )
+        full_counts = jnp.where(
+            jnp.take(degenerate, top_idx), -1, full_counts
+        )
+        mx = jnp.max(full_counts)
+        best = jnp.min(jnp.where(full_counts == mx, top_idx, iterations))
+        best_count = mx
+    else:
+        if iterations * n <= _SCORE_ONE_SHOT_ELEMS:
+            # One batched MXU matmul for every hypothesis: the sequential
+            # lax.map chunking costs several serialized [N, C] passes; at
+            # demo scale (300 iters x 241K pts -> a 290 MB f32
+            # intermediate) a single fused dot + mask + reduce is one
+            # streamed pass.
+            counts = score_chunk((normal, d))
+        else:
+            pad = (-iterations) % _SCORE_CHUNK
+            normal_p = jnp.concatenate(
+                [normal, jnp.zeros((pad, 3), normal.dtype)]
+            )
+            d_p = jnp.concatenate([d, jnp.zeros((pad,), d.dtype)])
+            nchunks = normal_p.shape[0] // _SCORE_CHUNK
+            counts = jax.lax.map(
+                score_chunk,
+                (
+                    normal_p.reshape(nchunks, _SCORE_CHUNK, 3),
+                    d_p.reshape(nchunks, _SCORE_CHUNK),
+                ),
+            ).reshape(-1)[:iterations]
+        counts = jnp.where(degenerate, -1, counts)
+        best = jnp.argmax(counts)  # first maximum, like the reference
+        best_count = counts[best]
 
-    best = jnp.argmax(counts)  # first maximum, like the reference reduce
-    found = counts[best] > 0
+    found = best_count > 0
     enough = cnt >= 3
     ok_model = jnp.logical_and(found, enough)
     best_normal = jnp.where(ok_model, normal[best], jnp.array([0.0, 0.0, 1.0]))
@@ -145,9 +203,11 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
     return best_normal, best_d, inlier_mask
 
 
-@partial(jax.jit, static_argnames=("iterations", "assume_compact"))
+@partial(jax.jit, static_argnames=("iterations", "assume_compact",
+                                   "score_subsample"))
 def ransac_plane_bytes(xyz, valid, threshold, seed, iterations: int,
-                       *, assume_compact: bool = False):
+                       *, assume_compact: bool = False,
+                       score_subsample: int | None = None):
     """ransac_plane_masked with EVERYTHING in one uint8[16 + N] buffer:
     bytes [0:16] are the little-endian f32 scalars [nx, ny, nz, d]
     (bitcast, exact) and bytes [16:] the 0/1 inlier mask. ONE
@@ -156,7 +216,7 @@ def ransac_plane_bytes(xyz, valid, threshold, seed, iterations: int,
     tunneled harness."""
     normal, d, inlier_mask = ransac_plane_masked(
         xyz, valid, threshold, seed, iterations,
-        assume_compact=assume_compact,
+        assume_compact=assume_compact, score_subsample=score_subsample,
     )
     scal = jax.lax.bitcast_convert_type(
         jnp.concatenate([normal, d[None]]).astype(jnp.float32), jnp.uint8

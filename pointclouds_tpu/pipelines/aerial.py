@@ -63,6 +63,7 @@ class AerialPipelineOutput(NamedTuple):
         "ds_cap",
         "normals_rescue",
         "normals_fix_cap",
+        "ransac_subsample",
     ),
 )
 def aerial_pipeline(
@@ -83,6 +84,7 @@ def aerial_pipeline(
     ds_cap: int | None = None,
     normals_rescue: bool = False,
     normals_fix_cap: int = 16384,
+    ransac_subsample: int | None = None,
 ):
     """Voxel -> sweep normals -> RANSAC -> ground removal -> sweep cluster.
 
@@ -147,7 +149,7 @@ def aerial_pipeline(
     # its compaction sort (sample positions are row indices directly).
     pnormal, d, inlier_mask = ransac_plane_masked(
         centroids, ds_valid, ransac_thresh, seed, ransac_iters,
-        assume_compact=True,
+        assume_compact=True, score_subsample=ransac_subsample,
     )
 
     # ── Step 4+5: ground removal + clustering ──

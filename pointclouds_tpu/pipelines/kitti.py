@@ -70,6 +70,7 @@ class KittiPipelineOutput(NamedTuple):
         "sor_fix_cap",
         "sor_backend",
         "ds_cap",
+        "ransac_subsample",
     ),
 )
 def kitti_obstacle_pipeline(
@@ -91,6 +92,7 @@ def kitti_obstacle_pipeline(
     sor_fix_cap: int = 8192,
     sor_backend: str = "auto",
     ds_cap: int | None = None,
+    ransac_subsample: int | None = None,
 ):
     # ── Step 1: voxel downsample ────────────────────────────────────────────
     centroids_full, ds_valid_full = voxel_downsample_masked(
@@ -205,8 +207,12 @@ def kitti_obstacle_pipeline(
     cleaned_valid = sor_keep_mask(mean_dists, ds_valid, sor_std)
 
     # ── Step 3: RANSAC ground plane ────────────────────────────────────────
+    # ransac_subsample: tournament scoring (subsample + top-8 full-cloud
+    # rescore, see ops/segmentation.py) — A/B lever for the streaming
+    # bench; the final inlier set is always full-cloud.
     normal, d, inlier_mask = ransac_plane_masked(
-        centroids, cleaned_valid, ransac_thresh, seed, ransac_iters
+        centroids, cleaned_valid, ransac_thresh, seed, ransac_iters,
+        score_subsample=ransac_subsample,
     )
 
     # ── Step 4: ground removal + compact obstacles to a small capacity ─────

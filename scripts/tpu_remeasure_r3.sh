@@ -10,4 +10,5 @@ timeout 1800 python bench.py > /tmp/bench_final.log 2>&1
 timeout 1200 python scripts/profile_kitti.py > /tmp/profile_kitti_final.log 2>&1
 timeout 1800 python scripts/micro_layout_r3.py > /tmp/micro_layout_final.log 2>&1
 timeout 1200 python examples/kitti_obstacle_detection.py > /tmp/kitti_drive_final.log 2>&1
+timeout 2400 python scripts/micro_ab_r3c.py > /tmp/micro_ab_r3c.log 2>&1
 echo DONE

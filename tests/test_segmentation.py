@@ -270,3 +270,54 @@ def test_cluster_pathological_density_exact():
     expect = brute_cluster(data, 1.0, 5, 5000)
     assert [len(c) for c in clusters] == [len(c) for c in expect]
     assert clusters == expect
+
+
+def test_ransac_tournament_matches_full_scoring():
+    """score_subsample (tournament scoring: subsample + top-m full-cloud
+    rescore) must pick the same plane as full scoring on a scene with a
+    clear dominant plane, across seeds — and the degenerate/empty edge
+    cases must keep their defaults."""
+    import jax.numpy as jnp
+
+    from pointclouds_tpu.core.cloud import make_cloud_arrays
+    from pointclouds_tpu.ops.segmentation import ransac_plane_masked
+
+    rng = np.random.default_rng(4)
+    data = np.vstack([
+        (rng.random((30_000, 3)) * [20, 20, 0.06]).astype(np.float32),
+        (rng.random((8_000, 3)) * 20).astype(np.float32),
+    ])
+    arrs = make_cloud_arrays(data)
+    for seed in (0, 7, 1234):
+        full = ransac_plane_masked(
+            arrs.xyz, arrs.valid, jnp.float32(0.05), seed, 300
+        )
+        tour = ransac_plane_masked(
+            arrs.xyz, arrs.valid, jnp.float32(0.05), seed, 300,
+            score_subsample=2048,
+        )
+        np.testing.assert_allclose(
+            np.asarray(full[0]), np.asarray(tour[0]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(full[1]), float(tour[1]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full[2]), np.asarray(tour[2])
+        )
+
+    # Subsample larger than the cloud: duplicates masked, still correct.
+    small = make_cloud_arrays(data[:500])
+    f = ransac_plane_masked(small.xyz, small.valid, jnp.float32(0.05), 3, 64)
+    t = ransac_plane_masked(
+        small.xyz, small.valid, jnp.float32(0.05), 3, 64,
+        score_subsample=2048,
+    )
+    np.testing.assert_array_equal(np.asarray(f[2]), np.asarray(t[2]))
+
+    # All-degenerate samples (a single repeated point): default model.
+    one = make_cloud_arrays(np.zeros((3, 3), np.float32))
+    nrm, d, mask = ransac_plane_masked(
+        one.xyz, one.valid, jnp.float32(0.05), 0, 32, score_subsample=256
+    )
+    assert np.asarray(mask).sum() == 0 or abs(float(d)) < 1e-6
