@@ -66,6 +66,10 @@ def main():
                 # 93,033 centroids fit a 98,304-row cap with 5.6% headroom;
                 # truncation would surface in ds_truncated below.
                 ds_cap=98_304,
+                # Tournament scoring (subsample + top-8 full-cloud rescore):
+                # measured -0.3 ms/frame streaming with identical clusters
+                # (scripts/micro_ab_r3c.py); final inliers stay full-cloud.
+                ransac_subsample=4096,
             )
         return run
 
@@ -119,6 +123,8 @@ def main():
             # 10-20% headroom and the overflow flags below stay honest.
             ds_cap=229_376,
             obstacle_cap=196_608,
+            # Measured -0.9 ms/frame streaming (scripts/micro_ab_r3c.py).
+            ransac_subsample=4096,
         )
 
     aout = arun(0)

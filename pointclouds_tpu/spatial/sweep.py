@@ -927,33 +927,44 @@ def _sorted_structure(xyz, valid, cell_size, wr, table_size):
         jnp.int32
     )
 
-    order = jnp.argsort(lin, stable=True)
-    slin = jnp.take(lin, order)
-    sxyz = jnp.take(xyz, order, axis=0)
+    # Payload-carrying stable sort: x/y/z and the original row id ride the
+    # cell-key sort as 1-D channels, and the inverse permutation is one
+    # more key-value sort. The previous argsort + [N, 3] row gather +
+    # scatter-built inverse streamed the row-tiled layout (minor axis
+    # padded 3 -> 128); see scripts/micro_sortpayload.py.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    slin, sxc, syc, szc, order = jax.lax.sort(
+        (lin, xyz[:, 0], xyz[:, 1], xyz[:, 2], iota),
+        num_keys=1,
+        is_stable=True,
+    )
     suse = slin < table_size
-    sxyz = jnp.where(suse[:, None], sxyz, 0.0)
+    sxc = jnp.where(suse, sxc, 0.0)
+    syc = jnp.where(suse, syc, 0.0)
+    szc = jnp.where(suse, szc, 0.0)
 
     pad = (-n) % 128
     npad = n + pad
-    if pad:
-        slin_p = jnp.concatenate([slin, jnp.full((pad,), table_size, jnp.int32)])
-        sxyz_p = jnp.concatenate([sxyz, jnp.zeros((pad, 3), jnp.float32)])
-        suse_p = jnp.concatenate([suse, jnp.zeros((pad,), bool)])
-    else:
-        slin_p, sxyz_p, suse_p = slin, sxyz, suse
     nrows = max(npad // 128, wr)
-    rpad = nrows * 128 - npad
-    if rpad:
-        slin_p = jnp.concatenate([slin_p, jnp.full((rpad,), table_size, jnp.int32)])
-        sxyz_p = jnp.concatenate([sxyz_p, jnp.zeros((rpad, 3), jnp.float32)])
-        suse_p = jnp.concatenate([suse_p, jnp.zeros((rpad,), bool)])
+    tail = nrows * 128 - n
+    if tail:
+        ftail = jnp.zeros((tail,), jnp.float32)
+        slin_p = jnp.concatenate(
+            [slin, jnp.full((tail,), table_size, jnp.int32)]
+        )
+        sxc_p = jnp.concatenate([sxc, ftail])
+        syc_p = jnp.concatenate([syc, ftail])
+        szc_p = jnp.concatenate([szc, ftail])
+        suse_p = jnp.concatenate([suse, jnp.zeros((tail,), bool)])
+    else:
+        slin_p, sxc_p, syc_p, szc_p, suse_p = slin, sxc, syc, szc, suse
     nb = npad // 128
 
     planar = jnp.stack(
         [
-            sxyz_p[:, 0].reshape(nrows, 128),
-            sxyz_p[:, 1].reshape(nrows, 128),
-            sxyz_p[:, 2].reshape(nrows, 128),
+            sxc_p.reshape(nrows, 128),
+            syc_p.reshape(nrows, 128),
+            szc_p.reshape(nrows, 128),
             suse_p.astype(jnp.float32).reshape(nrows, 128),
         ],
         axis=1,
@@ -962,11 +973,7 @@ def _sorted_structure(xyz, valid, cell_size, wr, table_size):
     starts_skip, block_ok = _window_starts(
         slin_p, suse_p, extent, nrows, nb, wr, table_size
     )
-    inv = (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(jnp.arange(n, dtype=jnp.int32))
-    )
+    _, inv = jax.lax.sort((order, iota), num_keys=1, is_stable=True)
     return dict(
         planar=planar,
         order=order,
