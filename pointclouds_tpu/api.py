@@ -40,6 +40,7 @@ from .ops import normals as _normals
 from .ops import registration as _registration
 from .ops import segmentation as _segmentation
 from .spatial import engine as _engine
+from . import native as _native
 
 __all__ = [
     "PointCloud",
@@ -583,8 +584,8 @@ def euclidean_cluster(
         return []
 
     xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
-    res = _engine.cluster_labels(xyz, valid, distance_threshold)
-    if res is None:
+    labels_np = _engine.cluster_labels(xyz, valid, distance_threshold)
+    if labels_np is None:
         # Huge extents or unbounded per-cell density: exact int64-keyed
         # fallback (grid neighbor lists + per-point label propagation).
         nbrs = _engine.radius_neighbors(xyz, valid, distance_threshold)
@@ -596,17 +597,23 @@ def euclidean_cluster(
             labels = _segmentation.bruteforce_cluster_labels(
                 xyz, valid, jnp.float32(distance_threshold)
             )
-        labels_np = np.asarray(labels)[: cloud.len()]
-        order = np.argsort(labels_np, kind="stable")
-        sorted_labels = labels_np[order]
-    else:
-        # Engine already sorted on device (stable, so member ids within a
-        # label segment are ascending); padding/invalid rows carry label =
-        # own row id >= len and occupy exactly the tail — slice them off.
-        sorted_labels, order = (a[: cloud.len()] for a in res)
+        labels_np = np.asarray(labels, np.int32)
+    # Padding/invalid rows carry label = own row id >= len and occupy
+    # exactly the tail — slice them off.
+    labels_np = labels_np[: cloud.len()]
 
     # Host-side component extraction + canonical ordering
     # (ref: crates/segmentation/src/euclidean_cluster.rs:169-186).
+    res = _native.cluster_epilogue(labels_np, min_size, max_size)
+    if res is not None:
+        # Native counting-sort epilogue: order grouped canonically
+        # (size desc, first-member tiebreak; members ascending).
+        order, starts = res
+        return [
+            order[s:e].tolist() for s, e in zip(starts[:-1], starts[1:])
+        ]
+    order = np.argsort(labels_np, kind="stable")
+    sorted_labels = labels_np[order]
     boundaries = np.nonzero(
         np.concatenate([[True], sorted_labels[1:] != sorted_labels[:-1]])
     )[0]

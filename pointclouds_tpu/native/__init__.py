@@ -186,6 +186,11 @@ def _load_index():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.pcidx_cluster_epilogue.restype = ctypes.c_int64
+    lib.pcidx_cluster_epilogue.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     return lib
 
 
@@ -293,6 +298,36 @@ class NativeCellIndex:
             grown = np.empty((int(cnt),), np.int64)
             hits = (grown, grown.ctypes.data_as(ctypes.c_void_p))
             tls.hits = hits
+
+
+def cluster_epilogue(labels, min_size: int, max_size: int):
+    """Group rows by component label into the reference's canonical
+    cluster order (size desc, first-member tiebreak; members ascending).
+    Returns (order i32[n], starts i64[k+1]) — cluster c is
+    order[starts[c]:starts[c+1]] — or None when the native library is
+    unavailable (callers keep the numpy epilogue).
+
+    C-side counting sort (pcindex.cpp:pcidx_cluster_epilogue): the
+    Python np.argsort + per-segment slicing it replaces was ~37 ms at
+    131K rows with many clusters."""
+    import numpy as np
+
+    lib = _load_index()
+    if lib is None:
+        return None
+    lab = np.ascontiguousarray(np.asarray(labels, np.int32))
+    n = lab.shape[0]
+    order = np.empty((n,), np.int32)
+    starts = np.empty((n + 1,), np.int64)
+    k = lib.pcidx_cluster_epilogue(
+        lab.ctypes.data_as(ctypes.c_void_p),
+        n,
+        int(min_size),
+        int(max_size),
+        order.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
+    )
+    return order, starts[: k + 1]
 
 
 def create_index(xyz, valid):

@@ -365,3 +365,53 @@ void pcidx_knn_batch(void* h, const double* qs, int64_t nq, int64_t k,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Cluster epilogue: group rows by component label into the reference's
+// canonical order (size desc, then lexicographic — the first member IS
+// the label, since labels are component-minimum row ids and members are
+// emitted ascending; ref: crates/segmentation/src/euclidean_cluster.rs:
+// 169-186). Replaces the Python np.argsort + per-segment list build,
+// which dominated the euclidean_cluster API wall time (~37 ms at 131K).
+//
+// labels: [n] component label per row, each in [0, n).
+// out_order: [n] row ids grouped by cluster, ascending within a cluster.
+// out_starts: [n + 1] capacity; start offset of cluster c in out_order.
+// Returns the number of clusters k passing min_size <= size <= max_size
+// (out_starts[0..k] valid, segment c ends at out_starts[c + 1]).
+int64_t pcidx_cluster_epilogue(const int32_t* labels, int64_t n,
+                               int64_t min_size, int64_t max_size,
+                               int32_t* out_order, int64_t* out_starts) {
+    std::vector<int64_t> count(n, 0);
+    for (int64_t i = 0; i < n; ++i) count[labels[i]]++;
+    // Surviving cluster labels, canonical order: size desc, label asc.
+    std::vector<int32_t> keep;
+    keep.reserve(1024);
+    for (int64_t l = 0; l < n; ++l) {
+        const int64_t c = count[l];
+        if (c >= min_size && c <= max_size && c > 0) keep.push_back((int32_t)l);
+    }
+    std::sort(keep.begin(), keep.end(), [&](int32_t a, int32_t b) {
+        if (count[a] != count[b]) return count[a] > count[b];
+        return a < b;
+    });
+    // Per-label write cursor into out_order (n sentinel = dropped).
+    std::vector<int64_t> cursor(n, -1);
+    int64_t off = 0;
+    const int64_t k = (int64_t)keep.size();
+    for (int64_t c = 0; c < k; ++c) {
+        out_starts[c] = off;
+        cursor[keep[c]] = off;
+        off += count[keep[c]];
+    }
+    out_starts[k] = off;
+    // Rows visited ascending: members land ascending within each cluster.
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t& cur = cursor[labels[i]];
+        if (cur >= 0) out_order[cur++] = (int32_t)i;
+    }
+    return k;
+}
+
+}  // extern "C"

@@ -71,6 +71,8 @@ class KittiPipelineOutput(NamedTuple):
         "sor_backend",
         "ds_cap",
         "ransac_subsample",
+        "sor_cell_factor",
+        "sor_per_seg",
     ),
 )
 def kitti_obstacle_pipeline(
@@ -93,6 +95,8 @@ def kitti_obstacle_pipeline(
     sor_backend: str = "auto",
     ds_cap: int | None = None,
     ransac_subsample: int | None = None,
+    sor_cell_factor: float = 3.0,
+    sor_per_seg: int = 2,
 ):
     # ── Step 1: voxel downsample ────────────────────────────────────────────
     centroids_full, ds_valid_full = voxel_downsample_masked(
@@ -110,14 +114,16 @@ def kitti_obstacle_pipeline(
     ds_overflow = jnp.any(ds_valid_full[ds_cap:])
 
     # ── Step 2: statistical outlier removal (two-pass cell-centric KNN) ────
-    # Pass 1: cell = 4.0 voxels — the k=20th-neighbor radius at production
-    # densities (22-45 pts/m^2 ground) stays well inside one cell width, so
-    # only genuinely sparse points (noise, object borders) fail the
-    # certificate, keeping the pass-2 rescue batch under its cap.
+    # Pass 1: cell = 3.0 voxels (A/B'd over {3, 3.5, 4, 5} x per_seg {2, 3}
+    # on the streaming bench, scripts/micro_sorcell.py) — the k=20th-
+    # neighbor radius at production densities (22-45 pts/m^2 ground) stays
+    # inside one cell width, so only genuinely sparse points (noise,
+    # object borders) fail the certificate, keeping the pass-2 rescue
+    # batch under its cap.
     # Per-cell occupancy stays under sor_m; truncated or uncertified points
     # are all rescued by pass 2 (truncation marks point_slot as
     # out-of-grid, which fails the certificate).
-    sor_cell = voxel_size * 4.0
+    sor_cell = voxel_size * sor_cell_factor
     if sor_backend == "auto":
         # Sorted-window sweep by default: gather-free, fused Pallas kernel
         # on TPU (spatial/sweep.py); same formulation through the XLA
@@ -135,8 +141,8 @@ def kitti_obstacle_pipeline(
             k=sor_k,
             fix_cap=sor_fix_cap,
             rescue_cells=4.0,
-            per_seg=3,  # one fewer insertion level; the ~160 extra
-            # segment-certificate flags are rescued exactly (-2.5 ms)
+            per_seg=sor_per_seg,  # 3 = one fewer insertion level; the
+            # ~160 extra segment-certificate flags are rescued exactly
             use_kernel=(sor_backend == "sweep"),
         )
         grid_overflow = jnp.asarray(False)

@@ -348,8 +348,9 @@ def cluster_labels(xyz, valid, radius: float):
     `sweep.sweep_cluster_labels`); the collapsed cell-graph path remains
     as the second attempt for window-overflow cases.
 
-    Returns (sorted_labels i32[N] ascending, order i32[N] original row
-    ids, stable) as host arrays, or None."""
+    Returns labels i32[N] in ORIGINAL row order as a host array (label =
+    smallest member row id), or None. Grouping/canonical ordering is the
+    caller's epilogue (native.cluster_epilogue / numpy fallback)."""
     n = xyz.shape[0]
     if n < CELLGRID_MAX_N and n > BRUTE_THRESHOLD // 4:
         from .sweep import CLUSTER_RESIDENT_BYTES, sweep_cluster_labels
@@ -384,8 +385,7 @@ def cluster_labels(xyz, valid, radius: float):
                 run, _kernel_preference(), memo_key=("cluster", n, wr)
             )
             if exact:
-                order = np.argsort(labels, kind="stable").astype(np.int32)
-                return labels[order], order
+                return np.asarray(labels, np.int32)
     ext = _extent(xyz, valid)
     max_abs = ext[2] if ext else 0.0
     # cell = r/2 keeps the cell diagonal below r (same-cell points are all
@@ -406,9 +406,7 @@ def cluster_labels(xyz, valid, radius: float):
         if bool(grid.overflow):
             continue
         adjacency = cell_graph_adjacency(grid, jnp.float32(radius))
-        labels = np.asarray(cell_graph_labels(grid, adjacency))
-        order = np.argsort(labels, kind="stable").astype(labels.dtype)
-        return labels[order], order
+        return np.asarray(cell_graph_labels(grid, adjacency), np.int32)
     return None
 
 

@@ -211,3 +211,53 @@ def test_nonfinite_query_returns_empty_not_hang():
         assert len(idx.radius(q, 1.0)) == 0
     # Non-finite radius likewise returns empty instead of crashing.
     assert len(idx.radius([0.0, 0.0, 0.0], np.nan)) == 0
+
+
+def test_native_cluster_epilogue_matches_numpy():
+    """The C counting-sort epilogue (native.cluster_epilogue) must group
+    labels exactly like the numpy argsort epilogue it replaces: clusters
+    size-desc with lexicographic (= first member) tiebreak, members
+    ascending, min/max size filter inclusive
+    (ref: crates/segmentation/src/euclidean_cluster.rs:169-186)."""
+    from pointclouds_tpu import native as _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    for n, min_size, max_size in [
+        (1, 1, 10),
+        (50, 1, 50),
+        (2000, 2, 300),
+        (5000, 1, 4),
+        (5000, 3, 5000),
+    ]:
+        # Random component structure: labels = min member row id, built
+        # by assigning rows to random groups.
+        groups = rng.integers(0, max(n // 7, 1), size=n)
+        labels = np.empty(n, np.int32)
+        first = {}
+        for i, g in enumerate(groups):
+            first.setdefault(int(g), i)
+            labels[i] = first[int(g)]
+
+        res = _native.cluster_epilogue(labels, min_size, max_size)
+        assert res is not None
+        order, starts = res
+        native_clusters = [
+            order[s:e].tolist() for s, e in zip(starts[:-1], starts[1:])
+        ]
+
+        order_np = np.argsort(labels, kind="stable")
+        sl = labels[order_np]
+        bounds = np.nonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))[0]
+        ends = np.concatenate([bounds[1:], [n]])
+        expect = []
+        for s, e in zip(bounds, ends):
+            if min_size <= e - s <= max_size:
+                expect.append(order_np[s:e].tolist())
+        expect.sort(key=lambda c: (-len(c), c))
+
+        assert native_clusters == expect, (n, min_size, max_size)
