@@ -1928,7 +1928,7 @@ def sweep_knn_select(pts_planar, starts, *, k: int, wr: int = 4,
 # kdtree.knn(k=1); same exact-distance semantics, batched TPU-style.)
 
 
-def _nn_argmin_kernel(nr: int):
+def _nn_argmin_kernel(nr: int, unroll: int = 4):
     def kernel(q_ref, cand_ref, out_ref):
         big = jnp.float32(jnp.inf)
 
@@ -1940,8 +1940,17 @@ def _nn_argmin_kernel(nr: int):
             jnp.float32
         )
 
+        # Lane-carry reduction: per candidate row only ELEMENTWISE ops
+        # (d2 + validity mask + per-lane best/row tracking) — the two
+        # cross-lane reduces the previous formulation paid per row
+        # (rowmin + tie-position max, each a multi-step lane shuffle) run
+        # exactly once per block after the loop. Tie-break is unchanged:
+        # per lane the later row overwrites on equality (<=), and the
+        # final tie extraction takes the max flat position among tied
+        # lanes, so the overall winner is max(128*row + lane) among all
+        # global minima — the same last-index rule as _nn_1's XLA path.
         def row_step(r, state):
-            best, bpos = state
+            best_l, brow_l = state
             row = cand_ref[pl.ds(r, 1), :, :]
             cx = row[0, 0:1, :]
             cy = row[0, 1:2, :]
@@ -1949,28 +1958,36 @@ def _nn_argmin_kernel(nr: int):
             cw = row[0, 3:4, :]
             d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
             w = jnp.where(cw > 0.5, d2, big)  # [128, 128]
-            rowmin = jnp.min(w, axis=1, keepdims=True)  # [128, 1]
-            # Tie-break toward the LAST index (matches _nn_1's XLA path:
-            # first-index ties systematically pull backwards on symmetric
-            # scenes and stall ICP): max position among per-row ties, and
-            # cross-row <= so later rows overwrite equal minima.
-            pos = lane + jnp.float32(128.0) * r.astype(jnp.float32)
-            rowpos = jnp.max(
-                jnp.where(w <= rowmin, pos, jnp.float32(-1.0)),
-                axis=1,
-                keepdims=True,
-            )
-            upd = rowmin <= best
-            bpos = jnp.where(upd, rowpos, bpos)
-            best = jnp.minimum(best, rowmin)
-            return best, bpos
+            rf = r.astype(jnp.float32)
+            brow_l = jnp.where(w <= best_l, rf, brow_l)
+            best_l = jnp.minimum(best_l, w)
+            return best_l, brow_l
 
-        best0 = jnp.full((128, 1), big, jnp.float32)
-        bpos0 = jnp.zeros((128, 1), jnp.float32)
-        best, bpos = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(nr), row_step, (best0, bpos0)
+        # Unrolled main loop: the per-iteration fori overhead (scalar
+        # control flow + bounds arithmetic) is comparable to the VPU work
+        # per candidate row, so running `unroll` rows per trip cuts it.
+        def block_step(i, state):
+            for u in range(unroll):
+                state = row_step(i * unroll + u, state)
+            return state
+
+        best0 = jnp.full((128, 128), big, jnp.float32)
+        brow0 = jnp.zeros((128, 128), jnp.float32)
+        state = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nr // unroll), block_step,
+            (best0, brow0),
         )
-        out_ref[0:1, :] = jnp.transpose(best, (1, 0))
+        for r in range(nr - nr % unroll, nr):
+            state = row_step(jnp.int32(r), state)
+        best_l, brow_l = state
+        gmin = jnp.min(best_l, axis=1, keepdims=True)  # [128, 1]
+        pos = lane + jnp.float32(128.0) * brow_l  # [128, 128]
+        bpos = jnp.max(
+            jnp.where(best_l <= gmin, pos, jnp.float32(-1.0)),
+            axis=1,
+            keepdims=True,
+        )
+        out_ref[0:1, :] = jnp.transpose(gmin, (1, 0))
         out_ref[1:2, :] = jnp.transpose(bpos, (1, 0))
 
     return kernel
