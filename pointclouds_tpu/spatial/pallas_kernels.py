@@ -448,6 +448,14 @@ def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int,
             qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
 
             if resident:
+                # Unrolled dynamic-bound walk: the per-trip fori overhead
+                # (scalar control flow + bounds arithmetic) dominates the
+                # ~17 elementwise VPU ops of real work per candidate row,
+                # so each trip processes `unroll` rows; tail rows past the
+                # window length are masked via the pair flag (their reads
+                # are clamped in-bounds and their candidates land as inf).
+                unroll = 2
+                nmax = jnp.int32(pts_ref.shape[0] - 1)
                 regs0 = tuple(
                     jnp.full((128, 128), big) for _ in range(per_seg)
                 )
@@ -457,23 +465,38 @@ def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int,
                     sk = starts_ref[nshift + j, b]
                     ln = starts_ref[2 * nshift + j, b]
 
-                    def body(r, s, st=st):
+                    def body(i, s, st=st, sk=sk, ln=ln):
                         regs, cnt = s
-                        row = pts_ref[pl.ds(st + r, 1), :, :]
-                        cx = row[0, 0:1, :]
-                        cy = row[0, 1:2, :]
-                        cz = row[0, 2:3, :]
-                        cw = row[0, 3:4, :]
-                        d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-                        pair = qm * cw
-                        w = jnp.where(pair > 0.5, d2, big)
-                        regs = tuple(_insert_smallest(list(regs), w))
-                        cnt = cnt + jnp.where(
-                            pair > 0.5, jnp.float32(1.0), jnp.float32(0.0)
-                        )
+                        for u in range(unroll):
+                            r = sk + i * jnp.int32(unroll) + jnp.int32(u)
+                            rd = jnp.minimum(st + r, nmax)
+                            row = pts_ref[pl.ds(rd, 1), :, :]
+                            cx = row[0, 0:1, :]
+                            cy = row[0, 1:2, :]
+                            cz = row[0, 2:3, :]
+                            cw = row[0, 3:4, :]
+                            live = jnp.where(
+                                r < ln, jnp.float32(1.0), jnp.float32(0.0)
+                            )
+                            d2 = (
+                                (qx - cx) ** 2
+                                + (qy - cy) ** 2
+                                + (qz - cz) ** 2
+                            )
+                            pair = qm * (cw * live)
+                            w = jnp.where(pair > 0.5, d2, big)
+                            regs = tuple(_insert_smallest(list(regs), w))
+                            cnt = cnt + jnp.where(
+                                pair > 0.5, jnp.float32(1.0), jnp.float32(0.0)
+                            )
                         return (regs, cnt)
 
-                    state = jax.lax.fori_loop(sk, ln, body, state)
+                    ntrips = jax.lax.div(
+                        ln - sk + jnp.int32(unroll - 1), jnp.int32(unroll)
+                    )
+                    state = jax.lax.fori_loop(
+                        jnp.int32(0), ntrips, body, state
+                    )
                 regs, cnt = state
                 count_all = jnp.sum(
                     jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True
@@ -967,33 +990,58 @@ def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
                 qlab_t = jnp.transpose(qlab, (1, 0))  # [128, 1]
                 r2 = r2_ref[0:1, :]  # [1, 128] broadcast of radius^2
 
-                best = jnp.where(qm > 0.5, qlab_t, biglab)
+                # Lane-carry min with a 2x-unrolled dynamic-bound walk:
+                # the per-lane running label min stays elementwise in the
+                # row loop (the old per-row jnp.min lane-reduce was a
+                # multi-step shuffle costing ~3x the real work) and
+                # reduces over lanes ONCE after all shifts; fori overhead
+                # halves via the unroll, with tail rows masked (clamped
+                # in-bounds reads, candidates forced to biglab).
+                unroll = 2
+                nmax = jnp.int32(nr - 1)
+                best_l = jnp.full((128, 128), biglab, jnp.float32)
                 for j in range(nshift):
                     st = starts_ref[j, bs]
                     sk = starts_ref[nshift + j, bs]
                     ln = starts_ref[2 * nshift + j, bs]
 
-                    def body(r, best, st=st):
-                        rowp = pts_ref[pl.ds(st + r, 1), :, :]
-                        rowl = lab_ref[pl.ds(st + r, 1), :]  # [1, 128]
-                        cx = rowp[0, 0:1, :]
-                        cy = rowp[0, 1:2, :]
-                        cz = rowp[0, 2:3, :]
-                        cw = rowp[0, 3:4, :]
-                        d2 = (
-                            (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-                        )
-                        pair = qm * cw
-                        within = jnp.where(
-                            jnp.logical_and(pair > 0.5, d2 <= r2),
-                            rowl + 0.0 * d2,  # label bcast over queries
-                            biglab,
-                        )
-                        return jnp.minimum(
-                            best, jnp.min(within, axis=1, keepdims=True)
-                        )
+                    def body(i, best_l, st=st, sk=sk, ln=ln):
+                        for u in range(unroll):
+                            r = sk + i * jnp.int32(unroll) + jnp.int32(u)
+                            rd = jnp.minimum(st + r, nmax)
+                            rowp = pts_ref[pl.ds(rd, 1), :, :]
+                            rowl = lab_ref[pl.ds(rd, 1), :]  # [1, 128]
+                            cx = rowp[0, 0:1, :]
+                            cy = rowp[0, 1:2, :]
+                            cz = rowp[0, 2:3, :]
+                            cw = rowp[0, 3:4, :]
+                            live = jnp.where(
+                                r < ln, jnp.float32(1.0), jnp.float32(0.0)
+                            )
+                            d2 = (
+                                (qx - cx) ** 2
+                                + (qy - cy) ** 2
+                                + (qz - cz) ** 2
+                            )
+                            pair = qm * (cw * live)
+                            within = jnp.where(
+                                jnp.logical_and(pair > 0.5, d2 <= r2),
+                                rowl + 0.0 * d2,  # label bcast over queries
+                                biglab,
+                            )
+                            best_l = jnp.minimum(best_l, within)
+                        return best_l
 
-                    best = jax.lax.fori_loop(sk, ln, body, best)
+                    ntrips = jax.lax.div(
+                        ln - sk + jnp.int32(unroll - 1), jnp.int32(unroll)
+                    )
+                    best_l = jax.lax.fori_loop(
+                        jnp.int32(0), ntrips, body, best_l
+                    )
+                best = jnp.minimum(
+                    jnp.where(qm > 0.5, qlab_t, biglab),
+                    jnp.min(best_l, axis=1, keepdims=True),
+                )
 
                 # The intra-row closure below is only needed when this
                 # sweep's window pass actually lowered a label (or on the
@@ -1249,16 +1297,40 @@ def _sweep_moments_kernel(k: int, wr: int, per_seg: int, nshift: int,
                 dynamic loop bounds (resident) or a static unroll with a
                 keep mask (DMA scratch)."""
                 if resident:
+                    # 2x-unrolled dynamic-bound walk (see sweep_select):
+                    # halves the fori overhead; tail rows past the window
+                    # length ride the folds' existing keep-mask contract
+                    # (reads clamped in-bounds, keep = 0).
+                    unroll = 2
+                    nmax = jnp.int32(pts_ref.shape[0] - 1)
                     for j in range(nshift):
                         st = starts_ref[j, b]
                         sk = starts_ref[nshift + j, b]
                         ln = starts_ref[2 * nshift + j, b]
 
-                        def body(r, s, st=st):
-                            row = pts_ref[pl.ds(st + r, 1), :, :]
-                            return fold(s, row, jnp.float32(1.0))
+                        def body(i, s, st=st, sk=sk, ln=ln):
+                            for u in range(unroll):
+                                r = (
+                                    sk + i * jnp.int32(unroll)
+                                    + jnp.int32(u)
+                                )
+                                rd = jnp.minimum(st + r, nmax)
+                                row = pts_ref[pl.ds(rd, 1), :, :]
+                                live = jnp.where(
+                                    r < ln,
+                                    jnp.float32(1.0),
+                                    jnp.float32(0.0),
+                                )
+                                s = fold(s, row, live)
+                            return s
 
-                        state = jax.lax.fori_loop(sk, ln, body, state)
+                        ntrips = jax.lax.div(
+                            ln - sk + jnp.int32(unroll - 1),
+                            jnp.int32(unroll),
+                        )
+                        state = jax.lax.fori_loop(
+                            jnp.int32(0), ntrips, body, state
+                        )
                 else:
                     for j in range(nshift):
                         sk = starts_ref[nshift + j, b]
@@ -1724,38 +1796,58 @@ def _sweep_knn_kernel(k: int, wr: int, per_seg: int, nshift: int,
                 # Windows walked in place with DYNAMIC per-shift bounds:
                 # work scales with the actual candidate rows, not
                 # nshift * wr (the static unroll below costs ~10x more at
-                # wr=16 where the median window is 1-2 rows).
+                # wr=16 where the median window is 1-2 rows). 2x-unrolled
+                # (see sweep_select): tail rows past the window length
+                # are masked via pair (clamped in-bounds reads).
+                unroll = 2
+                nmax = jnp.int32(pts_ref.shape[0] - 1)
                 state = (tuple(regs_v), tuple(regs_i), cnt)
                 for j in range(nshift):
                     st = starts_ref[j, b]
                     sk = starts_ref[nshift + j, b]
                     ln = starts_ref[2 * nshift + j, b]
 
-                    def body(r, s, st=st):
+                    def body(i, s, st=st, sk=sk, ln=ln):
                         rv, ri, cnt_ = s
-                        row = pts_ref[pl.ds(st + r, 1), :, :]
-                        cx = row[0, 0:1, :]
-                        cy = row[0, 1:2, :]
-                        cz = row[0, 2:3, :]
-                        cw = row[0, 3:4, :]
-                        d2 = (
-                            (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-                        )
-                        pair = qm * cw
-                        w = jnp.where(pair > 0.5, d2, big)
-                        gidx = (
-                            (st + r).astype(jnp.float32) * jnp.float32(128.0)
-                            + lane
-                        )
-                        rv2, ri2 = _insert_smallest_with_idx(
-                            list(rv), list(ri), w, gidx + 0.0 * d2
-                        )
-                        cnt_ = cnt_ + jnp.where(
-                            pair > 0.5, jnp.float32(1.0), 0.0
-                        )
-                        return (tuple(rv2), tuple(ri2), cnt_)
+                        for u in range(unroll):
+                            r = sk + i * jnp.int32(unroll) + jnp.int32(u)
+                            rd = jnp.minimum(st + r, nmax)
+                            row = pts_ref[pl.ds(rd, 1), :, :]
+                            cx = row[0, 0:1, :]
+                            cy = row[0, 1:2, :]
+                            cz = row[0, 2:3, :]
+                            cw = row[0, 3:4, :]
+                            live = jnp.where(
+                                r < ln, jnp.float32(1.0), jnp.float32(0.0)
+                            )
+                            d2 = (
+                                (qx - cx) ** 2
+                                + (qy - cy) ** 2
+                                + (qz - cz) ** 2
+                            )
+                            pair = qm * (cw * live)
+                            w = jnp.where(pair > 0.5, d2, big)
+                            gidx = (
+                                rd.astype(jnp.float32) * jnp.float32(128.0)
+                                + lane
+                            )
+                            rv, ri = (
+                                tuple(x)
+                                for x in _insert_smallest_with_idx(
+                                    list(rv), list(ri), w, gidx + 0.0 * d2
+                                )
+                            )
+                            cnt_ = cnt_ + jnp.where(
+                                pair > 0.5, jnp.float32(1.0), 0.0
+                            )
+                        return (rv, ri, cnt_)
 
-                    state = jax.lax.fori_loop(sk, ln, body, state)
+                    ntrips = jax.lax.div(
+                        ln - sk + jnp.int32(unroll - 1), jnp.int32(unroll)
+                    )
+                    state = jax.lax.fori_loop(
+                        jnp.int32(0), ntrips, body, state
+                    )
                 regs_v, regs_i, cnt = (
                     list(state[0]), list(state[1]), state[2]
                 )
