@@ -649,15 +649,33 @@ def ransac_plane_seeded(
     iterations = int(iterations)
     if cloud.len() < 3 or iterations <= 0:
         return PlaneResult(normal=[0.0, 0.0, 1.0], d=0.0, inliers=[])
-    buf = np.asarray(
-        _segmentation.ransac_plane_bytes(
-            cloud._arrs.xyz,
-            cloud._arrs.valid,
-            jnp.float32(distance_threshold),
-            int(seed) % (2**31),
-            iterations,
-            score_subsample=score_subsample,
+
+    # assume_compact: PointCloud's invariant is exactly the compacted
+    # layout (valid rows = [0, len)), so the sampling index map — a full
+    # compaction sort, ~1.3 ms at 131K — is skipped. The fused scoring
+    # kernel streams the cloud once with lane-carry counts (no [N, I]
+    # HBM intermediate); kernel compile failures degrade to the XLA
+    # scoring path.
+    def run(uk):
+        return np.asarray(
+            _segmentation.ransac_plane_bytes(
+                cloud._arrs.xyz,
+                cloud._arrs.valid,
+                jnp.float32(distance_threshold),
+                int(seed) % (2**31),
+                iterations,
+                assume_compact=True,
+                score_subsample=score_subsample,
+                use_kernel=uk,
+            )
         )
+
+    buf = _engine._degrade_to_xla(
+        run,
+        _engine._kernel_preference(),
+        memo_key=(
+            "ransac", cloud._arrs.capacity, iterations, score_subsample
+        ),
     )
     # ONE fetch total: bytes [0:16] carry the f32 scalars (bitcast,
     # exact), the rest is the 0/1 inlier mask; list built via

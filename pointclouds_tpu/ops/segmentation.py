@@ -55,11 +55,14 @@ def _sample_three_distinct(key, iterations: int, cnt):
 
 
 @partial(jax.jit, static_argnames=("iterations", "assume_compact",
-                                   "score_subsample", "rescore_top"))
+                                   "score_subsample", "rescore_top",
+                                   "use_kernel", "interpret"))
 def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
                         *, assume_compact: bool = False,
                         score_subsample: int | None = None,
-                        rescore_top: int = 8):
+                        rescore_top: int = 8,
+                        use_kernel: bool = False,
+                        interpret: bool = False):
     """Batched RANSAC plane fit on a masked cloud.
 
     Returns (normal f32[3], d f32, inlier_mask bool[N]). With fewer than 3
@@ -159,7 +162,33 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
         best = jnp.min(jnp.where(full_counts == mx, top_idx, iterations))
         best_count = mx
     else:
-        if iterations * n <= _SCORE_ONE_SHOT_ELEMS:
+        if use_kernel and iterations <= 4096:
+            # Fused scoring kernel: counts accumulate in a lane-carry
+            # VMEM tile over one streamed pass of the planar cloud — no
+            # [N, I] HBM intermediate (pallas_kernels.ransac_score_counts).
+            from ..ops.registration import _to_planar
+            from ..spatial.pallas_kernels import ransac_score_counts
+
+            nh = -(-iterations // 128) * 128
+            hpad = nh - iterations
+            hyp = jnp.stack(
+                [
+                    jnp.concatenate([normal[:, 0], jnp.zeros((hpad,))]),
+                    jnp.concatenate([normal[:, 1], jnp.zeros((hpad,))]),
+                    jnp.concatenate([normal[:, 2], jnp.zeros((hpad,))]),
+                    jnp.concatenate([d, jnp.zeros((hpad,))]),
+                    jnp.concatenate(
+                        [
+                            jnp.broadcast_to(threshold, (iterations,)),
+                            jnp.full((hpad,), -1.0),
+                        ]
+                    ),
+                ]
+            ).astype(jnp.float32)
+            counts = ransac_score_counts(
+                hyp, _to_planar(xyz, use_pt), interpret=interpret
+            )[:iterations].astype(jnp.int32)
+        elif iterations * n <= _SCORE_ONE_SHOT_ELEMS:
             # One batched MXU matmul for every hypothesis: the sequential
             # lax.map chunking costs several serialized [N, C] passes; at
             # demo scale (300 iters x 241K pts -> a 290 MB f32
@@ -204,10 +233,11 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
 
 
 @partial(jax.jit, static_argnames=("iterations", "assume_compact",
-                                   "score_subsample"))
+                                   "score_subsample", "use_kernel"))
 def ransac_plane_bytes(xyz, valid, threshold, seed, iterations: int,
                        *, assume_compact: bool = False,
-                       score_subsample: int | None = None):
+                       score_subsample: int | None = None,
+                       use_kernel: bool = False):
     """ransac_plane_masked with EVERYTHING in one uint8[16 + N] buffer:
     bytes [0:16] are the little-endian f32 scalars [nx, ny, nz, d]
     (bitcast, exact) and bytes [16:] the 0/1 inlier mask. ONE
@@ -217,6 +247,7 @@ def ransac_plane_bytes(xyz, valid, threshold, seed, iterations: int,
     normal, d, inlier_mask = ransac_plane_masked(
         xyz, valid, threshold, seed, iterations,
         assume_compact=assume_compact, score_subsample=score_subsample,
+        use_kernel=use_kernel,
     )
     scal = jax.lax.bitcast_convert_type(
         jnp.concatenate([normal, d[None]]).astype(jnp.float32), jnp.uint8

@@ -150,6 +150,7 @@ def aerial_pipeline(
     pnormal, d, inlier_mask = ransac_plane_masked(
         centroids, ds_valid, ransac_thresh, seed, ransac_iters,
         assume_compact=True, score_subsample=ransac_subsample,
+        use_kernel=use_kernel,
     )
 
     # ── Step 4+5: ground removal + clustering ──

@@ -215,10 +215,14 @@ def kitti_obstacle_pipeline(
     # ── Step 3: RANSAC ground plane ────────────────────────────────────────
     # ransac_subsample: tournament scoring (subsample + top-8 full-cloud
     # rescore, see ops/segmentation.py) — A/B lever for the streaming
-    # bench; the final inlier set is always full-cloud.
+    # bench; the final inlier set is always full-cloud. With the sweep
+    # backend and no subsample, the fused scoring kernel counts EVERY
+    # hypothesis over the full cloud in one streamed pass (exact scoring
+    # at tournament cost).
     normal, d, inlier_mask = ransac_plane_masked(
         centroids, cleaned_valid, ransac_thresh, seed, ransac_iters,
         score_subsample=ransac_subsample,
+        use_kernel=(sor_backend == "sweep"),
     )
 
     # ── Step 4: ground removal + compact obstacles to a small capacity ─────

@@ -2593,3 +2593,81 @@ def rescue_radius_count_groups(cand_planar, q_planar, active, *,
         interpret=interpret,
     )(active, q_planar, cand_planar)
     return out[0]
+
+
+# ── RANSAC hypothesis-scoring kernel ─────────────────────────────────────────
+#
+# Full-scoring inlier counts for every plane hypothesis in one streamed
+# pass over the cloud (ops/segmentation.ransac_plane_masked; ref:
+# crates/segmentation/src/ransac_plane.rs:81-91 — the reference's
+# parallel path scores EVERY hypothesis on EVERY point). The XLA mirror
+# materializes the [N, I] distance matrix in HBM (~260 MB f32 at the
+# 131K x 512 benchmark row, re-read for the mask and the count reduce);
+# here the per-(point-block, hypothesis) hit counts accumulate in a
+# lane-carry VMEM tile and reduce over sublanes once, so HBM traffic is
+# one read of the planar cloud.
+
+
+def _ransac_score_kernel(nr: int):
+    def kernel(hyp_ref, pts_ref, out_ref, acc):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        @pl.when(b == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        qx = jnp.transpose(pts_ref[0, 0:1, :], (1, 0))  # [128, 1]
+        qy = jnp.transpose(pts_ref[0, 1:2, :], (1, 0))
+        qz = jnp.transpose(pts_ref[0, 2:3, :], (1, 0))
+        qm = jnp.transpose(pts_ref[0, 3:4, :], (1, 0))
+        nx = hyp_ref[0:1, :]  # [1, NH]
+        ny = hyp_ref[1:2, :]
+        nz = hyp_ref[2:3, :]
+        dd = hyp_ref[3:4, :]
+        th = hyp_ref[4:5, :]  # threshold broadcast; -1 marks a pad slot
+
+        dist = jnp.abs(qx * nx + qy * ny + qz * nz + dd)  # [128, NH]
+        hit = jnp.where(
+            jnp.logical_and(qm > 0.5, dist <= th),
+            jnp.float32(1.0),
+            jnp.float32(0.0),
+        )
+        acc[...] += hit
+
+        @pl.when(b == nb - 1)
+        def _():
+            out_ref[0:1, :] = jnp.sum(acc[...], axis=0, keepdims=True)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def ransac_score_counts(hyp, pts_planar, *, interpret: bool = False):
+    """Inlier counts per plane hypothesis over the whole masked cloud.
+
+    hyp f32[5, NH] (rows: nx, ny, nz, d, threshold; NH a multiple of
+    128 — pad slots carry threshold = -1 so they count 0), pts_planar
+    f32[NR, 4, 128] (w = validity). Returns f32[NH] counts (exact: f32
+    integer sums stay exact below 2^24 points). Distances are the same
+    |n.p + d| form as the XLA score path; counts are bit-identical."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = pts_planar.shape
+    nh = hyp.shape[1]
+    assert (nch, width) == (4, 128), pts_planar.shape
+    assert hyp.shape[0] == 5 and nh % 128 == 0, hyp.shape
+    z = np.int32(0)
+    out = pl.pallas_call(
+        _ransac_score_kernel(nr),
+        grid=(nr,),
+        in_specs=[
+            pl.BlockSpec((5, nh), lambda b: (z, z)),
+            pl.BlockSpec((1, 4, 128), lambda b: (b, z, z)),
+        ],
+        out_specs=pl.BlockSpec((1, nh), lambda b: (z, z)),
+        out_shape=jax.ShapeDtypeStruct((1, nh), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((128, nh), jnp.float32)],
+        interpret=interpret,
+    )(hyp, pts_planar)
+    return out[0]

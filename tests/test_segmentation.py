@@ -321,3 +321,62 @@ def test_ransac_tournament_matches_full_scoring():
         one.xyz, one.valid, jnp.float32(0.05), 0, 32, score_subsample=256
     )
     assert np.asarray(mask).sum() == 0 or abs(float(d)) < 1e-6
+
+
+def test_ransac_kernel_scoring_matches_xla():
+    """The fused scoring kernel (pallas_kernels.ransac_score_counts, run
+    in interpret mode on CPU) must select the same plane and inliers as
+    the XLA full-scoring path, and the raw per-hypothesis counts must
+    agree (same |n.p + d| distance form, f32-exact integer sums)."""
+    import jax.numpy as jnp
+    from pointclouds_tpu.core.cloud import make_cloud_arrays
+    from pointclouds_tpu.ops.registration import _to_planar
+    from pointclouds_tpu.ops.segmentation import ransac_plane_masked
+    from pointclouds_tpu.spatial.pallas_kernels import ransac_score_counts
+
+    rng = np.random.default_rng(17)
+    data = np.vstack([
+        (rng.random((4_000, 3)) * [10, 10, 0.02]).astype(np.float32),
+        (rng.random((1_200, 3)) * 10).astype(np.float32),
+    ])
+    arrs = make_cloud_arrays(data)
+
+    for seed in (0, 5):
+        full = ransac_plane_masked(
+            arrs.xyz, arrs.valid, jnp.float32(0.05), seed, 300,
+            assume_compact=True,
+        )
+        kern = ransac_plane_masked(
+            arrs.xyz, arrs.valid, jnp.float32(0.05), seed, 300,
+            assume_compact=True, use_kernel=True, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(full[0]), np.asarray(kern[0]), atol=1e-6
+        )
+        np.testing.assert_allclose(float(full[1]), float(kern[1]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(full[2]), np.asarray(kern[2]))
+
+    # Raw counts parity on explicit hypotheses (incl. pad-slot zeroing).
+    normal = rng.standard_normal((64, 3)).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    d = rng.standard_normal(64).astype(np.float32)
+    thr = np.float32(0.3)
+    hyp = np.zeros((5, 128), np.float32)
+    hyp[0, :64], hyp[1, :64], hyp[2, :64] = normal.T
+    hyp[3, :64] = d
+    hyp[4, :64] = thr
+    hyp[4, 64:] = -1.0
+    valid = np.asarray(arrs.valid)
+    use = valid & np.all(np.isfinite(np.asarray(arrs.xyz)), axis=-1)
+    counts = np.asarray(
+        ransac_score_counts(
+            jnp.asarray(hyp),
+            _to_planar(arrs.xyz, jnp.asarray(use)),
+            interpret=True,
+        )
+    )
+    xyz = np.asarray(arrs.xyz)
+    dist = np.abs(xyz @ normal.T + d[None, :])
+    expect = ((dist <= thr) & use[:, None]).sum(axis=0)
+    np.testing.assert_array_equal(counts[:64].astype(np.int64), expect)
+    np.testing.assert_array_equal(counts[64:], 0.0)
