@@ -14,9 +14,9 @@ This module folds the full op into one jitted program:
 1. the grid cell size is estimated IN-GRAPH (same density math as
    `engine.estimate_cell_size`, f32 on device);
 2. the sorted-window sweep runs exactly as before;
-3. flagged rows are compacted in-graph (`jnp.nonzero` with a static
-   `cap`) and re-resolved by the unconditionally-exact tiled brute
-   subset used by the engine's rescue;
+3. flagged rows are compacted in-graph (one stable payload sort into a
+   static `cap` buffer — see `_flagged_rows`) and re-resolved by the
+   unconditionally-exact tiled brute subset used by the engine's rescue;
 4. the op epilogue (SOR keep mask / radius-count threshold / normals
    orientation) and the output compaction run in the same program.
 
@@ -155,11 +155,17 @@ def _cell_estimate_device(xyz, valid, kf):
 def _flagged_rows(residual, cap: int):
     """In-graph compaction of flagged rows into a static-cap buffer.
     Returns (rows i32[cap] (fill = n, the scatter drop index),
-    sub_valid bool[cap], nflag i32)."""
+    sub_valid bool[cap], nflag i32).
+
+    compaction_order (one payload sort) instead of jnp.nonzero with a
+    static size: XLA's nonzero lowering measured 9.8 ms at 131K on TPU
+    where the sort-based compaction is 1.9 ms — nonzero was the single
+    largest stage inside every fused op's rescue epilogue."""
     n = residual.shape[0]
     nflag = jnp.sum(residual.astype(jnp.int32))
-    rows = jnp.nonzero(residual, size=cap, fill_value=n)[0].astype(jnp.int32)
+    order = _cloud.compaction_order(residual)[:cap].astype(jnp.int32)
     sub_valid = jnp.arange(cap, dtype=jnp.int32) < nflag
+    rows = jnp.where(sub_valid, order, n)
     return rows, sub_valid, nflag
 
 
