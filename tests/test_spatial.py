@@ -213,3 +213,28 @@ def test_knn_indices_matches_knn():
     assert pc.knn_indices(pc.PointCloud(), q, 3) == []
     assert pc.knn_indices(cloud, [np.nan, 0, 0], 3) == []
     assert len(pc.knn_indices(_pc(data[:3]), q, 100)) == 3
+
+
+def test_api_knn_self_query_fast_path_matches_cross_cloud():
+    """pc.knn(cloud, cloud_points, k) takes the fused same-cloud sweep when
+    the query batch IS the cloud's point set; results must be identical to
+    the generic cross-cloud path (here: brute oracle)."""
+    import pointclouds_tpu as pc
+
+    rng = np.random.default_rng(77)
+    data = (rng.random((4500, 3)) * 10).astype(np.float32)  # > 128 batch
+    cloud = _pc(data)
+    k = 8
+    idx, dists = pc.knn(cloud, data, k)
+    assert idx.shape == (4500, k) and dists.shape == (4500, k)
+    expect_d, expect_i = np_knn(
+        data.astype(np.float64), data.astype(np.float64), k
+    )
+    np.testing.assert_allclose(dists, expect_d, atol=1e-4)
+    # self is always the nearest neighbor at distance 0
+    assert (idx[:, 0] == np.arange(4500)).all()
+    # a perturbed batch (NOT the cloud's points) must still be exact
+    q2 = data[:200] + np.float32(0.01)
+    idx2, dists2 = pc.knn(cloud, q2, k)
+    e2_d, _ = np_knn(data.astype(np.float64), q2.astype(np.float64), k)
+    np.testing.assert_allclose(dists2, e2_d, atol=1e-4)
