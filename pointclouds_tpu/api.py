@@ -498,6 +498,14 @@ def _finish_icp(packed) -> IcpResult:
     )
 
 
+def _icp_rows(cloud: PointCloud) -> int:
+    """Static 512-row-rounded valid count for the ICP trim (see
+    registration._trim): clouds are leading-compact, so rows past this
+    are pure padding. 512 keeps the planar row count a multiple of the
+    NN kernel's 4x unroll (no dynamic-tail rows)."""
+    return min(cloud._arrs.capacity, max(512, -(-cloud.len() // 512) * 512))
+
+
 def icp_point_to_point(
     source: PointCloud,
     target: PointCloud,
@@ -507,6 +515,8 @@ def icp_point_to_point(
 ) -> IcpResult:
     if source.is_empty() or target.is_empty():
         return _empty_icp_result(source, target)
+    src_rows = _icp_rows(source)
+    tgt_rows = _icp_rows(target)
 
     def run(uk):
         return np.asarray(
@@ -519,14 +529,16 @@ def icp_point_to_point(
                 jnp.float32(tolerance),
                 jnp.float32(max_correspondence_distance),
                 use_kernel=uk,
+                src_rows=src_rows,
+                tgt_rows=tgt_rows,
             )
         )
 
     out = _engine._degrade_to_xla(
         run,
         _engine._kernel_preference()
-        and _registration.nn_kernel_fits(target._arrs.capacity),
-        memo_key=("icp_p2p", target._arrs.capacity, int(max_iterations)),
+        and _registration.nn_kernel_fits(tgt_rows),
+        memo_key=("icp_p2p", src_rows, tgt_rows, int(max_iterations)),
     )
     return _finish_icp(out)
 
@@ -545,6 +557,8 @@ def icp_point_to_plane(
         )
     if source.is_empty() or target.is_empty():
         return _empty_icp_result(source, target)
+    src_rows = _icp_rows(source)
+    tgt_rows = _icp_rows(target)
 
     def run(uk):
         return np.asarray(
@@ -558,14 +572,16 @@ def icp_point_to_plane(
                 jnp.float32(tolerance),
                 jnp.float32(max_correspondence_distance),
                 use_kernel=uk,
+                src_rows=src_rows,
+                tgt_rows=tgt_rows,
             )
         )
 
     out = _engine._degrade_to_xla(
         run,
         _engine._kernel_preference()
-        and _registration.nn_kernel_fits(target._arrs.capacity),
-        memo_key=("icp_p2pl", target._arrs.capacity, int(max_iterations)),
+        and _registration.nn_kernel_fits(tgt_rows),
+        memo_key=("icp_p2pl", src_rows, tgt_rows, int(max_iterations)),
     )
     return _finish_icp(out)
 

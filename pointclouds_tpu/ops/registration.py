@@ -194,17 +194,26 @@ def _quat_from_cross_covariance(h):
     shift = jnp.sqrt(jnp.sum(n * n)) + 1e-12
     ns = n + shift * jnp.eye(4, dtype=n.dtype)
 
-    # Power iteration; the identity-biased start makes degenerate cases
-    # (H ~ 0) converge toward the identity rotation.
+    # Power method via repeated matrix squaring: ns^(2^6) @ q0 equals 64
+    # power steps but costs 6 tiny 4x4 matmuls instead of 64 serialized
+    # matvec+normalize trips (the fori_loop version measured ~0.3 ms per
+    # ICP iteration of pure scalar-loop latency on TPU). Normalizing by
+    # the Frobenius norm between squarings keeps entries in range; the
+    # whole 4x4 chain runs in f64 (squaring squares roundoff too — in f32
+    # the recovered quaternion jitters at ~1e-7 and tight-tolerance ICP
+    # never sees |delta rmse| settle; 4x4 f64 is ~100 flops, free even
+    # emulated on TPU).
+    hi = jax.lax.Precision.HIGHEST
+    for _ in range(6):
+        ns = ns / jnp.maximum(jnp.sqrt(jnp.sum(ns * ns)), 1e-30)
+        ns = jax.lax.dot(ns, ns, precision=hi)
+
+    # The identity-biased start makes degenerate cases (H ~ 0) converge
+    # toward the identity rotation.
     q0 = jnp.array([1.0, 1e-2, 1e-2, 1e-2], n.dtype)
     q0 = q0 / jnp.linalg.norm(q0)
-
-    def body(_, q):
-        # HIGHEST: the bf16 MXU default injects ~0.4% error per power step
-        q = jax.lax.dot(ns, q[:, None], precision=jax.lax.Precision.HIGHEST)[:, 0]
-        return q / jnp.maximum(jnp.linalg.norm(q), 1e-30)
-
-    return jax.lax.fori_loop(0, 40, body, q0)
+    q = jax.lax.dot(ns, q0[:, None], precision=hi)[:, 0]
+    return q / jnp.maximum(jnp.linalg.norm(q), 1e-30)
 
 
 def _quat_to_rot(q):
@@ -248,10 +257,24 @@ def _svd_rigid_solve(src, tgt_pts, w):
     h = jax.lax.dot((ws * sc).T, tc, precision=jax.lax.Precision.HIGHEST)
 
     q = _quat_from_cross_covariance(h)
+    # Snap sub-noise increments to the exact identity: a rotation with
+    # |q_vec| < 1e-6 (angle < 2e-6 rad) displaces centered f32 points by
+    # less than their own rounding, so applying it only injects noise —
+    # and at ICP's fixed point that noise makes rmse wander forever at
+    # ~1e-7 instead of repeating bit-exactly (the while_loop's
+    # |delta rmse| < tolerance test then never fires for tight
+    # tolerances). With the snap, the fixed point is a true fixed point.
+    vmag2 = q[1] * q[1] + q[2] * q[2] + q[3] * q[3]
+    q = jnp.where(vmag2 < 1e-12, jnp.array([1.0, 0.0, 0.0, 0.0], q.dtype), q)
     rot = _quat_to_rot(q)
     trans = tgt_c - jax.lax.dot(
         rot, src_c[:, None], precision=jax.lax.Precision.HIGHEST
     )[:, 0]
+    # Same reasoning for translation: components under ~2 ulps of the
+    # largest participating coordinate cannot displace f32 points, they
+    # only keep the fixed point wandering. Snap them to exactly 0.
+    scale = jnp.max(jnp.abs(ws * tgt_pts))
+    trans = jnp.where(jnp.abs(trans) < 2.4e-7 * scale, 0.0, trans)
     return rot, trans
 
 
@@ -438,15 +461,30 @@ def _pack_icp(out):
     )
 
 
+def _trim(rows, a):
+    """Static head-slice: PointCloud arrays are leading-compact (rows
+    [0, len) are the points, the rest masked padding — api.PointCloud
+    docstring), so dropping tail padding rows above the 128-row-rounded
+    valid count is exact. The NN pass is quadratic in rows (query blocks
+    x candidate rows), so trimming 10K points from their 16384 bucket to
+    10112 rows cuts the per-iteration kernel work ~2.6x."""
+    if a is None or rows is None or rows >= a.shape[0]:
+        return a
+    return a[:rows]
+
+
 @partial(jax.jit, static_argnames=("max_iterations", "use_kernel",
-                                   "interpret"))
+                                   "interpret", "src_rows", "tgt_rows"))
 def icp_point_to_point_packed(
     src_xyz, src_valid, tgt_xyz, tgt_valid, max_iterations: int, tolerance,
     max_dist, *, use_kernel: bool = False, interpret: bool = False,
+    src_rows: int = None, tgt_rows: int = None,
 ):
     return _pack_icp(
         _icp_loop(
-            src_xyz, src_valid, tgt_xyz, tgt_valid, None, max_iterations,
+            _trim(src_rows, src_xyz), _trim(src_rows, src_valid),
+            _trim(tgt_rows, tgt_xyz), _trim(tgt_rows, tgt_valid),
+            None, max_iterations,
             tolerance, max_dist, point_to_plane=False,
             use_kernel=use_kernel, interpret=interpret,
         )
@@ -454,15 +492,17 @@ def icp_point_to_point_packed(
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "use_kernel",
-                                   "interpret"))
+                                   "interpret", "src_rows", "tgt_rows"))
 def icp_point_to_plane_packed(
     src_xyz, src_valid, tgt_xyz, tgt_valid, tgt_normals,
     max_iterations: int, tolerance, max_dist, *, use_kernel: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, src_rows: int = None, tgt_rows: int = None,
 ):
     return _pack_icp(
         _icp_loop(
-            src_xyz, src_valid, tgt_xyz, tgt_valid, tgt_normals,
+            _trim(src_rows, src_xyz), _trim(src_rows, src_valid),
+            _trim(tgt_rows, tgt_xyz), _trim(tgt_rows, tgt_valid),
+            _trim(tgt_rows, tgt_normals),
             max_iterations, tolerance, max_dist, point_to_plane=True,
             use_kernel=use_kernel, interpret=interpret,
         )

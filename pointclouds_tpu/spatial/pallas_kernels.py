@@ -2050,7 +2050,7 @@ def _nn_argmin_kernel(nr: int, unroll: int = 4):
             cw = row[0, 3:4, :]
             d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
             w = jnp.where(cw > 0.5, d2, big)  # [128, 128]
-            rf = r.astype(jnp.float32)
+            rf = jnp.float32(r)  # works for traced i32 AND static tail ints
             brow_l = jnp.where(w <= best_l, rf, brow_l)
             best_l = jnp.minimum(best_l, w)
             return best_l, brow_l
@@ -2069,8 +2069,9 @@ def _nn_argmin_kernel(nr: int, unroll: int = 4):
             jnp.int32(0), jnp.int32(nr // unroll), block_step,
             (best0, brow0),
         )
+        # Tail rows (nr not divisible by unroll) with static offsets.
         for r in range(nr - nr % unroll, nr):
-            state = row_step(jnp.int32(r), state)
+            state = row_step(r, state)
         best_l, brow_l = state
         gmin = jnp.min(best_l, axis=1, keepdims=True)  # [128, 1]
         pos = lane + jnp.float32(128.0) * brow_l  # [128, 128]
