@@ -87,21 +87,22 @@ def voxel_downsample_masked(xyz, valid, voxel_size):
         seg_op, (first, sx, sy, sz, scnt), axis=0
     )
 
-    # j-th True in is_end = end row of segment j (compaction is stable).
-    from ..core.cloud import compaction_order
-
-    ends = compaction_order(is_end).astype(jnp.int32)  # [N]; tail garbage
-    seg_totals = jnp.take(
-        jnp.stack([cx, cy, cz, ccnt]), ends, axis=1
-    )  # [4, N] (one packed [4, 1]-slice gather)
-    counts = seg_totals[3]
+    # Compact segment totals to the leading rows with ONE payload-carrying
+    # stable sort keyed by ~is_end (False sorts first, stability keeps the
+    # ends in ascending-key order). The previous compaction_order +
+    # [4, N]-source gather paid a second full sort AND a tiny-slice gather
+    # (16 B per index — the catastrophic TPU gather layout): ~12 ms of the
+    # 1M voxel op; the payload sort is ~3 ms.
+    dead = jnp.logical_not(is_end)
+    _, ex, ey, ez, ecnt = jax.lax.sort(
+        (dead, cx, cy, cz, ccnt), num_keys=1, is_stable=True
+    )
     nseg = jnp.sum(first.astype(jnp.int32))
     in_range = jnp.arange(n, dtype=jnp.int32) < nseg
-    counts = jnp.where(in_range, counts, 0.0)
+    counts = jnp.where(in_range, ecnt, 0.0)
 
-    centroids = jnp.transpose(
-        seg_totals[:3] / jnp.maximum(counts, 1.0)[None, :]
-    )
+    denom = jnp.maximum(counts, 1.0)
+    centroids = jnp.stack([ex / denom, ey / denom, ez / denom], axis=1)
     out_valid = counts > 0.0
     return centroids, out_valid
 
