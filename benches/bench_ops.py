@@ -172,10 +172,29 @@ def main():
         lambda c: pc.ransac_plane_seeded(c, 0.05, 500, 7),
         cseg, floor=floor, ref_ms=2.1,
     )
+    # Stress row: percolating slab (per-point degree ~150) — much denser
+    # than any reference workload, no baseline row to compare against.
     timeit(
-        "euclidean_cluster 100K r=0.5",
+        "euclidean_cluster 100K slab r=0.5 (stress)",
         lambda c: pc.euclidean_cluster(c, 0.5, 10, 10**9),
-        cseg, floor=floor, ref_ms=16.0,
+        cseg, floor=floor,
+    )
+
+    # The reference's own 16 ms cluster number is its aerial workload:
+    # 161K non-ground points at r=2.0 after downsample+RANSAC
+    # (BENCHMARKS.md:85-92, examples/python/aerial_lidar.py:181). Mirror
+    # that workload exactly.
+    from pointclouds_tpu.pipelines.scenes import aerial_scene
+
+    ds = pc.voxel_downsample(
+        pc.PointCloud.from_numpy(aerial_scene(seed=7)), 0.5
+    )
+    ground = pc.ransac_plane_seeded(ds, 0.3, 300, 11)
+    non_ground = ds.select_inverse(ground.inliers)
+    timeit(
+        f"euclidean_cluster aerial {non_ground.len()//1000}K r=2.0",
+        lambda c: pc.euclidean_cluster(c, 2.0, 20, 100_000),
+        non_ground, floor=floor, ref_ms=16.0,
     )
 
 

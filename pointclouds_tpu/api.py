@@ -615,7 +615,9 @@ def euclidean_cluster(
         return []
 
     xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
-    labels_np = _engine.cluster_labels(xyz, valid, distance_threshold)
+    labels_np = _engine.cluster_labels(
+        xyz, valid, distance_threshold, n_valid=cloud.len()
+    )
     if labels_np is None:
         # Huge extents or unbounded per-cell density: exact int64-keyed
         # fallback (grid neighbor lists + per-point label propagation).

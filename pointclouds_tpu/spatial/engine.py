@@ -323,23 +323,29 @@ def _degrade_to_xla(run, use_kernel: bool, memo_key=None):
         return run(False)
 
 
-@partial(jax.jit, static_argnames=("wr", "use_kernel"))
-def _cluster_labels_packed(xyz, valid, radius, *, wr: int, use_kernel: bool):
-    """Returns i32[N + 1]: [labels, exact flag] in ONE fetch (each extra
-    fetch is a full RPC round-trip on the tunneled harness). The
+@partial(jax.jit, static_argnames=("wr", "use_kernel", "rows"))
+def _cluster_labels_packed(xyz, valid, radius, *, wr: int, use_kernel: bool,
+                           rows: int = None):
+    """Returns i32[rows + 1]: [labels, exact flag] in ONE fetch (each
+    extra fetch is a full RPC round-trip on the tunneled harness). The
     label->order sort stays on HOST: a measured device-side stable
     lax.sort + doubled fetch cost ~45 ms more at 100K than numpy's
     argsort (TPU sorts are bitonic O(n log^2 n); the tunnel charges per
-    byte)."""
+    byte). ``rows`` (static) trims the fetched labels to the caller's
+    leading-compact valid count — padding rows are always their own
+    singleton labels, so the tail carries no information (at 166K in a
+    262144 bucket the trim saves ~37% of the fetch bytes)."""
     from .sweep import sweep_cluster_labels
 
     labels, exact = sweep_cluster_labels(
         xyz, valid, radius, wr=wr, use_kernel=use_kernel
     )
+    if rows is not None and rows < labels.shape[0]:
+        labels = labels[:rows]
     return jnp.concatenate([labels, exact.astype(labels.dtype)[None]])
 
 
-def cluster_labels(xyz, valid, radius: float):
+def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
     """Connected-component labels under inclusive distance ``radius``
     (non-finite/invalid points keep their own row as a singleton label),
     or None if no backend can certify exactness (caller falls back).
@@ -348,10 +354,17 @@ def cluster_labels(xyz, valid, radius: float):
     `sweep.sweep_cluster_labels`); the collapsed cell-graph path remains
     as the second attempt for window-overflow cases.
 
-    Returns labels i32[N] in ORIGINAL row order as a host array (label =
-    smallest member row id), or None. Grouping/canonical ordering is the
-    caller's epilogue (native.cluster_epilogue / numpy fallback)."""
+    Returns labels i32[rows] in ORIGINAL row order as a host array (label
+    = smallest member row id; rows >= n_valid when given, else the full
+    padded N), or None. ``n_valid`` (leading-compact valid count) trims
+    the device fetch — tail padding rows are always singletons. Grouping
+    and canonical ordering are the caller's epilogue
+    (native.cluster_epilogue / numpy fallback)."""
     n = xyz.shape[0]
+    rows = (
+        None if n_valid is None
+        else min(n, max(128, -(-int(n_valid) // 128) * 128))
+    )
     if n < CELLGRID_MAX_N and n > BRUTE_THRESHOLD // 4:
         from .sweep import CLUSTER_RESIDENT_BYTES, sweep_cluster_labels
 
@@ -376,7 +389,7 @@ def cluster_labels(xyz, valid, radius: float):
                 packed = np.asarray(
                     _cluster_labels_packed(
                         xyz, valid, np.float32(radius), wr=wr,
-                        use_kernel=uk,
+                        use_kernel=uk, rows=rows,
                     )
                 )
                 return packed[:-1], bool(packed[-1])
