@@ -242,10 +242,16 @@ def kitti_obstacle_pipeline(
         # gathers. cluster_exact=False (window overflow / iteration cap)
         # surfaces in grid_flags[2] — callers needing guaranteed-exact
         # clusters then rerun via the engine path.
+        # wr=12: at the default wr=7 one dense obstacle block's 9-window
+        # span overflows on real Velodyne frames (cars are ~100 pts/cell at
+        # 0.15 m voxels), tripping the exactness certificate. The kernel's
+        # window walks have dynamic trip counts, so the larger cap costs
+        # only a wider starts pack (probe: scripts/probe_cluster_exact.py).
         labels, cluster_exact = sweep_cluster_labels(
             obs_xyz,
             obs_valid,
             cluster_r,
+            wr=12,
             use_kernel=(sor_backend == "sweep"),
         )
         cluster_flag0 = jnp.logical_not(cluster_exact)

@@ -44,12 +44,16 @@ STAGES = [
                                    "obstacle_cap", "cluster_wr", "backend"))
 def prefix(xyz, valid, voxel_size, normals_cell, ransac_thresh, seed,
            cluster_r, viewpoint, *, stop: int, normals_k=15,
-           ransac_iters=300, obstacle_cap=262_144, cluster_wr=12,
+           ransac_iters=300, obstacle_cap=196_608, cluster_wr=12,
            backend="sweep"):
     use_kernel = backend == "sweep"
     acc = jnp.float32(0.0)
 
-    centroids, ds_valid = voxel_downsample_masked(xyz, valid, voxel_size)
+    centroids_full, ds_valid_full = voxel_downsample_masked(
+        xyz, valid, voxel_size
+    )
+    centroids = centroids_full[:229_376]
+    ds_valid = ds_valid_full[:229_376]
     acc += jnp.sum(centroids) + jnp.sum(ds_valid)
     if stop == 1:
         return acc
@@ -77,7 +81,8 @@ def prefix(xyz, valid, voxel_size, normals_cell, ransac_thresh, seed,
         return acc
 
     pnormal, d, inlier_mask = ransac_plane_masked(
-        centroids, ds_valid, ransac_thresh, seed, ransac_iters
+        centroids, ds_valid, ransac_thresh, seed, ransac_iters,
+        assume_compact=True, score_subsample=4096, use_kernel=use_kernel,
     )
     acc += jnp.sum(pnormal) + d + jnp.sum(inlier_mask)
     if stop == 4:

@@ -40,15 +40,16 @@ STAGES = [
     "cluster_sweep",
 ]
 
-DS_CAP = 131072
+DS_CAP = 98_304
 OBSTACLE_CAP = 16384
 
 
 @partial(jax.jit, static_argnames=("stop",))
 def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
            *, stop: int):
-    """Mirrors pipelines/kitti.kitti_obstacle_pipeline's sweep backend
-    (sor_k=20, per_seg=3, ransac_iters=500) stage by stage."""
+    """Mirrors pipelines/kitti.kitti_obstacle_pipeline's sweep backend at
+    bench.py's operating point (sor_k=20, cell=3 voxels, per_seg=2,
+    ds_cap=98304, tournament RANSAC subsample=4096) stage by stage."""
     acc = jnp.float32(0.0)
 
     centroids_full, ds_valid_full = voxel_downsample_masked(
@@ -60,10 +61,10 @@ def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
     if stop == 1:
         return acc
 
-    sor_cell = voxel_size * 4.0
+    sor_cell = voxel_size * 3.0
     mean_dists, point_ok, sor_certified = sweep_sor_two_pass(
         centroids, ds_valid, sor_cell, k=20, fix_cap=8192,
-        rescue_cells=4.0, per_seg=3, use_kernel=True,
+        rescue_cells=4.0, per_seg=2, use_kernel=True,
     )
     acc += jnp.sum(
         jnp.where(jnp.isfinite(mean_dists), mean_dists, 0.0)
@@ -77,7 +78,8 @@ def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
         return acc
 
     normal, d, inlier_mask = ransac_plane_masked(
-        centroids, cleaned_valid, ransac_thresh, seed, 500
+        centroids, cleaned_valid, ransac_thresh, seed, 500,
+        score_subsample=4096, use_kernel=True,
     )
     acc += jnp.sum(normal) + d + jnp.sum(inlier_mask)
     if stop == 4:
@@ -95,14 +97,14 @@ def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
         return acc
 
     labels, cluster_exact = sweep_cluster_labels(
-        obs_xyz, obs_valid, cluster_r, use_kernel=True
+        obs_xyz, obs_valid, cluster_r, wr=12, use_kernel=True
     )
     acc += jnp.sum(labels) + cluster_exact
     return acc
 
 
 def main():
-    data = velodyne_scene(seed=42)
+    data = velodyne_scene(seed=0, n_points=122_000)
     arrs = make_cloud_arrays(data)
     xyz, valid = arrs.xyz, arrs.valid
     print(f"points: {len(data)} padded {xyz.shape[0]}", flush=True)
@@ -111,12 +113,12 @@ def main():
     prev = 0.0
     for stop in range(1, len(STAGES) + 1):
         args = (xyz, valid, np.float32(0.15), np.float32(2.0),
-                np.float32(0.2))
-        out = prefix(*args, 0, np.float32(0.35), stop=stop)
+                np.float32(0.15))
+        out = prefix(*args, 0, np.float32(0.8), stop=stop)
         np.asarray(out)
         t0 = time.perf_counter()
         for f in range(frames):
-            out = prefix(*args, f, np.float32(0.35), stop=stop)
+            out = prefix(*args, f, np.float32(0.8), stop=stop)
         np.asarray(out)
         cur = (time.perf_counter() - t0) * 1e3 / frames
         print(
