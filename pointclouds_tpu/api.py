@@ -701,10 +701,11 @@ def ransac_plane_seeded(
         ),
     )
     # ONE fetch total: bytes [0:16] carry the f32 scalars (bitcast,
-    # exact), the rest is the 0/1 inlier mask; list built via
-    # ndarray.tolist (the per-element int() loop cost ~15 ms at 100K).
+    # exact), the rest the BIT-PACKED inlier mask (8x smaller fetch);
+    # list built via ndarray.tolist (the per-element int() loop cost
+    # ~15 ms at 100K).
     v = buf[:16].copy().view(np.float32).astype(np.float64)
-    mask_np = buf[16 : 16 + cloud.len()]
+    mask_np = np.unpackbits(buf[16:], bitorder="little")[: cloud.len()]
     return PlaneResult(
         normal=[float(x) for x in v[:3]],
         d=float(v[3]),

@@ -31,12 +31,16 @@ namespace {
 
 struct Cand {
     double d2;
-    int64_t seq;  // gather order: makes tie-breaking identical to numpy
     int64_t pos;  // position in the sorted arrays
 };
 
+// Tie order: ascending sorted position among equal distances. Identical
+// to the numpy twin's stable argsort over cell-gathered candidates —
+// every scan there visits cells in ascending linear-id order, so its
+// stable tie order IS ascending sorted position. Position-based ordering
+// makes that explicit and lets the scan below visit cells in ANY order.
 inline bool cand_less(const Cand& a, const Cand& b) {
-    return a.d2 < b.d2 || (a.d2 == b.d2 && a.seq < b.seq);
+    return a.d2 < b.d2 || (a.d2 == b.d2 && a.pos < b.pos);
 }
 
 struct Index {
@@ -45,8 +49,11 @@ struct Index {
     double cell = 1.0;
     double mn[3] = {0, 0, 0};
     int64_t extent[3] = {1, 1, 1};
-    std::vector<int64_t> slin;   // sorted cell ids
-    std::vector<double> spts;    // [n_valid * 3] sorted coords (f64)
+    std::vector<int64_t> slin;  // sorted cell ids
+    // Sorted coords in SoA layout: cell runs are contiguous, so the
+    // per-run distance pass vectorizes (the interleaved [pos*3] layout
+    // defeated autovectorization and cost ~2x on the scan).
+    std::vector<double> sx, sy, sz;
     std::vector<int64_t> srows;  // sorted -> original row
     // Dense cell -> first sorted row table (built when the grid is small
     // enough; empty => fall back to binary search over slin). starts[c]
@@ -61,11 +68,26 @@ inline int64_t lower_bound_lin(const std::vector<int64_t>& v, int64_t key) {
 }
 
 inline double d2_at(const Index& ix, int64_t pos, const double q[3]) {
-    const double* p = &ix.spts[pos * 3];
-    const double dx = p[0] - q[0];
-    const double dy = p[1] - q[1];
-    const double dz = p[2] - q[2];
+    const double dx = ix.sx[pos] - q[0];
+    const double dy = ix.sy[pos] - q[1];
+    const double dz = ix.sz[pos] - q[2];
     return dx * dx + dy * dy + dz * dz;
+}
+
+// Vectorizable distance pass over a contiguous sorted run [s, e):
+// fills d2buf[0 .. e-s). Caller sizes d2buf.
+inline void d2_run(const Index& ix, int64_t s, int64_t e, const double q[3],
+                   double* d2buf) {
+    const double* X = ix.sx.data() + s;
+    const double* Y = ix.sy.data() + s;
+    const double* Z = ix.sz.data() + s;
+    const int64_t len = e - s;
+    for (int64_t i = 0; i < len; ++i) {
+        const double dx = X[i] - q[0];
+        const double dy = Y[i] - q[1];
+        const double dz = Z[i] - q[2];
+        d2buf[i] = dx * dx + dy * dy + dz * dz;
+    }
 }
 
 }  // namespace
@@ -133,18 +155,24 @@ void* pcidx_build(const float* xyz, const uint8_t* valid, int64_t n) {
         lin[j] = (c[j * 3] * ix->extent[1] + c[j * 3 + 1]) * ix->extent[2] +
                  c[j * 3 + 2];
 
-    std::vector<int64_t> order(ix->n_valid);
-    std::iota(order.begin(), order.end(), 0);
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int64_t a, int64_t b) { return lin[a] < lin[b]; });
+    // (lin, j) pair sort: unique second components make std::sort stable
+    // in effect, and the contiguous pair layout sorts ~3x faster than a
+    // stable_sort over indices with a gather comparator.
+    std::vector<std::pair<int64_t, int64_t>> kv(ix->n_valid);
+    for (int64_t j = 0; j < ix->n_valid; ++j) kv[j] = {lin[j], j};
+    std::sort(kv.begin(), kv.end());
     ix->slin.resize(ix->n_valid);
-    ix->spts.resize(ix->n_valid * 3);
+    ix->sx.resize(ix->n_valid);
+    ix->sy.resize(ix->n_valid);
+    ix->sz.resize(ix->n_valid);
     ix->srows.resize(ix->n_valid);
     for (int64_t j = 0; j < ix->n_valid; ++j) {
-        const int64_t o = order[j];
-        ix->slin[j] = lin[o];
+        const int64_t o = kv[j].second;
+        ix->slin[j] = kv[j].first;
         ix->srows[j] = rows[o];
-        std::memcpy(&ix->spts[j * 3], &pts[o * 3], 3 * sizeof(double));
+        ix->sx[j] = pts[o * 3];
+        ix->sy[j] = pts[o * 3 + 1];
+        ix->sz[j] = pts[o * 3 + 2];
     }
     const int64_t ncells =
         ix->extent[0] * ix->extent[1] * ix->extent[2];
@@ -182,99 +210,129 @@ int64_t pcidx_knn(void* h, const double* q, int64_t k, int64_t* out_rows,
         return 0;
 
     const int64_t want = std::min<int64_t>(k, ix.n_valid);
-    std::vector<Cand> heap;  // stack-local: calls run GIL-released
+    // thread_local: reused capacity across calls with no malloc, still
+    // race-free when concurrent GIL-released queries share one index.
+    thread_local std::vector<Cand> heap;
+    heap.clear();
     heap.reserve((size_t)k);
 
-    // Scan every cell intersecting the ball of radius r around q (exact
-    // per-axis AABB window + per-column planar pruning): if the kth
-    // candidate distance comes out <= r, the result is provably the true
-    // k nearest. One pass keeps the k smallest in a bounded max-heap,
-    // ordered by (d2, cell-lex seq) — identical tie order to numpy's
-    // stable argsort over cell-gathered candidates (pruned cells cannot
-    // hold a tie: their points are strictly farther than r >= kth).
+    // Shell-ordered scan: visit cells by ascending Chebyshev ring around
+    // the query's cell, pruning each z-column by its exact planar gap and
+    // stopping as soon as the kth distance is provably inside the scanned
+    // rings (a ring-(t+1) cell lies >= t*cell from anywhere in the query's
+    // cell). No restart, no candidate superset beyond the pruned shells —
+    // the expanding-radius rescan this replaces re-visited every candidate
+    // on each doubling and scanned the full AABB of the certified ball.
     const int64_t ey = ix.extent[1], ez = ix.extent[2];
     const bool dense = !ix.starts.empty();
-    auto scan_ball = [&](double r) {
-        heap.clear();
-        int64_t seq = 0, seen = 0;
-        const double rr2 = r * r;
-        int64_t lo[3], hi[3];
-        for (int a = 0; a < 3; ++a) {
-            lo[a] = std::max<int64_t>(
-                (int64_t)std::floor((q[a] - r - ix.mn[a]) / ix.cell), 0);
-            hi[a] = std::min<int64_t>(
-                (int64_t)std::floor((q[a] + r - ix.mn[a]) / ix.cell),
-                ix.extent[a] - 1);
-            if (hi[a] < lo[a]) return (int64_t)0;
+
+    int64_t cq[3];
+    for (int a = 0; a < 3; ++a)
+        cq[a] = (int64_t)std::floor((q[a] - ix.mn[a]) / ix.cell);
+
+    // kth2: current kth squared distance once the heap is full (else inf).
+    double kth2 = 1e300;
+    auto consider = [&](double d2, int64_t pos) {
+        const Cand c{d2, pos};
+        if ((int64_t)heap.size() < k) {
+            heap.push_back(c);
+            std::push_heap(heap.begin(), heap.end(), cand_less);
+            if ((int64_t)heap.size() == k) kth2 = heap.front().d2;
+        } else if (cand_less(c, heap.front())) {
+            std::pop_heap(heap.begin(), heap.end(), cand_less);
+            heap.back() = c;
+            std::push_heap(heap.begin(), heap.end(), cand_less);
+            kth2 = heap.front().d2;
         }
-        for (int64_t x = lo[0]; x <= hi[0]; ++x) {
-            const double xlo = ix.mn[0] + (double)x * ix.cell;
-            const double dx =
-                q[0] < xlo
-                    ? xlo - q[0]
-                    : (q[0] > xlo + ix.cell ? q[0] - xlo - ix.cell : 0.0);
-            for (int64_t y = lo[1]; y <= hi[1]; ++y) {
-                const double ylo = ix.mn[1] + (double)y * ix.cell;
-                const double dy =
-                    q[1] < ylo
-                        ? ylo - q[1]
-                        : (q[1] > ylo + ix.cell ? q[1] - ylo - ix.cell
-                                                : 0.0);
-                if (dx * dx + dy * dy > rr2) continue;
-                const int64_t base = (x * ey + y) * ez;
-                int64_t s, e;
-                if (dense) {
-                    s = ix.starts[base + lo[2]];
-                    e = ix.starts[base + hi[2] + 1];
-                } else {
-                    s = lower_bound_lin(ix.slin, base + lo[2]);
-                    e = lower_bound_lin(ix.slin, base + hi[2] + 1);
-                }
-                for (int64_t pos = s; pos < e; ++pos, ++seq) {
-                    const Cand c{d2_at(ix, pos, q), seq, pos};
-                    if ((int64_t)heap.size() < k) {
-                        heap.push_back(c);
-                        std::push_heap(heap.begin(), heap.end(), cand_less);
-                    } else if (cand_less(c, heap.front())) {
-                        std::pop_heap(heap.begin(), heap.end(), cand_less);
-                        heap.back() = c;
-                        std::push_heap(heap.begin(), heap.end(), cand_less);
-                    }
-                }
-                seen += e - s;
-            }
-        }
-        return seen;
     };
 
-    // Density-predicted starting radius; double until certified.
-    const double density = (double)ix.n_valid /
-                           std::max(1e-12, (double)ix.extent[0] *
-                                               ix.extent[1] * ix.extent[2] *
-                                               ix.cell * ix.cell * ix.cell);
-    const double rk =
-        std::cbrt(3.0 * (double)k / (4.0 * 3.14159265358979 *
-                                     std::max(density, 1e-12)));
-    // Whole-grid distance bound from q (query may sit outside the grid).
-    double r_max = 0.0;
-    for (int a = 0; a < 3; ++a) {
-        const double span = (double)ix.extent[a] * ix.cell;
-        const double lo_d = q[a] - ix.mn[a];
-        const double hi_d = ix.mn[a] + span - q[a];
-        const double far = std::max(std::abs(lo_d), std::abs(hi_d)) + ix.cell;
-        r_max += far * far;
-    }
-    r_max = std::sqrt(r_max);
+    // Exact gap from q to a cell's slab along one axis.
+    auto axis_gap = [&](double qa, int64_t c, int a) {
+        const double lo = ix.mn[a] + (double)c * ix.cell;
+        return qa < lo ? lo - qa
+                       : (qa > lo + ix.cell ? qa - lo - ix.cell : 0.0);
+    };
 
-    for (double r = std::max(rk * 1.1, ix.cell);; r *= 2.0) {
-        const bool last = r >= r_max;
-        const int64_t seen = scan_ball(std::min(r, r_max));
-        if (seen >= want) {
-            const double kth =
-                std::sqrt(heap.empty() ? 0.0 : heap.front().d2);
-            if (kth <= r || last) break;
-        } else if (last) {
-            break;
+    // Scan a contiguous z-run of cells in column (x, y). Prunes on the
+    // planar gap alone (ties at kth2 must be KEPT: equal-d2 candidates
+    // with smaller pos displace larger-pos incumbents, so only strictly
+    // farther cells may be skipped). Two-phase: a vectorized distance
+    // pass into a stack buffer, then a scalar threshold scan whose branch
+    // is almost always not-taken once the heap warms up.
+    double d2buf[256];
+    auto scan_run = [&](int64_t x, int64_t y, int64_t z0, int64_t z1,
+                        double pl2) {
+        z0 = std::max<int64_t>(z0, 0);
+        z1 = std::min<int64_t>(z1, ez - 1);
+        if (z1 < z0 || pl2 > kth2) return;
+        const int64_t base = (x * ey + y) * ez;
+        int64_t s, e;
+        if (dense) {
+            s = ix.starts[base + z0];
+            e = ix.starts[base + z1 + 1];
+        } else {
+            s = lower_bound_lin(ix.slin, base + z0);
+            e = lower_bound_lin(ix.slin, base + z1 + 1);
+        }
+        for (int64_t cs = s; cs < e; cs += 256) {
+            const int64_t ce = std::min<int64_t>(cs + 256, e);
+            d2_run(ix, cs, ce, q, d2buf);
+            for (int64_t i = 0; i < ce - cs; ++i)
+                if (d2buf[i] <= kth2) consider(d2buf[i], cs + i);
+        }
+    };
+
+    // Ring range: t_min = Chebyshev distance from cq to the nearest
+    // in-grid cell (smaller rings are entirely outside the grid); at
+    // t_max the ring's cube covers the whole grid.
+    int64_t t_min = 0, t_max = 0;
+    for (int a = 0; a < 3; ++a) {
+        const int64_t under = cq[a] < 0 ? -cq[a] : 0;
+        const int64_t over =
+            cq[a] > ix.extent[a] - 1 ? cq[a] - (ix.extent[a] - 1) : 0;
+        t_min = std::max(t_min, std::max(under, over));
+        t_max = std::max(
+            t_max, std::max(std::abs(cq[a]),
+                            std::abs(ix.extent[a] - 1 - cq[a])));
+    }
+
+    for (int64_t t = t_min;; ++t) {
+        const int64_t xlo = std::max<int64_t>(cq[0] - t, 0);
+        const int64_t xhi = std::min<int64_t>(cq[0] + t, ix.extent[0] - 1);
+        for (int64_t x = xlo; x <= xhi; ++x) {
+            const double gx = axis_gap(q[0], x, 0);
+            const double gx2 = gx * gx;
+            if (gx2 > kth2) continue;
+            const bool xface = (x == cq[0] - t) || (x == cq[0] + t);
+            const int64_t ylo = std::max<int64_t>(cq[1] - t, 0);
+            const int64_t yhi =
+                std::min<int64_t>(cq[1] + t, ix.extent[1] - 1);
+            for (int64_t y = ylo; y <= yhi; ++y) {
+                const double gy = axis_gap(q[1], y, 1);
+                const double pl2 = gx2 + gy * gy;
+                if (pl2 > kth2) continue;
+                const bool yface = (y == cq[1] - t) || (y == cq[1] + t);
+                if (t == 0 || xface || yface) {
+                    // Side column: the whole z-run belongs to ring t.
+                    scan_run(x, y, cq[2] - t, cq[2] + t, pl2);
+                } else {
+                    // Interior column: only the two z-faces are new.
+                    const double gz0 = axis_gap(q[2], cq[2] - t, 2);
+                    if (pl2 + gz0 * gz0 <= kth2)
+                        scan_run(x, y, cq[2] - t, cq[2] - t, pl2);
+                    const double gz1 = axis_gap(q[2], cq[2] + t, 2);
+                    if (pl2 + gz1 * gz1 <= kth2)
+                        scan_run(x, y, cq[2] + t, cq[2] + t, pl2);
+                }
+            }
+        }
+        if (t >= t_max) break;  // every grid cell scanned
+        if ((int64_t)heap.size() >= want) {
+            // Ring t+1 cells lie >= t*cell away; strict < keeps exact tie
+            // order (an equal-distance point there could displace a
+            // larger-pos incumbent).
+            const double bound = (double)t * ix.cell;
+            if (kth2 < bound * bound) break;
         }
     }
     std::sort_heap(heap.begin(), heap.end(), cand_less);
@@ -300,7 +358,10 @@ int64_t pcidx_radius(void* h, const double* q, double radius,
         !std::isfinite(q[2]) || !std::isfinite(radius))
         return 0;
     const double r2 = radius * radius;
-    std::vector<int64_t> hits;  // stack-local: calls run GIL-released
+    // thread_local: capacity persists across calls (no per-call malloc),
+    // still race-free for concurrent GIL-released queries.
+    thread_local std::vector<int64_t> hits;
+    hits.clear();
 
     // Exact per-axis window of the ball's AABB (a strictly smaller
     // superset of the true hit set than the numpy path's cubic
@@ -317,6 +378,7 @@ int64_t pcidx_radius(void* h, const double* q, double radius,
         if (hi[a] < lo[a]) return 0;
     }
     const bool dense = !ix.starts.empty();
+    double d2buf[256];
     for (int64_t x = lo[0]; x <= hi[0]; ++x) {
         // Min distance from q to the column's x-slab.
         const double xlo = ix.mn[0] + (double)x * ix.cell;
@@ -339,8 +401,12 @@ int64_t pcidx_radius(void* h, const double* q, double radius,
                 s = lower_bound_lin(ix.slin, base + lo[2]);
                 e = lower_bound_lin(ix.slin, base + hi[2] + 1);
             }
-            for (int64_t pos = s; pos < e; ++pos)
-                if (d2_at(ix, pos, q) <= r2) hits.push_back(ix.srows[pos]);
+            for (int64_t cs = s; cs < e; cs += 256) {
+                const int64_t ce = std::min<int64_t>(cs + 256, e);
+                d2_run(ix, cs, ce, q, d2buf);
+                for (int64_t i = 0; i < ce - cs; ++i)
+                    if (d2buf[i] <= r2) hits.push_back(ix.srows[cs + i]);
+            }
         }
     }
     std::sort(hits.begin(), hits.end());

@@ -107,6 +107,167 @@ def voxel_downsample_masked(xyz, valid, voxel_size):
     return centroids, out_valid
 
 
+@partial(jax.jit, static_argnames=("factor", "table_size"))
+def voxel_downsample_sweep_frontend(xyz, valid, voxel_size, *,
+                                    factor: int = 3,
+                                    table_size: int = 1 << 21):
+    """Voxel downsample whose output is ALREADY sorted for the SOR sweep.
+
+    Same centroid VALUES as `voxel_downsample_masked` (identical per-voxel
+    f32 accumulation order — members of a voxel are consecutive in both
+    sorts), but rows come out in (sor-cell-major, voxel-minor) hierarchical
+    key order, where the sor cell is ``factor`` voxels wide. The fused
+    KITTI pipeline then builds the SOR sweep structure directly on these
+    rows — no second 98K-row payload sort, no inverse permutation, no
+    unsort gather (the round-3 profile charged ~3 ms/frame to exactly
+    those; scripts/profile_sor_r4.py).
+
+    Returns a dict:
+      centroids f32[N, 3], out_valid bool[N]  (compacted, hierarchical order)
+      slin      i32[N]   sor-cell linear id per row (ascending; table_size
+                          sentinel on invalid rows)
+      canon     i32[N]   canonical voxel rank (lex (ix,iy,iz) order — the
+                          `voxel_downsample_masked` output order) for
+                          order-sensitive consumers (RANSAC sampling parity)
+      extent    i32[3]   sor-grid extent (for `_window_starts`)
+      hi_cells  f32      |coord|/sor_cell bound (for the exactness margin)
+      table_overflow bool, ds_overflow is the caller's slice check
+    """
+    n = xyz.shape[0]
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
+    use = jnp.logical_and(valid, finite)
+
+    c = cell_coords(xyz, voxel_size)  # i32[N, 3], clamped packable range
+    big32 = jnp.int32(2**30)
+    mn_v = jnp.min(jnp.where(use[:, None], c, big32), axis=0)
+    mn_v = jnp.minimum(mn_v, big32 - 1)
+    rel = jnp.clip(c - mn_v[None, :], 0, None)  # voxel coords >= 0
+    mx_rel = jnp.max(jnp.where(use[:, None], rel, 0), axis=0)
+    ext_v = mx_rel + 1  # voxel-grid extent
+    ext64 = ext_v.astype(jnp.int64)
+    esc = mx_rel // factor + 1  # sor-grid extent
+    esc64 = esc.astype(jnp.int64)
+    # Both grids must stay addressable: the voxel rank key must fit i32
+    # (it is factor^3 x the sor-cell count) and the sor grid must fit the
+    # sweep's dense window table.
+    table_overflow = jnp.logical_or(
+        (esc64[0] * esc64[1] * esc64[2]) > table_size,
+        (ext64[0] * ext64[1] * ext64[2]) > 2**31 - 2,
+    )
+
+    # Canonical voxel rank key: same lex (ix, iy, iz) order as
+    # `pack_cell_key` (rel is a per-axis shift), in one i32 lane instead of
+    # the generic op's packed i64.
+    invalid32 = jnp.int32(2**31 - 1)
+    ckey64 = (rel[:, 0].astype(jnp.int64) * ext64[1] + rel[:, 1]) * ext64[
+        2
+    ] + rel[:, 2]
+    ckey = jnp.where(
+        use, jnp.clip(ckey64, 0, 2**31 - 2).astype(jnp.int32), invalid32
+    )
+
+    # Sort 1 (CANONICAL order — identical valid-row positions to
+    # `voxel_downsample_masked`'s sort, so the segmented scan's f32
+    # combine tree regroups nothing: centroid values stay bitwise equal).
+    skey, sx, sy, sz = jax.lax.sort(
+        (ckey, x, y, z), num_keys=1, is_stable=True
+    )
+    suse = skey != invalid32
+    sx = jnp.where(suse, sx, 0.0)
+    sy = jnp.where(suse, sy, 0.0)
+    sz = jnp.where(suse, sz, 0.0)
+    scnt = suse.astype(jnp.float32)
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+
+    def seg_op(a, b):
+        return (
+            jnp.logical_or(a[0], b[0]),
+            b[1] + jnp.where(b[0], 0.0, a[1]),
+            b[2] + jnp.where(b[0], 0.0, a[2]),
+            b[3] + jnp.where(b[0], 0.0, a[3]),
+            b[4] + jnp.where(b[0], 0.0, a[4]),
+        )
+
+    _, cx, cy, cz, ccnt = jax.lax.associative_scan(
+        seg_op, (first, sx, sy, sz, scnt), axis=0
+    )
+
+    # Sort 2: compaction — segment ends to the front in canonical order
+    # (stable on ~is_end), the rank key riding along.
+    dead = jnp.logical_not(is_end)
+    _, ex_, ey_, ez_, ecnt, ekey = jax.lax.sort(
+        (dead, cx, cy, cz, ccnt, skey), num_keys=1, is_stable=True
+    )
+    nseg = jnp.sum(first.astype(jnp.int32))
+    in_range = jnp.arange(n, dtype=jnp.int32) < nseg
+    counts = jnp.where(in_range, ecnt, 0.0)
+    out_valid = counts > 0.0
+    denom = jnp.maximum(counts, 1.0)
+    cxm = ex_ / denom
+    cym = ey_ / denom
+    czm = ez_ / denom
+    canon0 = jnp.where(out_valid, ekey, invalid32)
+
+    # |coord| / sor_cell bound for the certificate margin (conservative).
+    hi_v = jnp.max(
+        jnp.maximum(jnp.abs(mn_v), jnp.abs(mn_v + ext_v)).astype(jnp.float32)
+    )
+    hi_cells = (hi_v + float(factor)) / float(factor)
+
+    return dict(
+        centroids_canon=jnp.stack([cxm, cym, czm], axis=1),
+        out_valid=out_valid,
+        canon=canon0,
+        cxm=cxm,
+        cym=cym,
+        czm=czm,
+        ext_v=ext_v,
+        extent=esc,
+        hi_cells=hi_cells,
+        table_overflow=table_overflow,
+    )
+
+
+@partial(jax.jit, static_argnames=("factor", "table_size"))
+def sweep_sort_compacted(cxm, cym, czm, canon, out_valid, ext_v, esc, *,
+                         factor: int = 3, table_size: int = 1 << 21):
+    """Sort 3 of the shared front end: the COMPACTED (and usually
+    ds_cap-sliced) voxel rows into sor-cell-major sweep order. Returns
+    (centroids f32[N,3], valid bool[N], slin i32[N], canon i32[N]) with
+    slin ascending and invalid rows at the tail — `structure_from_sorted`
+    input. The sor-cell id is decoded from the canonical rank key, so the
+    grid is exactly the integer voxel grid coarsened by ``factor``."""
+    invalid32 = jnp.int32(2**31 - 1)
+    ck = jnp.where(out_valid, canon, 0)
+    r0 = ck // (ext_v[1] * ext_v[2])
+    r1 = (ck // ext_v[2]) % ext_v[1]
+    r2 = ck % ext_v[2]
+    lin_sc = ((r0 // factor) * esc[1] + r1 // factor) * esc[2] + r2 // factor
+    lin_sc = jnp.clip(lin_sc, 0, table_size - 1)
+    sorkey = jnp.where(out_valid, lin_sc, jnp.int32(table_size))
+    skey, sx, sy, sz, scanon = jax.lax.sort(
+        (sorkey, cxm, cym, czm, jnp.where(out_valid, canon, invalid32)),
+        num_keys=1,
+        is_stable=True,
+    )
+    svalid = skey != jnp.int32(table_size)
+    return (
+        jnp.stack(
+            [
+                jnp.where(svalid, sx, 0.0),
+                jnp.where(svalid, sy, 0.0),
+                jnp.where(svalid, sz, 0.0),
+            ],
+            axis=1,
+        ),
+        svalid,
+        skey,
+        scanon,
+    )
+
+
 def passthrough_mask(xyz, valid, axis_index: int, lo, hi):
     """Keep-mask for min <= v <= max and finite on one axis.
 

@@ -62,7 +62,8 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
                         score_subsample: int | None = None,
                         rescore_top: int = 8,
                         use_kernel: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        position_rows=None):
     """Batched RANSAC plane fit on a masked cloud.
 
     Returns (normal f32[3], d f32, inlier_mask bool[N]). With fewer than 3
@@ -90,7 +91,13 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
     key = jax.random.PRNGKey(seed)
     samples = _sample_three_distinct(key, iterations, cnt)  # positions
     order = None
-    if assume_compact:
+    if position_rows is not None:
+        # Caller-provided position -> row map (e.g. the fused pipeline's
+        # canonical-order mini-sort): hypothesis selection stays identical
+        # to the compacted per-op path without a full compaction sort here.
+        order = position_rows.astype(jnp.int32)
+        idx = jnp.take(order, samples, axis=0)
+    elif assume_compact:
         idx = samples  # position p IS original row p
     else:
         # Compacted index map: position p (< cnt) -> original row.
@@ -238,12 +245,15 @@ def ransac_plane_bytes(xyz, valid, threshold, seed, iterations: int,
                        *, assume_compact: bool = False,
                        score_subsample: int | None = None,
                        use_kernel: bool = False):
-    """ransac_plane_masked with EVERYTHING in one uint8[16 + N] buffer:
+    """ransac_plane_masked with EVERYTHING in one uint8[16 + N/8] buffer:
     bytes [0:16] are the little-endian f32 scalars [nx, ny, nz, d]
-    (bitcast, exact) and bytes [16:] the 0/1 inlier mask. ONE
-    device->host fetch serves the whole PlaneResult — the previous
-    two-array fetch cost a second ~30 ms RPC round-trip per call on the
-    tunneled harness."""
+    (bitcast, exact) and bytes [16:] the inlier mask BIT-PACKED
+    little-bit-order (np.unpackbits(..., bitorder="little") on the host).
+    ONE device->host fetch serves the whole PlaneResult, and packing cuts
+    the mask payload 8x (the 131 KB byte mask cost ~3 ms on the tunneled
+    dev harness; ~0.4 ms packed)."""
+    n = xyz.shape[0]
+    assert n % 8 == 0, n  # capacities are multiples of 128
     normal, d, inlier_mask = ransac_plane_masked(
         xyz, valid, threshold, seed, iterations,
         assume_compact=assume_compact, score_subsample=score_subsample,
@@ -252,7 +262,10 @@ def ransac_plane_bytes(xyz, valid, threshold, seed, iterations: int,
     scal = jax.lax.bitcast_convert_type(
         jnp.concatenate([normal, d[None]]).astype(jnp.float32), jnp.uint8
     ).reshape(16)
-    return jnp.concatenate([scal, inlier_mask.astype(jnp.uint8)])
+    bits = inlier_mask.astype(jnp.uint8).reshape(-1, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    packed = jnp.sum(bits * weights[None, :], axis=1, dtype=jnp.uint8)
+    return jnp.concatenate([scal, packed])
 
 
 # ── Euclidean clustering ─────────────────────────────────────────────────────

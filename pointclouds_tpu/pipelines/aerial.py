@@ -85,6 +85,7 @@ def aerial_pipeline(
     normals_rescue: bool = False,
     normals_fix_cap: int = 16384,
     ransac_subsample: int | None = None,
+    normals_cell_factor: int | None = None,
 ):
     """Voxel -> sweep normals -> RANSAC -> ground removal -> sweep cluster.
 
@@ -102,20 +103,66 @@ def aerial_pipeline(
     use_kernel = backend == "sweep"
 
     # ── Step 1: voxel downsample ──
-    centroids_full, ds_valid_full = voxel_downsample_masked(
-        xyz, valid, voxel_size
-    )
-    # Voxel output is leading-compact in ascending cell-key order; a
-    # static ds_cap trims the padded tail every downstream stage would
-    # otherwise iterate (the 241K scene yields ~208K centroids inside a
-    # 262144-row pad — ~20% dead rows). Truncation, if the cap is ever
-    # exceeded, surfaces in ds_overflow (bench.py checks it).
+    # Voxel output is leading-compact; a static ds_cap trims the padded
+    # tail every downstream stage would otherwise iterate (the 241K scene
+    # yields ~208K centroids inside a 262144-row pad — ~20% dead rows).
+    # Truncation, if the cap is ever exceeded, surfaces in ds_overflow
+    # (bench.py checks it).
     if ds_cap is None:
         ds_cap = xyz.shape[0]
     ds_cap = min(ds_cap, xyz.shape[0])
-    centroids = centroids_full[:ds_cap]
-    ds_valid = ds_valid_full[:ds_cap]
-    ds_overflow = jnp.any(ds_valid_full[ds_cap:])
+    # Shared front end (see pipelines/kitti.py): when the normals
+    # certification cell is a static integer number of voxels
+    # (``normals_cell_factor``; the ``normals_cell`` argument is ignored
+    # in that case), the compacted voxel rows are sorted ONCE into
+    # cell-major sweep order and the moments sweep skips its own sort,
+    # inverse permutation, and unsort gather. Centroid values stay
+    # bitwise identical; row ORDER becomes cell-major (every consumer
+    # below is order-agnostic, tests/test_aerial.py remaps by value).
+    prebuilt = None
+    if (
+        normals_cell_factor is not None
+        and backend in ("sweep", "sweep_xla")
+        and not normals_rescue
+        and ds_cap % 128 == 0
+    ):
+        from ..ops.filters import (
+            sweep_sort_compacted,
+            voxel_downsample_sweep_frontend,
+        )
+        from ..spatial.sweep import structure_from_sorted
+
+        fe = voxel_downsample_sweep_frontend(
+            xyz, valid, voxel_size, factor=normals_cell_factor
+        )
+        ds_overflow = jnp.any(fe["out_valid"][ds_cap:])
+        centroids, ds_valid, slin, _ = sweep_sort_compacted(
+            fe["cxm"][:ds_cap],
+            fe["cym"][:ds_cap],
+            fe["czm"][:ds_cap],
+            fe["canon"][:ds_cap],
+            fe["out_valid"][:ds_cap],
+            fe["ext_v"],
+            fe["extent"],
+            factor=normals_cell_factor,
+        )
+        prebuilt = structure_from_sorted(
+            centroids,
+            ds_valid,
+            slin,
+            fe["extent"],
+            fe["hi_cells"],
+            fe["table_overflow"],
+            wr=4,
+        )
+        normals_cell = voxel_size * float(normals_cell_factor)
+    else:
+        centroids_full, ds_valid_full = voxel_downsample_masked(
+            xyz, valid, voxel_size
+        )
+        centroids = centroids_full[:ds_cap]
+        ds_valid = ds_valid_full[:ds_cap]
+        ds_overflow = jnp.any(ds_valid_full[ds_cap:])
 
     # ── Step 2: PCA normals from KNN moments — all in flat ROW layout
     # ([3, N]/[6, N]/1-D components): [N, 3]-shaped intermediates pad

@@ -73,6 +73,7 @@ class KittiPipelineOutput(NamedTuple):
         "ransac_subsample",
         "sor_cell_factor",
         "sor_per_seg",
+        "cluster_wr",
     ),
 )
 def kitti_obstacle_pipeline(
@@ -97,21 +98,76 @@ def kitti_obstacle_pipeline(
     ransac_subsample: int | None = None,
     sor_cell_factor: float = 3.0,
     sor_per_seg: int = 2,
+    cluster_wr: int = 12,
 ):
     # ── Step 1: voxel downsample ────────────────────────────────────────────
-    centroids_full, ds_valid_full = voxel_downsample_masked(
-        xyz, valid, voxel_size
-    )
-    # Voxel output is compacted (valid rows first, ascending cell key).
-    # The default capacity keeps every voxel (honest workload: real Velodyne
-    # frames at 0.15 m voxels only shrink ~1.3x); callers processing heavily
-    # redundant clouds can pass a smaller ds_cap to cut downstream work
-    # (ds_overflow in grid_flags[4] reports truncation; bench.py checks it).
     if ds_cap is None:
         ds_cap = xyz.shape[0]
-    centroids = centroids_full[:ds_cap]
-    ds_valid = ds_valid_full[:ds_cap]
-    ds_overflow = jnp.any(ds_valid_full[ds_cap:])
+    if sor_backend == "auto":
+        # Sorted-window sweep by default: gather-free, fused Pallas kernel
+        # on TPU (spatial/sweep.py); same formulation through the XLA
+        # mirror elsewhere (CPU tests).
+        sor_backend = "sweep" if jax.default_backend() == "tpu" else "sweep_xla"
+    # Shared front end: the voxel stage emits (bitwise-identical) centroids
+    # whose compacted rows are then sorted ONCE into sor-cell-major sweep
+    # order, and the SOR structure is built directly on them (identity
+    # permutation) — no inverse-permutation sort, no unsort gather, and
+    # RANSAC's compaction sort is replaced by the cheaper canonical
+    # mini-sort below (scripts/profile_sor_r4.py charged ~3 ms/frame to
+    # those at the KITTI operating point). The voxel segmented scan stays
+    # in CANONICAL key order so its f32 combine tree — and therefore every
+    # centroid value — is bitwise identical to voxel_downsample_masked's.
+    fused_frontend = (
+        sor_backend in ("sweep", "sweep_xla")
+        and float(sor_cell_factor).is_integer()
+        and ds_cap % 128 == 0
+    )
+    prebuilt = None
+    canon = None
+    if fused_frontend:
+        from ..ops.filters import (
+            sweep_sort_compacted,
+            voxel_downsample_sweep_frontend,
+        )
+        from ..spatial.sweep import structure_from_sorted
+
+        factor = int(sor_cell_factor)
+        fe = voxel_downsample_sweep_frontend(
+            xyz, valid, voxel_size, factor=factor
+        )
+        ds_overflow = jnp.any(fe["out_valid"][ds_cap:])
+        centroids, ds_valid, slin, canon = sweep_sort_compacted(
+            fe["cxm"][:ds_cap],
+            fe["cym"][:ds_cap],
+            fe["czm"][:ds_cap],
+            fe["canon"][:ds_cap],
+            fe["out_valid"][:ds_cap],
+            fe["ext_v"],
+            fe["extent"],
+            factor=factor,
+        )
+        prebuilt = structure_from_sorted(
+            centroids,
+            ds_valid,
+            slin,
+            fe["extent"],
+            fe["hi_cells"],
+            fe["table_overflow"],
+            wr=4,
+        )
+    else:
+        centroids_full, ds_valid_full = voxel_downsample_masked(
+            xyz, valid, voxel_size
+        )
+        # Voxel output is compacted (valid rows first, ascending cell key).
+        # The default capacity keeps every voxel (honest workload: real
+        # Velodyne frames at 0.15 m voxels only shrink ~1.3x); callers
+        # processing heavily redundant clouds can pass a smaller ds_cap to
+        # cut downstream work (ds_overflow in grid_flags[4] reports
+        # truncation; bench.py checks it).
+        centroids = centroids_full[:ds_cap]
+        ds_valid = ds_valid_full[:ds_cap]
+        ds_overflow = jnp.any(ds_valid_full[ds_cap:])
 
     # ── Step 2: statistical outlier removal (two-pass cell-centric KNN) ────
     # Pass 1: cell = 3.0 voxels (A/B'd over {3, 3.5, 4, 5} x per_seg {2, 3}
@@ -124,11 +180,6 @@ def kitti_obstacle_pipeline(
     # are all rescued by pass 2 (truncation marks point_slot as
     # out-of-grid, which fails the certificate).
     sor_cell = voxel_size * sor_cell_factor
-    if sor_backend == "auto":
-        # Sorted-window sweep by default: gather-free, fused Pallas kernel
-        # on TPU (spatial/sweep.py); same formulation through the XLA
-        # mirror elsewhere (CPU tests).
-        sor_backend = "sweep" if jax.default_backend() == "tpu" else "sweep_xla"
     if sor_backend in ("sweep", "sweep_xla"):
         # Pass 1 sweep + exact AABB-pruned brute rescue inside (the rescue
         # certifies up to 4 cell widths; points isolated beyond that keep
@@ -144,6 +195,7 @@ def kitti_obstacle_pipeline(
             per_seg=sor_per_seg,  # 3 = one fewer insertion level; the
             # ~160 extra segment-certificate flags are rescued exactly
             use_kernel=(sor_backend == "sweep"),
+            prebuilt=prebuilt,
         )
         grid_overflow = jnp.asarray(False)
         grid_table_overflow = jnp.asarray(False)
@@ -219,15 +271,40 @@ def kitti_obstacle_pipeline(
     # backend and no subsample, the fused scoring kernel counts EVERY
     # hypothesis over the full cloud in one streamed pass (exact scoring
     # at tournament cost).
+    position_rows = None
+    if canon is not None:
+        # Canonical mini-sort: position p -> the row holding the p-th
+        # cleaned centroid in CANONICAL voxel-key order — exactly the row
+        # the per-op path samples at position p, so RANSAC hypothesis
+        # selection is identical to `pc.ransac_plane_seeded` on the
+        # compacted cleaned cloud (tests/test_pipeline.py's parity gate).
+        ckey = jnp.where(cleaned_valid, canon, jnp.int32(2**31 - 1))
+        _, position_rows = jax.lax.sort(
+            (ckey, jnp.arange(ckey.shape[0], dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=True,
+        )
     normal, d, inlier_mask = ransac_plane_masked(
         centroids, cleaned_valid, ransac_thresh, seed, ransac_iters,
         score_subsample=ransac_subsample,
         use_kernel=(sor_backend == "sweep"),
+        position_rows=position_rows,
     )
 
     # ── Step 4: ground removal + compact obstacles to a small capacity ─────
     obstacle_mask = jnp.logical_and(cleaned_valid, jnp.logical_not(inlier_mask))
-    order = compaction_order(obstacle_mask)
+    if canon is not None:
+        # Slots must come out in CANONICAL voxel order (slot index == row
+        # of the per-op path's select_inverse sub-cloud — the
+        # extract_clusters contract), not in the sweep frame's row order.
+        okey = jnp.where(obstacle_mask, canon, jnp.int32(2**31 - 1))
+        _, order = jax.lax.sort(
+            (okey, jnp.arange(okey.shape[0], dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=True,
+        )
+    else:
+        order = compaction_order(obstacle_mask)
     obs_src = order[:obstacle_cap].astype(jnp.int32)
     obs_valid = jnp.take(obstacle_mask, obs_src)
     obs_xyz = jnp.take(centroids, obs_src, axis=0)
@@ -251,7 +328,7 @@ def kitti_obstacle_pipeline(
             obs_xyz,
             obs_valid,
             cluster_r,
-            wr=12,
+            wr=cluster_wr,
             use_kernel=(sor_backend == "sweep"),
         )
         cluster_flag0 = jnp.logical_not(cluster_exact)

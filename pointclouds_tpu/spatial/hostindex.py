@@ -42,7 +42,7 @@ class HostCellIndex:
         self._native = native.create_index(xyz, np.asarray(valid, bool))
         if self._native is not None:
             self.n = xyz.shape[0]
-            self.n_valid = int(self._native._lib.pcidx_nvalid(self._native._h))
+            self.n_valid = self._native.nvalid()
             self.empty = self.n_valid == 0
             return
         finite = np.isfinite(xyz).all(axis=1)

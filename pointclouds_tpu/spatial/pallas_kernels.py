@@ -990,15 +990,18 @@ def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
                 qlab_t = jnp.transpose(qlab, (1, 0))  # [128, 1]
                 r2 = r2_ref[0:1, :]  # [1, 128] broadcast of radius^2
 
-                # Lane-carry min with a 2x-unrolled dynamic-bound walk:
+                # Lane-carry min with a 4x-unrolled dynamic-bound walk:
                 # the per-lane running label min stays elementwise in the
                 # row loop (the old per-row jnp.min lane-reduce was a
                 # multi-step shuffle costing ~3x the real work) and
-                # reduces over lanes ONCE after all shifts; fori overhead
-                # halves via the unroll, with tail rows masked (clamped
-                # in-bounds reads, candidates forced to biglab).
-                unroll = 2
-                nmax = jnp.int32(nr - 1)
+                # reduces over lanes ONCE after all shifts. The caller
+                # pre-masks invalid coordinates to 1e9 and appends a
+                # 1e9-coordinate PAD row at index nr, so tail rows past a
+                # window length read the pad row (d2 >> r2 excludes them)
+                # — no per-row validity/live mask arithmetic at all.
+                unroll = 4
+                nmax = jnp.int32(nr)  # the pad row
+                qmb = qm > 0.5  # [128, 1] query-validity broadcast
                 best_l = jnp.full((128, 128), biglab, jnp.float32)
                 for j in range(nshift):
                     st = starts_ref[j, bs]
@@ -1008,24 +1011,19 @@ def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
                     def body(i, best_l, st=st, sk=sk, ln=ln):
                         for u in range(unroll):
                             r = sk + i * jnp.int32(unroll) + jnp.int32(u)
-                            rd = jnp.minimum(st + r, nmax)
+                            rd = jnp.where(r < ln, st + r, nmax)
                             rowp = pts_ref[pl.ds(rd, 1), :, :]
                             rowl = lab_ref[pl.ds(rd, 1), :]  # [1, 128]
                             cx = rowp[0, 0:1, :]
                             cy = rowp[0, 1:2, :]
                             cz = rowp[0, 2:3, :]
-                            cw = rowp[0, 3:4, :]
-                            live = jnp.where(
-                                r < ln, jnp.float32(1.0), jnp.float32(0.0)
-                            )
                             d2 = (
                                 (qx - cx) ** 2
                                 + (qy - cy) ** 2
                                 + (qz - cz) ** 2
                             )
-                            pair = qm * (cw * live)
                             within = jnp.where(
-                                jnp.logical_and(pair > 0.5, d2 <= r2),
+                                jnp.logical_and(qmb, d2 <= r2),
                                 rowl + 0.0 * d2,  # label bcast over queries
                                 biglab,
                             )
@@ -1144,13 +1142,30 @@ def cluster_multisweep(pts_planar, starts, r2, *, sweeps: int = 12,
         jnp.asarray(r2, jnp.float32)[None, None], (1, 128)
     )
     starts = jnp.transpose(starts)  # [3S+1, NB]
+    # Pre-mask invalid coordinates to 1e9 and append a 1e9 PAD row at
+    # index nr: the kernel's window walk routes past-length reads to the
+    # pad row and lets d2 > r2 exclude them — no per-row validity/live
+    # arithmetic in the hot loop.
+    big = jnp.float32(1e9)
+    w = pts_planar[:, 3:4, :]
+    pts_masked = jnp.concatenate(
+        [jnp.where(w > 0.5, pts_planar[:, :3, :], big), w], axis=1
+    )
+    pad_row = jnp.concatenate(
+        [
+            jnp.full((1, 3, 128), big, jnp.float32),
+            jnp.zeros((1, 1, 128), jnp.float32),
+        ],
+        axis=1,
+    )
+    pts_padded = jnp.concatenate([pts_masked, pad_row], axis=0)
     kern = _cluster_multisweep_kernel(nshift, nb, nr)
     z = np.int32(0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(sweeps + 1, nb),
         in_specs=[
-            pl.BlockSpec((nr, 4, 128), lambda t, b, s: (z, z, z)),
+            pl.BlockSpec((nr + 1, 4, 128), lambda t, b, s: (z, z, z)),
             pl.BlockSpec((1, 128), lambda t, b, s: (z, z)),
         ],
         out_specs=pl.BlockSpec(
@@ -1163,7 +1178,7 @@ def cluster_multisweep(pts_planar, starts, r2, *, sweeps: int = 12,
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nr, 128), jnp.float32),
+            pltpu.VMEM((nr + 1, 128), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2 * nr,), jnp.int32),
         ],
@@ -1176,7 +1191,7 @@ def cluster_multisweep(pts_planar, starts, r2, *, sweeps: int = 12,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(starts, pts_planar, r2row)
+    )(starts, pts_padded, r2row)
     return out[0], out[1]
 
 

@@ -133,6 +133,63 @@ def _window_starts(slin_p, suse_p, extent, nrows, nb, wr, table_size):
     )
 
 
+def structure_from_sorted(xyz_sorted, valid_sorted, slin, extent, hi_cells,
+                          table_overflow, wr: int,
+                          table_size: int = SWEEP_TABLE_SIZE):
+    """Sweep structure for rows ALREADY sorted by ascending sor-cell id
+    (identity permutation — e.g. `voxel_downsample_sweep_frontend` output).
+    Skips the payload sort, the inverse-permutation sort, and downstream
+    consumers skip the unsort gather: results stay in row order.
+
+    ``slin`` i32[N]: per-row linear cell id, ascending, ``table_size``
+    sentinel on invalid rows (which must occupy the tail)."""
+    n = xyz_sorted.shape[0]
+    assert n % 128 == 0, n
+    nrows = max(n // 128, wr)
+    nb = n // 128
+    tail = nrows * 128 - n
+    sx = jnp.where(valid_sorted, xyz_sorted[:, 0], 0.0)
+    sy = jnp.where(valid_sorted, xyz_sorted[:, 1], 0.0)
+    sz = jnp.where(valid_sorted, xyz_sorted[:, 2], 0.0)
+    if tail:
+        ftail = jnp.zeros((tail,), jnp.float32)
+        slin_p = jnp.concatenate(
+            [slin, jnp.full((tail,), table_size, jnp.int32)]
+        )
+        sx = jnp.concatenate([sx, ftail])
+        sy = jnp.concatenate([sy, ftail])
+        sz = jnp.concatenate([sz, ftail])
+        suse_p = jnp.concatenate([valid_sorted, jnp.zeros((tail,), bool)])
+    else:
+        slin_p, suse_p = slin, valid_sorted
+    planar = jnp.stack(
+        [
+            sx.reshape(nrows, 128),
+            sy.reshape(nrows, 128),
+            sz.reshape(nrows, 128),
+            suse_p.astype(jnp.float32).reshape(nrows, 128),
+        ],
+        axis=1,
+    )
+    starts_skip, block_ok = _window_starts(
+        slin_p, suse_p, extent, nrows, nb, wr, table_size
+    )
+    return dict(
+        planar=planar,
+        order=None,  # identity: row i IS sorted position i
+        inv=None,
+        use=valid_sorted,
+        starts_skip=starts_skip,
+        block_ok=block_ok,
+        mn=None,
+        extent=extent,
+        hi_cells=hi_cells,
+        nrows=nrows,
+        nb=nb,
+        table_overflow=table_overflow,
+    )
+
+
 def _sweep_pass1(
     xyz,
     valid,
@@ -144,17 +201,25 @@ def _sweep_pass1(
     table_size: int = SWEEP_TABLE_SIZE,
     interpret: bool = False,
     use_kernel: bool = True,
+    prebuilt=None,
 ):
     """Shared pass-1 internals: sort, pack, windows, fused selection, mean
     + certificates. Returns a dict with the results AND the reusable sorted
-    structure (planar array, permutations) for the rescue pass."""
+    structure (planar array, permutations) for the rescue pass.
+
+    ``prebuilt``: a `structure_from_sorted` dict — the sort/pack/window
+    phase is skipped and (with its identity permutation) so is the unsort;
+    results come back in row order either way."""
     n = xyz.shape[0]
     kp1 = k + 1
-    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    if prebuilt is None:
+        s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    else:
+        s = prebuilt
     planar = s["planar"]
     starts_skip = s["starts_skip"]
     order, inv, use = s["order"], s["inv"], s["use"]
-    mn, extent, table_overflow = s["mn"], s["extent"], s["table_overflow"]
+    table_overflow = s["table_overflow"]
 
     # ── Fused selection ──
     if use_kernel:
@@ -172,16 +237,23 @@ def _sweep_pass1(
 
     ok_sorted = jnp.logical_and(seg_ok, jnp.repeat(s["block_ok"], 128))
 
-    # Single packed unsort (one gather with [4, 1] slices — separate
-    # 4-byte-slice gathers dominate the wrapper cost at scale).
-    packed = jnp.stack(
-        [total, count_f, kth, ok_sorted.astype(jnp.float32)]
-    )
-    res = jnp.take(packed, inv, axis=1)  # [4, n]
-    total = res[0]
-    count = res[1].astype(jnp.int32)
-    kth = res[2]
-    point_ok = res[3] > 0.5
+    if inv is None:
+        # Identity permutation: results are already in row order.
+        total = total[:n]
+        count = count_f[:n].astype(jnp.int32)
+        kth = kth[:n]
+        point_ok = ok_sorted[:n]
+    else:
+        # Single packed unsort (one gather with [4, 1] slices — separate
+        # 4-byte-slice gathers dominate the wrapper cost at scale).
+        packed = jnp.stack(
+            [total, count_f, kth, ok_sorted.astype(jnp.float32)]
+        )
+        res = jnp.take(packed, inv, axis=1)  # [4, n]
+        total = res[0]
+        count = res[1].astype(jnp.int32)
+        kth = res[2]
+        point_ok = res[3] > 0.5
 
     # ── Mean + certificates (same semantics as point_sor_mean_dists) ──
     n_neighbors = jnp.maximum(count - 1, 0)
@@ -201,10 +273,16 @@ def _sweep_pass1(
     mean = jnp.where(use, mean, jnp.inf)
 
     # f32 floor-rounding margin (same derivation as cellgrid.cert_cell2):
-    # |coord|/cell bound from the grid's own cell extents.
-    hi_cells = jnp.max(
-        jnp.maximum(jnp.abs(mn), jnp.abs(mn + extent)).astype(jnp.float32)
-    )
+    # |coord|/cell bound from the grid's own cell extents. Prebuilt
+    # structures carry the bound directly (their grid came from integer
+    # voxel coords, not floor(xyz / cell)).
+    if s.get("hi_cells") is not None:
+        hi_cells = s["hi_cells"]
+    else:
+        mn, extent = s["mn"], s["extent"]
+        hi_cells = jnp.max(
+            jnp.maximum(jnp.abs(mn), jnp.abs(mn + extent)).astype(jnp.float32)
+        )
     margin = (hi_cells * 4.0 * 1.2e-7 + 1e-6) * cell_size
     safe = jnp.maximum(cell_size - margin, 0.0)
     cell2 = safe * safe
@@ -226,8 +304,8 @@ def _sweep_pass1(
         use=use,
         n_valid_total=n_valid_total,
         want=want,
-        mn=mn,
-        extent=extent,
+        mn=s["mn"],
+        extent=s["extent"],
         table_overflow=table_overflow,
     )
 
@@ -355,6 +433,7 @@ def sweep_sor_two_pass(
     table_size: int = SWEEP_TABLE_SIZE,
     interpret: bool = False,
     use_kernel: bool = True,
+    prebuilt=None,
 ):
     """Pass-1 sweep + exact AABB-pruned brute rescue for flagged queries.
 
@@ -368,6 +447,8 @@ def sweep_sor_two_pass(
     radius, or more than fix_cap flagged) keep their rescued upper-bound
     means and point_ok=False — the same removal-biased semantics the coarse
     block-grid rescue had (pipelines/kitti.py documents it).
+
+    ``prebuilt``: a `structure_from_sorted` dict; see `_sweep_pass1`.
     """
     p = _sweep_pass1(
         xyz,
@@ -379,6 +460,7 @@ def sweep_sor_two_pass(
         table_size=table_size,
         interpret=interpret,
         use_kernel=use_kernel,
+        prebuilt=prebuilt,
     )
     n = xyz.shape[0]
     kp1 = k + 1
@@ -463,8 +545,8 @@ def _rescue_structure(planar, order, flagged, fix_cap: int, n: int, radius):
     ng = planar_g.shape[0] // gr
 
     # Pack flagged queries in SORTED order: spatially coherent blocks give
-    # tight AABBs and deep pruning.
-    flagged_sorted = jnp.take(flagged, order)  # [n]
+    # tight AABBs and deep pruning. order=None: rows already sorted.
+    flagged_sorted = flagged if order is None else jnp.take(flagged, order)
     fq = compaction_order(flagged_sorted)
     # Clamp the rescue capacity to the (128-rounded) cloud size: small
     # clouds otherwise under-fill the query blocks. fix_cap itself must
@@ -568,7 +650,10 @@ def _rescue_cert_r2(radius):
 
 
 def _rescue_rows_orig(order, qsel, n):
-    """Original row ids of the compacted rescue queries (n = drop slot)."""
+    """Original row ids of the compacted rescue queries (n = drop slot).
+    order=None (identity permutation): sorted positions ARE row ids."""
+    if order is None:
+        return jnp.minimum(qsel, n)
     return jnp.take(
         jnp.concatenate(
             [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
@@ -633,6 +718,15 @@ def _rescue_select_xla(planar_g, q_planar, active, *, k: int, per_seg: int,
     )
 
 
+def cluster_cell_size(radius, hi_abs):
+    """Sort-cell width for cluster sweeps: one cluster radius plus the f32
+    floor-rounding margin (scaled by the largest absolute coordinate), so
+    the 27-cell neighborhood provably contains every within-radius
+    candidate. Shared with the probes (scripts/probe_cluster_exact.py) so
+    attribution always measures the structure the pipeline actually uses."""
+    return radius * 1.00002 + hi_abs * 6e-7 + 1e-7
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -672,10 +766,8 @@ def sweep_cluster_labels(
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     use_pre = jnp.logical_and(valid, finite)
 
-    # Sort cell: one cluster radius plus the floor-rounding margin, so the
-    # 27-cell neighborhood provably contains every within-radius candidate.
     hi_abs = jnp.max(jnp.where(use_pre[:, None], jnp.abs(xyz), 0.0))
-    cell_size = radius * 1.00002 + hi_abs * 6e-7 + 1e-7
+    cell_size = cluster_cell_size(radius, hi_abs)
 
     s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
     planar = s["planar"]
@@ -1004,13 +1096,19 @@ def sweep_knn_moments_rows(
     table_size: int = SWEEP_TABLE_SIZE,
     interpret: bool = False,
     use_kernel: bool = True,
+    prebuilt=None,
 ):
     """Row-layout KNN moments: (m1 f32[3, N], m2 f32[6, N] (xx, yy, zz,
     xy, xz, yz), count f32[N], point_ok bool[N]). Same semantics as
     `sweep_knn_moments`; the fused pipelines consume the rows directly so
     no [N, 3]/[N, 6] tile-padded intermediates are ever materialized.
+
+    ``prebuilt``: a `structure_from_sorted` dict — skips the sort/pack/
+    window phase AND the unsort (results come back in row order).
     """
-    s = _sorted_structure(xyz, valid, cell_size, wr, table_size)
+    s = prebuilt if prebuilt is not None else _sorted_structure(
+        xyz, valid, cell_size, wr, table_size
+    )
     return _moments_pass1(
         s, cell_size, k=k, wr=wr, per_seg=per_seg, interpret=interpret,
         use_kernel=use_kernel,
@@ -1036,24 +1134,36 @@ def _moments_pass1(s, cell_size, *, k: int, wr: int, per_seg: int,
     )
     ok_sorted = jnp.logical_and(ok_sorted, out[9] == out[10])  # tie-free
 
-    # Single packed unsort: one gather with [12, 1] slices instead of
-    # twelve separate 4-byte-slice gathers (the dominant cost of this
-    # wrapper at scale — TPU gather throughput is slice-size-bound).
-    packed = jnp.concatenate(
-        [out[0:9], out[10:12], ok_sorted[None].astype(jnp.float32)], axis=0
-    )  # [12, npad]
-    res = jnp.take(packed, s["inv"], axis=1)  # [12, n]
+    n = s["use"].shape[0]
+    if s["inv"] is None:
+        # Identity permutation: results already in row order.
+        res = jnp.concatenate(
+            [out[0:9], out[10:12], ok_sorted[None].astype(jnp.float32)],
+            axis=0,
+        )[:, :n]
+    else:
+        # Single packed unsort: one gather with [12, 1] slices instead of
+        # twelve separate 4-byte-slice gathers (the dominant cost of this
+        # wrapper at scale — TPU gather throughput is slice-size-bound).
+        packed = jnp.concatenate(
+            [out[0:9], out[10:12], ok_sorted[None].astype(jnp.float32)],
+            axis=0,
+        )  # [12, npad]
+        res = jnp.take(packed, s["inv"], axis=1)  # [12, n]
 
     count = res[9]
     kth = res[10]
     point_ok = res[11] > 0.5
 
     # kth-within-cell certificate (same margin as the SOR sweep).
-    hi_cells = jnp.max(
-        jnp.maximum(jnp.abs(s["mn"]), jnp.abs(s["mn"] + s["extent"])).astype(
-            jnp.float32
+    if s.get("hi_cells") is not None:
+        hi_cells = s["hi_cells"]
+    else:
+        hi_cells = jnp.max(
+            jnp.maximum(
+                jnp.abs(s["mn"]), jnp.abs(s["mn"] + s["extent"])
+            ).astype(jnp.float32)
         )
-    )
     margin = (hi_cells * 4.0 * 1.2e-7 + 1e-6) * cell_size
     safe = jnp.maximum(cell_size - margin, 0.0)
     point_ok = jnp.logical_and(point_ok, kth <= safe * safe)

@@ -25,7 +25,7 @@ if "--analyze" in sys.argv:
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     use_pre = jnp.logical_and(valid, finite)
     hi_abs = jnp.max(jnp.where(use_pre[:, None], jnp.abs(xyz), 0.0))
-    cell_size = radius * 1.00002 + float(hi_abs) * 6e-7 + 1e-7
+    cell_size = sw.cluster_cell_size(radius, float(hi_abs))
     for wr in (7, 9, 12, 16, 20):
         s = sw._sorted_structure(xyz, valid, cell_size, wr, sw.SWEEP_TABLE_SIZE)
         bo = np.asarray(s["block_ok"][: s["nb"]])

@@ -25,6 +25,9 @@ from pointclouds_tpu.ops.filters import voxel_downsample_masked
 from pointclouds_tpu.ops.normals import cardano_smallest_eigvec_comps
 from pointclouds_tpu.ops.segmentation import ransac_plane_masked
 from pointclouds_tpu.pipelines.scenes import aerial_scene
+
+# bench.py's aerial operating point (ds_cap): ~208K centroids + headroom.
+AERIAL_DS_CAP = 229_376
 from pointclouds_tpu.spatial.sweep import (
     sweep_cluster_labels,
     sweep_knn_moments_rows,
@@ -52,8 +55,13 @@ def prefix(xyz, valid, voxel_size, normals_cell, ransac_thresh, seed,
     centroids_full, ds_valid_full = voxel_downsample_masked(
         xyz, valid, voxel_size
     )
-    centroids = centroids_full[:229_376]
-    ds_valid = ds_valid_full[:229_376]
+    centroids = centroids_full[:AERIAL_DS_CAP]
+    ds_valid = ds_valid_full[:AERIAL_DS_CAP]
+    # Truncation guard: the pipeline reports ds overflow via its flags; the
+    # profiler must not silently diverge from it (fails loudly instead).
+    acc += jnp.where(
+        jnp.any(ds_valid_full[AERIAL_DS_CAP:]), jnp.nan, 0.0
+    )
     acc += jnp.sum(centroids) + jnp.sum(ds_valid)
     if stop == 1:
         return acc
