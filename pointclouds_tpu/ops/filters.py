@@ -230,6 +230,134 @@ def voxel_downsample_sweep_frontend(xyz, valid, voxel_size, *,
     )
 
 
+@partial(jax.jit, static_argnames=("factor", "ds_cap", "table_size"))
+def voxel_downsample_sweep_fused(xyz, valid, voxel_size, *, factor: int,
+                                 ds_cap: int,
+                                 table_size: int = 1 << 21):
+    """Voxel downsample emitting rows DIRECTLY in sor-cell-major sweep
+    order, with ONE post-scan sort. Replaces the frontend + compaction +
+    re-sort pair (`voxel_downsample_sweep_frontend` -> slice ->
+    `sweep_sort_compacted`): the compaction key (segment ends first) and
+    the sweep key (ascending sor cell) fold into a single stable sort —
+    at the KITTI operating point that drops a full 98K-row 5-channel
+    payload sort from the frame.
+
+    Centroid VALUES are bitwise identical to `voxel_downsample_masked`
+    (sort 1 and the segmented scan are unchanged). One semantic
+    difference from the two-step path: when more voxels than ``ds_cap``
+    exist, which ones are dropped differs (sweep-order tail, not
+    canonical-order tail) — ds_overflow flags it either way and the
+    pipelines assert it false.
+
+    Returns a dict: centroids f32[ds_cap, 3], out_valid bool[ds_cap],
+    slin i32[ds_cap] (ascending; table_size on invalid rows),
+    canon i32[ds_cap], ds_overflow bool, extent i32[3], hi_cells f32,
+    table_overflow bool.
+    """
+    n = xyz.shape[0]
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
+    use = jnp.logical_and(valid, finite)
+
+    c = cell_coords(xyz, voxel_size)
+    big32 = jnp.int32(2**30)
+    mn_v = jnp.min(jnp.where(use[:, None], c, big32), axis=0)
+    mn_v = jnp.minimum(mn_v, big32 - 1)
+    rel = jnp.clip(c - mn_v[None, :], 0, None)
+    mx_rel = jnp.max(jnp.where(use[:, None], rel, 0), axis=0)
+    ext_v = mx_rel + 1
+    ext64 = ext_v.astype(jnp.int64)
+    esc = mx_rel // factor + 1
+    esc64 = esc.astype(jnp.int64)
+    table_overflow = jnp.logical_or(
+        (esc64[0] * esc64[1] * esc64[2]) > table_size,
+        (ext64[0] * ext64[1] * ext64[2]) > 2**31 - 2,
+    )
+
+    invalid32 = jnp.int32(2**31 - 1)
+    ckey64 = (rel[:, 0].astype(jnp.int64) * ext64[1] + rel[:, 1]) * ext64[
+        2
+    ] + rel[:, 2]
+    ckey = jnp.where(
+        use, jnp.clip(ckey64, 0, 2**31 - 2).astype(jnp.int32), invalid32
+    )
+
+    # Sort 1 (CANONICAL order: identical per-voxel accumulation trees to
+    # voxel_downsample_masked — centroids stay bitwise equal).
+    skey, sx, sy, sz = jax.lax.sort(
+        (ckey, x, y, z), num_keys=1, is_stable=True
+    )
+    suse = skey != invalid32
+    sx = jnp.where(suse, sx, 0.0)
+    sy = jnp.where(suse, sy, 0.0)
+    sz = jnp.where(suse, sz, 0.0)
+    scnt = suse.astype(jnp.float32)
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+
+    def seg_op(a, b):
+        return (
+            jnp.logical_or(a[0], b[0]),
+            b[1] + jnp.where(b[0], 0.0, a[1]),
+            b[2] + jnp.where(b[0], 0.0, a[2]),
+            b[3] + jnp.where(b[0], 0.0, a[3]),
+            b[4] + jnp.where(b[0], 0.0, a[4]),
+        )
+
+    _, cx, cy, cz, ccnt = jax.lax.associative_scan(
+        seg_op, (first, sx, sy, sz, scnt), axis=0
+    )
+
+    # Sort 2 (the ONLY post-scan sort): key = sor-cell linear id for
+    # segment-end rows, table_size sentinel otherwise — one stable sort
+    # compacts AND orders for the sweep (equal sor keys keep canonical
+    # voxel order: the scan rows are already canonical).
+    live = jnp.logical_and(is_end, suse)
+    r0 = skey // (ext_v[1] * ext_v[2])
+    r1 = (skey // ext_v[2]) % jnp.maximum(ext_v[1], 1)
+    r2 = skey % jnp.maximum(ext_v[2], 1)
+    lin_sc = ((r0 // factor) * esc[1] + r1 // factor) * esc[2] + r2 // factor
+    lin_sc = jnp.clip(lin_sc, 0, table_size - 1)
+    sorkey = jnp.where(live, lin_sc, jnp.int32(table_size))
+    ekey, ex, ey, ez, ecnt, ecanon = jax.lax.sort(
+        (sorkey, cx, cy, cz, ccnt,
+         jnp.where(live, skey, invalid32)),
+        num_keys=1,
+        is_stable=True,
+    )
+    nseg = jnp.sum(live.astype(jnp.int32))
+    ds_overflow = nseg > ds_cap
+
+    slin = ekey[:ds_cap]
+    out_valid = slin != jnp.int32(table_size)
+    counts = jnp.where(out_valid, ecnt[:ds_cap], 0.0)
+    denom = jnp.maximum(counts, 1.0)
+    centroids = jnp.stack(
+        [
+            jnp.where(out_valid, ex[:ds_cap], 0.0) / denom,
+            jnp.where(out_valid, ey[:ds_cap], 0.0) / denom,
+            jnp.where(out_valid, ez[:ds_cap], 0.0) / denom,
+        ],
+        axis=1,
+    )
+
+    hi_v = jnp.max(
+        jnp.maximum(jnp.abs(mn_v), jnp.abs(mn_v + ext_v)).astype(jnp.float32)
+    )
+    hi_cells = (hi_v + float(factor)) / float(factor)
+
+    return dict(
+        centroids=centroids,
+        out_valid=out_valid,
+        slin=slin,
+        canon=ecanon[:ds_cap],
+        ds_overflow=ds_overflow,
+        extent=esc,
+        hi_cells=hi_cells,
+        table_overflow=table_overflow,
+    )
+
+
 @partial(jax.jit, static_argnames=("factor", "table_size"))
 def sweep_sort_compacted(cxm, cym, czm, canon, out_valid, ext_v, esc, *,
                          factor: int = 3, table_size: int = 1 << 21):

@@ -190,7 +190,7 @@ def sor_fused(arrs, std_mul, *, k: int, wr: int, cap: int,
     cell = _cell_estimate_device(xyz, valid, jnp.float32(k + 1))
     mean, ok, _ = sweep_sor_two_pass(
         xyz, valid, cell, k=k, wr=wr, use_kernel=use_kernel,
-        interpret=interpret,
+        interpret=interpret, row_cap=32,
     )
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     residual = jnp.logical_and(

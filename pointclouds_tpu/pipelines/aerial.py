@@ -126,30 +126,19 @@ def aerial_pipeline(
         and not normals_rescue
         and ds_cap % 128 == 0
     ):
-        from ..ops.filters import (
-            sweep_sort_compacted,
-            voxel_downsample_sweep_frontend,
-        )
+        from ..ops.filters import voxel_downsample_sweep_fused
         from ..spatial.sweep import structure_from_sorted
 
-        fe = voxel_downsample_sweep_frontend(
-            xyz, valid, voxel_size, factor=normals_cell_factor
+        fe = voxel_downsample_sweep_fused(
+            xyz, valid, voxel_size, factor=normals_cell_factor,
+            ds_cap=ds_cap,
         )
-        ds_overflow = jnp.any(fe["out_valid"][ds_cap:])
-        centroids, ds_valid, slin, _ = sweep_sort_compacted(
-            fe["cxm"][:ds_cap],
-            fe["cym"][:ds_cap],
-            fe["czm"][:ds_cap],
-            fe["canon"][:ds_cap],
-            fe["out_valid"][:ds_cap],
-            fe["ext_v"],
-            fe["extent"],
-            factor=normals_cell_factor,
-        )
+        centroids, ds_valid = fe["centroids"], fe["out_valid"]
+        ds_overflow = fe["ds_overflow"]
         prebuilt = structure_from_sorted(
             centroids,
             ds_valid,
-            slin,
+            fe["slin"],
             fe["extent"],
             fe["hi_cells"],
             fe["table_overflow"],
@@ -188,6 +177,7 @@ def aerial_pipeline(
             normals_cell,
             k=normals_k,
             use_kernel=use_kernel,
+            prebuilt=prebuilt,
         )
     normals = normals_from_moment_rows(m1r, m2r, cnt, centroids, viewpoint)
 

@@ -74,6 +74,7 @@ class KittiPipelineOutput(NamedTuple):
         "sor_cell_factor",
         "sor_per_seg",
         "cluster_wr",
+        "sor_row_cap",
     ),
 )
 def kitti_obstacle_pipeline(
@@ -99,6 +100,7 @@ def kitti_obstacle_pipeline(
     sor_cell_factor: float = 3.0,
     sor_per_seg: int = 2,
     cluster_wr: int = 12,
+    sor_row_cap: int | None = 12,
 ):
     # ── Step 1: voxel downsample ────────────────────────────────────────────
     if ds_cap is None:
@@ -125,31 +127,20 @@ def kitti_obstacle_pipeline(
     prebuilt = None
     canon = None
     if fused_frontend:
-        from ..ops.filters import (
-            sweep_sort_compacted,
-            voxel_downsample_sweep_frontend,
-        )
+        from ..ops.filters import voxel_downsample_sweep_fused
         from ..spatial.sweep import structure_from_sorted
 
         factor = int(sor_cell_factor)
-        fe = voxel_downsample_sweep_frontend(
-            xyz, valid, voxel_size, factor=factor
+        fe = voxel_downsample_sweep_fused(
+            xyz, valid, voxel_size, factor=factor, ds_cap=ds_cap
         )
-        ds_overflow = jnp.any(fe["out_valid"][ds_cap:])
-        centroids, ds_valid, slin, canon = sweep_sort_compacted(
-            fe["cxm"][:ds_cap],
-            fe["cym"][:ds_cap],
-            fe["czm"][:ds_cap],
-            fe["canon"][:ds_cap],
-            fe["out_valid"][:ds_cap],
-            fe["ext_v"],
-            fe["extent"],
-            factor=factor,
-        )
+        centroids, ds_valid = fe["centroids"], fe["out_valid"]
+        canon = fe["canon"]
+        ds_overflow = fe["ds_overflow"]
         prebuilt = structure_from_sorted(
             centroids,
             ds_valid,
-            slin,
+            fe["slin"],
             fe["extent"],
             fe["hi_cells"],
             fe["table_overflow"],
@@ -196,6 +187,11 @@ def kitti_obstacle_pipeline(
             # ~160 extra segment-certificate flags are rescued exactly
             use_kernel=(sor_backend == "sweep"),
             prebuilt=prebuilt,
+            # Flat row-list pass-1 walk: at the measured operating point
+            # (cell = 3 voxels) the 9-window union is <= 11 rows on real
+            # Velodyne frames; overflowing blocks flow to the exact
+            # in-place rescue.
+            row_cap=sor_row_cap,
         )
         grid_overflow = jnp.asarray(False)
         grid_table_overflow = jnp.asarray(False)

@@ -335,9 +335,10 @@ def _phase2_from_finalists(finalists, count_all, tq: int, k: int):
         return fw, total, count, kth
 
     zf = jnp.zeros((1, tq), jnp.float32)
-    _, total, count, kth = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(k), body, (f, zf, zf, zf)
-    )
+    state = (f, zf, zf, zf)
+    for _ in range(k):  # static unroll: no scalar loop in the hot path
+        state = body(0, state)
+    _, total, count, kth = state
 
     sl_t = jnp.transpose(seg_last, (1, 0))
     cert1 = jnp.min(
@@ -483,12 +484,10 @@ def _sweep_select_kernel(k: int, wr: int, per_seg: int, nshift: int,
                                 + (qy - cy) ** 2
                                 + (qz - cz) ** 2
                             )
-                            pair = qm * (cw * live)
+                            pair = qm * (cw * live)  # exact 0/1 product
                             w = jnp.where(pair > 0.5, d2, big)
                             regs = tuple(_insert_smallest(list(regs), w))
-                            cnt = cnt + jnp.where(
-                                pair > 0.5, jnp.float32(1.0), jnp.float32(0.0)
-                            )
+                            cnt = cnt + pair
                         return (regs, cnt)
 
                     ntrips = jax.lax.div(
@@ -606,6 +605,138 @@ def sweep_select(pts_planar, starts, *, k: int, wr: int = 4, per_seg: int = 4,
     return out[0], out[1], out[2], out[3] > 0.5
 
 
+ROWS_STATIC_UNROLL_CAP = 16  # full static unroll at or below this cap
+
+
+def _sweep_select_rows_kernel(k: int, cap: int, per_seg: int):
+    static = cap <= ROWS_STATIC_UNROLL_CAP
+
+    def kernel(rows_ref, q_ref, pts_ref, out_ref):
+        # rows_ref i32[cap + 2, NB] (transposed): rows [0, cap) are the
+        # block's candidate row ids into pts_ref (pad slots point at the
+        # all-masked pad row), row cap = block-has-valid flag, row cap+1 =
+        # true row count (<= cap). The flat row list replaces the 9
+        # dynamic-bound window loops: small caps are STATICALLY UNROLLED
+        # (no scalar loops at all); larger caps run ONE fori_loop with
+        # 4-slot trips (over-read slots hit the pad row, w = 0).
+        b = pl.program_id(0)
+        big = jnp.float32(jnp.inf)
+        bv = rows_ref[cap, b]
+
+        @pl.when(bv == 0)
+        def _():
+            z = jnp.zeros((1, 128), jnp.float32)
+            out_ref[0:1, :] = z
+            out_ref[1:2, :] = z
+            out_ref[2:3, :] = z
+            out_ref[3:4, :] = z + jnp.float32(1.0)
+
+        @pl.when(bv != 0)
+        def _():
+            qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))
+            qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
+            qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
+            qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+
+            def visit(t, state):
+                regs, cnt = state
+                rid = rows_ref[t, b]
+                row = pts_ref[pl.ds(rid, 1), :, :]
+                cx = row[0, 0:1, :]
+                cy = row[0, 1:2, :]
+                cz = row[0, 2:3, :]
+                cw = row[0, 3:4, :]
+                d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
+                pair = qm * cw  # exact 0/1 product
+                w = jnp.where(pair > 0.5, d2, big)
+                return list(_insert_smallest(regs, w)), cnt + pair
+
+            regs = [jnp.full((128, 128), big) for _ in range(per_seg)]
+            cnt = jnp.zeros((128, 128), jnp.float32)
+            if static:
+                state = (regs, cnt)
+                for t in range(cap):
+                    state = visit(jnp.int32(t), state)
+                regs, cnt = state
+            else:
+                unroll = 4
+
+                def trip(i, state):
+                    for u in range(unroll):
+                        state = visit(
+                            i * jnp.int32(unroll) + jnp.int32(u), state
+                        )
+                    return state
+
+                nrows_b = rows_ref[cap + 1, b]
+                ntrips = jax.lax.div(
+                    nrows_b + jnp.int32(unroll - 1), jnp.int32(unroll)
+                )
+                regs, cnt = jax.lax.fori_loop(
+                    jnp.int32(0), ntrips, trip, (regs, cnt)
+                )
+
+            count_all = jnp.sum(
+                jnp.transpose(cnt, (1, 0)), axis=0, keepdims=True
+            )
+            total, count, kth, ok = _phase2_from_finalists(
+                regs, count_all, 128, k
+            )
+            out_ref[0:1, :] = total
+            out_ref[1:2, :] = count
+            out_ref[2:3, :] = kth
+            out_ref[3:4, :] = ok
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "cap", "per_seg", "interpret"))
+def sweep_select_rows(pts_padded, rowlist, *, k: int, cap: int,
+                      per_seg: int = 4, interpret: bool = False):
+    """`sweep_select` with a flat per-block candidate ROW LIST instead of
+    the 9 (start, skip, len) windows.
+
+    pts_padded f32[NR + 1, 4, 128]: planar cloud with an ALL-MASKED pad
+    row appended at index NR (w = 0). rowlist i32[NB, cap + 2]: per query
+    block, ``cap`` candidate row ids (pad slots = NR), the
+    block-has-valid flag, and the true row count. Blocks whose true
+    candidate rows exceed ``cap`` must be marked not-ok by the caller's
+    certificate (their extra rows are simply absent here — results are
+    upper bounds).
+
+    Returns (total, count, kth, ok) over [NB*128] like `sweep_select`.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr1, nch, width = pts_padded.shape
+    nb = rowlist.shape[0]
+    assert (nch, width) == (4, 128) and rowlist.shape[1] == cap + 2, (
+        pts_padded.shape,
+        rowlist.shape,
+    )
+    # Dynamic-loop caps must be unroll-aligned so the 4-slot trips never
+    # read past the id columns.
+    assert cap <= ROWS_STATIC_UNROLL_CAP or cap % 4 == 0, cap
+    kern = _sweep_select_rows_kernel(k, cap, per_seg)
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, 128), lambda b, rows_ref: (b, z, z)),
+            pl.BlockSpec((nr1, 4, 128), lambda b, rows_ref: (z, z, z)),
+        ],
+        out_specs=pl.BlockSpec((4, 128), lambda b, rows_ref: (z, b)),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, nb * 128), jnp.float32),
+        interpret=interpret,
+    )(jnp.transpose(rowlist), pts_padded, pts_padded)
+    return out[0], out[1], out[2], out[3] > 0.5
+
+
 # ── Rescue kernel: AABB-pruned brute force over the resident sorted cloud ──
 #
 # Pass-2 of the sweep SOR (spatial/sweep.py): queries flagged by pass 1
@@ -651,11 +782,20 @@ def _rescue_select_kernel(k: int, per_seg: int, gr: int, ng: int):
 
 def _rescue_select_body(active_ref, q_ref, cand_ref, out_ref, b, k, per_seg,
                         gr):
-    big = jnp.float32(jnp.inf)
     qx = jnp.transpose(q_ref[0, 0:1, :], (1, 0))  # [128, 1]
     qy = jnp.transpose(q_ref[0, 1:2, :], (1, 0))
     qz = jnp.transpose(q_ref[0, 2:3, :], (1, 0))
     qm = jnp.transpose(q_ref[0, 3:4, :], (1, 0))
+    _rescue_walk_store(
+        active_ref, cand_ref, out_ref, b, qx, qy, qz, qm, k, per_seg, gr
+    )
+
+
+def _rescue_walk_store(active_ref, cand_ref, out_ref, b, qx, qy, qz, qm,
+                       k, per_seg, gr):
+    """Shared rescue hot loop: walk the block's active candidate groups,
+    insert-select, phase-2 extract, store the [4, 128] result row."""
+    big = jnp.float32(jnp.inf)
 
     def group_step(t, state):
         regs, cnt = state
@@ -668,12 +808,10 @@ def _rescue_select_body(active_ref, q_ref, cand_ref, out_ref, b, k, per_seg,
             cz = row[0, 2:3, :]
             cw = row[0, 3:4, :]
             d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2
-            pair = qm * cw
+            pair = qm * cw  # exact 0/1 product
             w = jnp.where(pair > 0.5, d2, big)
             regs = _insert_smallest(regs, w)
-            cnt = cnt + jnp.where(
-                pair > 0.5, jnp.float32(1.0), jnp.float32(0.0)
-            )
+            cnt = cnt + pair
         return regs, cnt
 
     regs0 = [jnp.full((128, 128), big) for _ in range(per_seg)]
@@ -900,17 +1038,24 @@ def cluster_propagate(pts_planar, starts, *, wr: int = 7,
 # folds into `exact`.
 
 
-def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
-    def kernel(starts_ref, pts_ref, r2_ref, out_ref, lab_ref, cnt_ref,
+def _cluster_multisweep_kernel(cap: int, nb: int, nr: int):
+    def kernel(rows_ref, pts_ref, r2_ref, out_ref, lab_ref, cnt_ref,
                blk_ref):
-        # starts_ref i32[3*nshift + 1, NB]: starts / skips / lengths /
-        # block-valid; r2_ref holds radius^2 broadcast over one row.
-        # blk_ref i32[2*nr]: double-buffered per-ROW changed flags — the
-        # FRONTIER. A block whose windows saw no label change in the
-        # previous sweep would recompute its exact previous result, so it
-        # passes through untouched; once the wave of merges localizes
-        # (sweep 3+ on real scenes), each sweep touches only the blocks
-        # adjacent to actual changes instead of all of them.
+        # rows_ref i32[cap + 2, NB]: per block, ``cap`` candidate row ids
+        # into the padded planar array (pad slots point at the all-masked
+        # pad row nr), the block-valid flag, and the true row count. The
+        # flat row list replaces the 9 dynamic-bound window loops in BOTH
+        # the frontier test (static-unrolled SMEM flag reads) and the
+        # label walk (one fori_loop with 4-slot trips) — the old per-shift
+        # scalar loops dominated the converged sweeps' cost.
+        # r2_ref holds radius^2 broadcast over one row.
+        # blk_ref i32[2*(nr+1)]: double-buffered per-ROW changed flags —
+        # the FRONTIER (the pad row nr is pinned 0 in both buffers). A
+        # block whose candidate rows saw no label change in the previous
+        # sweep would recompute its exact previous result, so it passes
+        # through untouched; once the wave of merges localizes (sweep 3+
+        # on real scenes), each sweep touches only the blocks adjacent to
+        # actual changes instead of all of them.
         t = pl.program_id(0)
         b = pl.program_id(1)
         bs = jax.lax.rem(t, jnp.int32(2)) * (jnp.int32(nb - 1) - 2 * b) + b
@@ -925,60 +1070,51 @@ def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
             out_ref[0:1, :] = base + iota
             out_ref[1:2, :] = zrow
             blk_ref[bs] = jnp.int32(1)  # sweep 1 reads buffer 0: all live
-            blk_ref[nr + bs] = jnp.int32(0)
+            blk_ref[nr + 1 + bs] = jnp.int32(0)
 
             @pl.when(b == 0)
             def _():
                 cnt_ref[0] = jnp.int32(1)  # force sweep 1 to run
                 cnt_ref[1] = jnp.int32(1)
 
-                # Padding rows (>= nb) never change labels: pin both
-                # frontier buffers to 0 there, once.
+                # Padding rows (>= nb) and the pad row nr never change
+                # labels: pin both frontier buffers to 0 there, once.
                 def zr(r, c):
                     blk_ref[r] = jnp.int32(0)
-                    blk_ref[nr + r] = jnp.int32(0)
+                    blk_ref[nr + 1 + r] = jnp.int32(0)
                     return c
 
                 jax.lax.fori_loop(
-                    jnp.int32(nb), jnp.int32(nr), zr, jnp.int32(0)
+                    jnp.int32(nb), jnp.int32(nr + 1), zr, jnp.int32(0)
                 )
 
         @pl.when(t > 0)
         def _():
             cur = jax.lax.rem(t, jnp.int32(2))
             prev = 1 - cur
-            pbase = prev * jnp.int32(nr)
+            pbase = prev * jnp.int32(nr + 1)
 
             @pl.when(b == 0)
             def _():
                 cnt_ref[cur] = jnp.int32(0)
 
             qlab = lab_ref[pl.ds(bs, 1), :]  # [1, 128]
-            bv = starts_ref[3 * nshift, bs]
+            bv = rows_ref[cap, bs]
             glive = jnp.logical_and(bv != 0, cnt_ref[prev] != 0)
 
             # Frontier test: OR of the previous sweep's changed flags
-            # over this block's window rows (zero-trip when glive is
-            # already false — ln collapses to sk).
+            # over this block's candidate rows — static-unrolled SMEM
+            # reads (pad slots read the pinned-zero pad entry).
             acc = jnp.int32(0)
-            for j in range(nshift):
-                st = starts_ref[j, bs]
-                sk = starts_ref[nshift + j, bs]
-                ln = jnp.where(
-                    glive, starts_ref[2 * nshift + j, bs], sk
-                )
-
-                def fb(r, a, st=st):
-                    return a | blk_ref[pbase + st + r]
-
-                acc = jax.lax.fori_loop(sk, ln, fb, acc)
+            for s_ in range(cap):
+                acc = acc | blk_ref[pbase + rows_ref[s_, bs]]
             live = jnp.logical_and(glive, acc != 0)
 
             @pl.when(jnp.logical_not(live))
             def _():
                 out_ref[0:1, :] = qlab
                 out_ref[1:2, :] = zrow
-                blk_ref[cur * jnp.int32(nr) + bs] = jnp.int32(0)
+                blk_ref[cur * jnp.int32(nr + 1) + bs] = jnp.int32(0)
 
             @pl.when(live)
             def _():
@@ -990,52 +1126,47 @@ def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
                 qlab_t = jnp.transpose(qlab, (1, 0))  # [128, 1]
                 r2 = r2_ref[0:1, :]  # [1, 128] broadcast of radius^2
 
-                # Lane-carry min with a 4x-unrolled dynamic-bound walk:
-                # the per-lane running label min stays elementwise in the
-                # row loop (the old per-row jnp.min lane-reduce was a
-                # multi-step shuffle costing ~3x the real work) and
-                # reduces over lanes ONCE after all shifts. The caller
+                # Lane-carry min over the flat row list: one fori_loop
+                # with 4-slot trips (the old 9 per-shift dynamic loops
+                # paid 9 scalar-loop setups per live block). Per-lane
+                # running label mins stay elementwise in the loop and
+                # reduce over lanes ONCE after the walk. The caller
                 # pre-masks invalid coordinates to 1e9 and appends a
-                # 1e9-coordinate PAD row at index nr, so tail rows past a
-                # window length read the pad row (d2 >> r2 excludes them)
-                # — no per-row validity/live mask arithmetic at all.
+                # 1e9-coordinate PAD row at index nr; pad/over-read slots
+                # point there (d2 >> r2 excludes them) — no per-row
+                # validity/live mask arithmetic at all.
                 unroll = 4
-                nmax = jnp.int32(nr)  # the pad row
                 qmb = qm > 0.5  # [128, 1] query-validity broadcast
-                best_l = jnp.full((128, 128), biglab, jnp.float32)
-                for j in range(nshift):
-                    st = starts_ref[j, bs]
-                    sk = starts_ref[nshift + j, bs]
-                    ln = starts_ref[2 * nshift + j, bs]
+                best_l0 = jnp.full((128, 128), biglab, jnp.float32)
 
-                    def body(i, best_l, st=st, sk=sk, ln=ln):
-                        for u in range(unroll):
-                            r = sk + i * jnp.int32(unroll) + jnp.int32(u)
-                            rd = jnp.where(r < ln, st + r, nmax)
-                            rowp = pts_ref[pl.ds(rd, 1), :, :]
-                            rowl = lab_ref[pl.ds(rd, 1), :]  # [1, 128]
-                            cx = rowp[0, 0:1, :]
-                            cy = rowp[0, 1:2, :]
-                            cz = rowp[0, 2:3, :]
-                            d2 = (
-                                (qx - cx) ** 2
-                                + (qy - cy) ** 2
-                                + (qz - cz) ** 2
-                            )
-                            within = jnp.where(
-                                jnp.logical_and(qmb, d2 <= r2),
-                                rowl + 0.0 * d2,  # label bcast over queries
-                                biglab,
-                            )
-                            best_l = jnp.minimum(best_l, within)
-                        return best_l
+                def body(i, best_l):
+                    for u in range(unroll):
+                        rd = rows_ref[i * jnp.int32(unroll) + jnp.int32(u), bs]
+                        rowp = pts_ref[pl.ds(rd, 1), :, :]
+                        rowl = lab_ref[pl.ds(rd, 1), :]  # [1, 128]
+                        cx = rowp[0, 0:1, :]
+                        cy = rowp[0, 1:2, :]
+                        cz = rowp[0, 2:3, :]
+                        d2 = (
+                            (qx - cx) ** 2
+                            + (qy - cy) ** 2
+                            + (qz - cz) ** 2
+                        )
+                        within = jnp.where(
+                            jnp.logical_and(qmb, d2 <= r2),
+                            rowl + 0.0 * d2,  # label bcast over queries
+                            biglab,
+                        )
+                        best_l = jnp.minimum(best_l, within)
+                    return best_l
 
-                    ntrips = jax.lax.div(
-                        ln - sk + jnp.int32(unroll - 1), jnp.int32(unroll)
-                    )
-                    best_l = jax.lax.fori_loop(
-                        jnp.int32(0), ntrips, body, best_l
-                    )
+                nrows_b = rows_ref[cap + 1, bs]
+                ntrips = jax.lax.div(
+                    nrows_b + jnp.int32(unroll - 1), jnp.int32(unroll)
+                )
+                best_l = jax.lax.fori_loop(
+                    jnp.int32(0), ntrips, body, best_l0
+                )
                 best = jnp.minimum(
                     jnp.where(qm > 0.5, qlab_t, biglab),
                     jnp.min(best_l, axis=1, keepdims=True),
@@ -1063,7 +1194,7 @@ def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
                 def _():
                     out_ref[0:1, :] = qlab
                     out_ref[1:2, :] = zrow
-                    blk_ref[cur * jnp.int32(nr) + bs] = jnp.int32(0)
+                    blk_ref[cur * jnp.int32(nr + 1) + bs] = jnp.int32(0)
 
                 @pl.when(need_close)
                 def _():
@@ -1109,7 +1240,7 @@ def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
                     lab_ref[pl.ds(bs, 1), :] = newlab
                     chs = jnp.sum(ch).astype(jnp.int32)
                     cnt_ref[cur] = cnt_ref[cur] + chs
-                    blk_ref[cur * jnp.int32(nr) + bs] = jnp.where(
+                    blk_ref[cur * jnp.int32(nr + 1) + bs] = jnp.where(
                         chs > 0, jnp.int32(1), jnp.int32(0)
                     )
                     out_ref[0:1, :] = newlab
@@ -1118,34 +1249,38 @@ def _cluster_multisweep_kernel(nshift: int, nb: int, nr: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("sweeps", "interpret"))
-def cluster_multisweep(pts_planar, starts, r2, *, sweeps: int = 12,
-                       interpret: bool = False):
+@partial(jax.jit, static_argnames=("cap", "sweeps", "interpret"))
+def cluster_multisweep(pts_planar, rowlist, r2, *, cap: int,
+                       sweeps: int = 12, interpret: bool = False):
     """Full connected-components propagation in one pallas call.
 
-    pts_planar f32[NR, 4, 128] (x, y, z, w); starts i32[NB, 3S + 1] (the
-    plain `_window_starts` pack — block-valid in its last column); r2 the
-    squared cluster radius (static-ish float). Returns
+    pts_planar f32[NR, 4, 128] (x, y, z, w); rowlist i32[NB, cap + 2]
+    (flat per-block candidate row lists from `_window_row_lists` with
+    nmax = NR: ids, block-valid flag, true row count; blocks overflowing
+    ``cap`` must fail the caller's exactness certificate); r2 the squared
+    cluster radius (static-ish float). Returns
     (labels f32[NB*128] in SORTED order, changed f32[NB*128] per-lane
     flags of each block's final sweep — all-zero certifies convergence).
     """
     from jax.experimental.pallas import tpu as pltpu
 
     nr, nch, width = pts_planar.shape
-    nb = starts.shape[0]
-    nshift = (starts.shape[1] - 1) // 3
+    nb = rowlist.shape[0]
     assert (nch, width) == (4, 128) and nb <= nr, (
         pts_planar.shape,
-        starts.shape,
+        rowlist.shape,
+    )
+    assert rowlist.shape[1] == cap + 2 and cap % 4 == 0, (
+        rowlist.shape, cap,
     )
     r2row = jnp.broadcast_to(
         jnp.asarray(r2, jnp.float32)[None, None], (1, 128)
     )
-    starts = jnp.transpose(starts)  # [3S+1, NB]
+    rows_t = jnp.transpose(rowlist)  # [cap+2, NB]
     # Pre-mask invalid coordinates to 1e9 and append a 1e9 PAD row at
-    # index nr: the kernel's window walk routes past-length reads to the
-    # pad row and lets d2 > r2 exclude them — no per-row validity/live
-    # arithmetic in the hot loop.
+    # index nr: pad/over-read slots in the row lists point there and
+    # d2 > r2 excludes them — no per-row validity/live arithmetic in the
+    # hot loop.
     big = jnp.float32(1e9)
     w = pts_planar[:, 3:4, :]
     pts_masked = jnp.concatenate(
@@ -1159,7 +1294,7 @@ def cluster_multisweep(pts_planar, starts, r2, *, sweeps: int = 12,
         axis=1,
     )
     pts_padded = jnp.concatenate([pts_masked, pad_row], axis=0)
-    kern = _cluster_multisweep_kernel(nshift, nb, nr)
+    kern = _cluster_multisweep_kernel(cap, nb, nr)
     z = np.int32(0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1180,7 +1315,7 @@ def cluster_multisweep(pts_planar, starts, r2, *, sweeps: int = 12,
         scratch_shapes=[
             pltpu.VMEM((nr + 1, 128), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.SMEM((2 * nr,), jnp.int32),
+            pltpu.SMEM((2 * (nr + 1),), jnp.int32),
         ],
     )
     out = pl.pallas_call(
@@ -1191,7 +1326,7 @@ def cluster_multisweep(pts_planar, starts, r2, *, sweeps: int = 12,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(starts, pts_padded, r2row)
+    )(rows_t, pts_padded, r2row)
     return out[0], out[1]
 
 

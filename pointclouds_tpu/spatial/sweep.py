@@ -133,6 +133,59 @@ def _window_starts(slin_p, suse_p, extent, nrows, nb, wr, table_size):
     )
 
 
+def _window_row_lists(starts_skip, cap: int, nmax: int):
+    """Flatten each block's 9 dedup'd (start, skip, len) windows into a
+    flat candidate row list [NB, cap + 1]: ``cap`` row ids into the planar
+    array (pad slots = ``nmax``, the caller's all-masked pad row) plus the
+    block-has-valid flag in the last column — `sweep_select_rows` input.
+
+    Returns (rowlist i32[NB, cap + 1], fits bool[NB]); blocks whose true
+    candidate rows exceed ``cap`` are truncated and must fail the caller's
+    exactness certificate (fold ``fits`` into block_ok)."""
+    nb = starts_skip.shape[0]
+    ns = NSHIFT
+    st = starts_skip[:, :ns]
+    sk = starts_skip[:, ns : 2 * ns]
+    ln = starts_skip[:, 2 * ns : 3 * ns]
+    bv = starts_skip[:, 3 * ns]
+    eff_start = st + sk
+    eff_len = jnp.maximum(ln - sk, 0)
+    cum = jnp.cumsum(eff_len, axis=1)  # [NB, 9] inclusive ends
+    total = cum[:, -1]
+    cum0 = jnp.concatenate(
+        [jnp.zeros((nb, 1), jnp.int32), cum[:, :-1]], axis=1
+    )  # exclusive starts
+    t = jnp.arange(cap, dtype=jnp.int32)
+    # Window owning slot t: j = #{inclusive ends <= t} (slots past the
+    # total clamp to the last window and are padded below).
+    j = jnp.sum(
+        (cum[:, :, None] <= t[None, None, :]).astype(jnp.int32), axis=1
+    )  # [NB, cap]
+    j = jnp.minimum(j, ns - 1)
+    es = jnp.take_along_axis(eff_start, j, axis=1)
+    cs = jnp.take_along_axis(cum0, j, axis=1)
+    row = es + (t[None, :] - cs)
+    row = jnp.where(t[None, :] < total[:, None], row, nmax)
+    fits = total <= cap
+    rowlist = jnp.concatenate(
+        [row, bv[:, None], jnp.minimum(total, cap)[:, None]], axis=1
+    ).astype(jnp.int32)
+    return rowlist, fits
+
+
+def _planar_padded(planar):
+    """Planar array with an ALL-MASKED pad row appended (w = 0, coords 1e9
+    so an unmasked read could never fake a near neighbor)."""
+    pad = jnp.concatenate(
+        [
+            jnp.full((1, 3, 128), jnp.float32(1e9)),
+            jnp.zeros((1, 1, 128), jnp.float32),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([planar, pad], axis=0)
+
+
 def structure_from_sorted(xyz_sorted, valid_sorted, slin, extent, hi_cells,
                           table_overflow, wr: int,
                           table_size: int = SWEEP_TABLE_SIZE):
@@ -202,6 +255,7 @@ def _sweep_pass1(
     interpret: bool = False,
     use_kernel: bool = True,
     prebuilt=None,
+    row_cap: int | None = None,
 ):
     """Shared pass-1 internals: sort, pack, windows, fused selection, mean
     + certificates. Returns a dict with the results AND the reusable sorted
@@ -209,7 +263,12 @@ def _sweep_pass1(
 
     ``prebuilt``: a `structure_from_sorted` dict — the sort/pack/window
     phase is skipped and (with its identity permutation) so is the unsort;
-    results come back in row order either way."""
+    results come back in row order either way.
+
+    ``row_cap``: route the kernel through the flat row-list walk
+    (`sweep_select_rows`) with this per-block candidate-row cap; blocks
+    exceeding it fail certification and are rescued exactly. Requires a
+    VMEM-resident planar array (callers gate on `planar_resident_fits`)."""
     n = xyz.shape[0]
     kp1 = k + 1
     if prebuilt is None:
@@ -220,9 +279,27 @@ def _sweep_pass1(
     starts_skip = s["starts_skip"]
     order, inv, use = s["order"], s["inv"], s["use"]
     table_overflow = s["table_overflow"]
+    block_ok = s["block_ok"]
 
     # ── Fused selection ──
-    if use_kernel:
+    if use_kernel and row_cap is not None:
+        # Flat row-list walk (statically unrolled at small caps): the 9
+        # dynamic-bound window loops cost more in scalar-loop setup than
+        # their vector work at production densities (micro A/B:
+        # scripts/micro_sorsel_r4.py, 3.1 -> 2.5 ms at the KITTI SOR
+        # operating point). Blocks with more candidate rows than the cap
+        # fail block_ok and flow to the exact rescue.
+        from .pallas_kernels import sweep_select_rows
+
+        rowlist, fits = _window_row_lists(
+            starts_skip, row_cap, planar.shape[0]
+        )
+        total, count_f, kth, seg_ok = sweep_select_rows(
+            _planar_padded(planar), rowlist, k=kp1, cap=row_cap,
+            per_seg=per_seg, interpret=interpret,
+        )
+        block_ok = jnp.logical_and(block_ok, fits)
+    elif use_kernel:
         from .pallas_kernels import sweep_select
 
         total, count_f, kth, seg_ok = sweep_select(
@@ -235,42 +312,32 @@ def _sweep_pass1(
         )
         count_f = count.astype(jnp.float32)
 
-    ok_sorted = jnp.logical_and(seg_ok, jnp.repeat(s["block_ok"], 128))
+    ok_sorted = jnp.logical_and(seg_ok, jnp.repeat(block_ok, 128))
 
-    if inv is None:
-        # Identity permutation: results are already in row order.
-        total = total[:n]
-        count = count_f[:n].astype(jnp.int32)
-        kth = kth[:n]
-        point_ok = ok_sorted[:n]
-    else:
-        # Single packed unsort (one gather with [4, 1] slices — separate
-        # 4-byte-slice gathers dominate the wrapper cost at scale).
-        packed = jnp.stack(
-            [total, count_f, kth, ok_sorted.astype(jnp.float32)]
-        )
-        res = jnp.take(packed, inv, axis=1)  # [4, n]
-        total = res[0]
-        count = res[1].astype(jnp.int32)
-        kth = res[2]
-        point_ok = res[3] > 0.5
-
-    # ── Mean + certificates (same semantics as point_sor_mean_dists) ──
-    n_neighbors = jnp.maximum(count - 1, 0)
-    mean = jnp.where(
+    # ── Mean + certificates, computed in the SORTED frame (elementwise,
+    # so it commutes with the unsort; the in-place rescue then merges
+    # positionally and only the final 2 channels ever get unsorted) ──
+    # (nb from a SHAPE, not s["nb"]: ints inside a prebuilt dict become
+    # tracers when the dict crosses an inner jit boundary.)
+    nb = starts_skip.shape[0]
+    use_s = planar[:nb, 3, :].reshape(-1) > 0.5  # [nb*128]
+    count_s = count_f
+    n_neighbors = jnp.maximum(count_s - 1.0, 0.0)
+    mean_s = jnp.where(
         n_neighbors > 0,
-        total / jnp.maximum(n_neighbors.astype(jnp.float32), 1.0),
+        total / jnp.maximum(n_neighbors, 1.0),
         jnp.inf,
     )
-    n_valid_total = jnp.sum(use.astype(jnp.int32))
+    n_valid_total = jnp.sum(use_s.astype(jnp.int32))
     # max(.., 2): a padded cloud with exactly ONE valid point must FAIL
     # certification (count=1 < want=2) and reach the callers' brute rescue,
     # which reproduces the reference's use-self-distance-as-is semantics
     # (mean 0, point kept; ref statistical_outlier.rs "if only one result
     # exists, use as-is") instead of certifying mean=+inf here.
     want = jnp.minimum(kp1, jnp.maximum(n_valid_total, 2))
-    mean = jnp.where(count >= want, mean, jnp.inf)
-    mean = jnp.where(use, mean, jnp.inf)
+    wantf = want.astype(jnp.float32)
+    mean_s = jnp.where(count_s >= wantf, mean_s, jnp.inf)
+    mean_s = jnp.where(use_s, mean_s, jnp.inf)
 
     # f32 floor-rounding margin (same derivation as cellgrid.cert_cell2):
     # |coord|/cell bound from the grid's own cell extents. Prebuilt
@@ -287,16 +354,19 @@ def _sweep_pass1(
     safe = jnp.maximum(cell_size - margin, 0.0)
     cell2 = safe * safe
 
-    point_ok = jnp.logical_and(point_ok, count >= want)
-    point_ok = jnp.logical_and(point_ok, kth <= cell2)
-    point_ok = jnp.logical_and(point_ok, use)
-    point_ok = jnp.logical_and(point_ok, jnp.logical_not(table_overflow))
-    certified = jnp.logical_not(
-        jnp.any(jnp.logical_and(use, jnp.logical_not(point_ok)))
+    point_ok_s = jnp.logical_and(ok_sorted, count_s >= wantf)
+    point_ok_s = jnp.logical_and(point_ok_s, kth <= cell2)
+    point_ok_s = jnp.logical_and(point_ok_s, use_s)
+    point_ok_s = jnp.logical_and(
+        point_ok_s, jnp.logical_not(table_overflow)
     )
-    return dict(
-        mean=mean,
-        point_ok=point_ok,
+    certified = jnp.logical_not(
+        jnp.any(jnp.logical_and(use_s, jnp.logical_not(point_ok_s)))
+    )
+    out = dict(
+        mean_s=mean_s,
+        point_ok_s=point_ok_s,
+        use_s=use_s,
         certified=certified,
         planar=planar,
         order=order,
@@ -306,8 +376,23 @@ def _sweep_pass1(
         want=want,
         mn=s["mn"],
         extent=s["extent"],
+        nb=nb,
         table_overflow=table_overflow,
     )
+    out["mean"], out["point_ok"] = _unsort_mean_ok(
+        mean_s, point_ok_s, inv, n
+    )
+    return out
+
+
+def _unsort_mean_ok(mean_s, point_ok_s, inv, n):
+    """Sorted-frame (mean, ok) -> row order: slice on the identity
+    permutation, else ONE packed 2-channel gather."""
+    if inv is None:
+        return mean_s[:n], point_ok_s[:n]
+    packed = jnp.stack([mean_s, point_ok_s.astype(jnp.float32)])
+    res = jnp.take(packed, inv, axis=1)  # [2, n]
+    return res[0], res[1] > 0.5
 
 
 @partial(
@@ -418,6 +503,7 @@ RESCUE_GROUP_ROWS = 8  # candidate rows (of 128 points) per prune group
         "table_size",
         "interpret",
         "use_kernel",
+        "row_cap",
     ),
 )
 def sweep_sor_two_pass(
@@ -434,6 +520,7 @@ def sweep_sor_two_pass(
     interpret: bool = False,
     use_kernel: bool = True,
     prebuilt=None,
+    row_cap: int | None = None,
 ):
     """Pass-1 sweep + exact AABB-pruned brute rescue for flagged queries.
 
@@ -443,13 +530,21 @@ def sweep_sor_two_pass(
     the whole cloud, with certification radius ``rescue_cells * cell_size``
     (the prune radius): up to ``fix_cap`` flagged queries, visiting only
     candidate row-groups whose bounding box intersects the rescue ball.
-    Queries still uncertified after the rescue (isolated beyond the rescue
-    radius, or more than fix_cap flagged) keep their rescued upper-bound
-    means and point_ok=False — the same removal-biased semantics the coarse
-    block-grid rescue had (pipelines/kitti.py documents it).
+    Queries still uncertified after the rescue (isolated beyond the
+    rescue radius, or more than fix_cap flagged) keep their rescued
+    upper-bound means and point_ok=False — the same removal-biased
+    semantics the coarse block-grid rescue had (pipelines/kitti.py
+    documents it).
 
     ``prebuilt``: a `structure_from_sorted` dict; see `_sweep_pass1`.
+    ``row_cap``: pass-1 flat row-list walk cap; see `_sweep_pass1`.
     """
+    n = xyz.shape[0]
+    if row_cap is not None:
+        from .pallas_kernels import planar_resident_fits
+
+        if not (use_kernel and planar_resident_fits(n)):
+            row_cap = None
     p = _sweep_pass1(
         xyz,
         valid,
@@ -461,64 +556,71 @@ def sweep_sor_two_pass(
         interpret=interpret,
         use_kernel=use_kernel,
         prebuilt=prebuilt,
+        row_cap=row_cap,
     )
-    n = xyz.shape[0]
     kp1 = k + 1
     planar = p["planar"]
-    order = p["order"]
-    use = p["use"]
+    use_s = p["use_s"]
+    nall = use_s.shape[0]
 
-    flagged = jnp.logical_and(use, jnp.logical_not(p["point_ok"]))
+    # Compacted rescue in the SORTED frame: flagged queries are packed
+    # into a few dense 128-query blocks (spatially coherent — tight AABBs,
+    # deep pruning), rescued against the AABB-pruned resident cloud, and
+    # scattered back into the sorted-frame results; ONE 2-channel unsort
+    # then restores row order. (An in-place per-block rescue variant was
+    # measured WORSE at the KITTI operating point: flagged queries spread
+    # over ~every block, so each block paid a ~100-row group walk —
+    # compaction concentrates that cost into flagged/128 blocks.)
+    flagged_s = jnp.logical_and(use_s, jnp.logical_not(p["point_ok_s"]))
     radius = rescue_cells * cell_size
     planar_g, q_planar, active, qvalid, qsel = _rescue_structure(
-        planar, order, flagged, fix_cap, n, radius
+        planar, None, flagged_s, fix_cap, nall, radius
     )
     gr = RESCUE_GROUP_ROWS
 
     # Residency gate: rescue_select holds planar_g fully in VMEM.
-    use_kernel = _rescue_kernel_ok(use_kernel, planar_g)
-    if use_kernel:
+    if _rescue_kernel_ok(use_kernel, planar_g):
         from .pallas_kernels import rescue_select
 
         rtotal, rcount_f, rkth, rseg_ok = rescue_select(
             planar_g, q_planar, active, k=kp1, per_seg=3, gr=gr,
             interpret=interpret,
         )
-        rcount = rcount_f.astype(jnp.int32)
     else:
         rtotal, rcount, rkth, rseg_ok = _rescue_select_xla(
             planar_g, q_planar, active, k=kp1, per_seg=3, gr=gr
         )
+        rcount_f = rcount.astype(jnp.float32)
 
     # ── Rescue means + certificates ──
-    want = p["want"]
-    n_neighbors = jnp.maximum(rcount - 1, 0)
+    wantf = p["want"].astype(jnp.float32)
+    n_neighbors = jnp.maximum(rcount_f - 1.0, 0.0)
     rmean = jnp.where(
         n_neighbors > 0,
-        rtotal / jnp.maximum(n_neighbors.astype(jnp.float32), 1.0),
+        rtotal / jnp.maximum(n_neighbors, 1.0),
         jnp.inf,
     )
-    rmean = jnp.where(rcount >= want, rmean, jnp.inf)
+    rmean = jnp.where(rcount_f >= wantf, rmean, jnp.inf)
     r2_cert = _rescue_cert_r2(radius)
-    rok = jnp.logical_and(rcount >= want, rkth <= r2_cert)
+    rok = jnp.logical_and(rcount_f >= wantf, rkth <= r2_cert)
     rok = jnp.logical_and(rok, rseg_ok)
     rok = jnp.logical_and(rok, qvalid)
     rok = jnp.logical_and(rok, jnp.logical_not(p["table_overflow"]))
 
-    # ── Scatter back to original rows ──
-    rows_orig = _rescue_rows_orig(order, qsel, n)
-    rows_orig = jnp.where(qvalid, rows_orig, n)  # drop non-flagged slots
-    mean = p["mean"].at[rows_orig].set(
+    # ── Scatter back into the sorted frame (qsel ARE sorted positions) ──
+    pos = jnp.where(qvalid, qsel, nall)  # drop non-flagged slots
+    mean_s = p["mean_s"].at[pos].set(
         jnp.where(qvalid, rmean, 0.0), mode="drop"
     )
-    point_ok = p["point_ok"].at[rows_orig].set(
+    ok_s = p["point_ok_s"].at[pos].set(
         jnp.where(qvalid, rok, False), mode="drop"
     )
     # Flagged rows beyond fix_cap were never selected and stay
     # point_ok=False, so `certified` already reflects rescue overflow.
     certified = jnp.logical_not(
-        jnp.any(jnp.logical_and(use, jnp.logical_not(point_ok)))
+        jnp.any(jnp.logical_and(use_s, jnp.logical_not(ok_s)))
     )
+    mean, point_ok = _unsort_mean_ok(mean_s, ok_s, p["inv"], n)
     return mean, point_ok, certified
 
 
@@ -731,7 +833,7 @@ def cluster_cell_size(radius, hi_abs):
     jax.jit,
     static_argnames=(
         "wr", "max_iters", "jumps", "sweeps", "table_size", "interpret",
-        "use_kernel", "rep_labels",
+        "use_kernel", "rep_labels", "row_cap",
     ),
 )
 def sweep_cluster_labels(
@@ -747,6 +849,7 @@ def sweep_cluster_labels(
     interpret: bool = False,
     use_kernel: bool = True,
     rep_labels: bool = True,
+    row_cap: int = 16,
 ):
     """Euclidean-cluster labels by sweep min-label propagation.
 
@@ -795,13 +898,20 @@ def sweep_cluster_labels(
         # XLA loop-body tax. Convergence is certified by the final
         # sweep's change flags; a non-converged run (pathological scene
         # at the static sweep budget) surfaces as exact=False and the
-        # callers fall back, exactly like a window overflow.
+        # callers fall back, exactly like a window overflow. Candidate
+        # rows ride a flat per-block ROW LIST (frontier test and walk
+        # each run one static/flat loop instead of 9 dynamic window
+        # loops); blocks overflowing the list cap fail `fits` and the
+        # certificate, like a window overflow.
         from .pallas_kernels import cluster_multisweep
 
+        rowlist, fits = _window_row_lists(starts_skip, row_cap, nrows)
         labf, chf = cluster_multisweep(
-            planar, starts_skip, r2, sweeps=sweeps, interpret=interpret
+            planar, rowlist, r2, cap=row_cap, sweeps=sweeps,
+            interpret=interpret,
         )
         converged = jnp.sum(chf) < 0.5
+        exact = jnp.logical_and(exact, jnp.all(fits[:nb]))
         lab = labf.astype(jnp.int32)
         if nall > nb * 128:
             lab = jnp.concatenate(

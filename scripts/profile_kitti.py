@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Prefix-profile the fused KITTI pipeline on TPU.
 
-Replicates pipelines/kitti.py (current sweep-backend form) stage by stage
-behind a static ``stop`` arg and times each prefix with the
+Replicates pipelines/kitti.py (round-4 shared-frontend form) stage by
+stage behind a static ``stop`` arg and times each prefix with the
 streaming-amortized method (frames back-to-back, one sync); stage cost =
 prefix(i) - prefix(i-1). This is the reliable attribution method on the
 axon harness, where per-dispatch RPC (~30 ms) and the no-op
@@ -22,19 +22,24 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-from pointclouds_tpu.core.cloud import compaction_order, make_cloud_arrays
-from pointclouds_tpu.ops.filters import sor_keep_mask, voxel_downsample_masked
+from pointclouds_tpu.core.cloud import make_cloud_arrays
+from pointclouds_tpu.ops.filters import (
+    sor_keep_mask,
+    voxel_downsample_sweep_fused,
+)
 from pointclouds_tpu.ops.segmentation import ransac_plane_masked
 from pointclouds_tpu.pipelines.scenes import velodyne_scene
 from pointclouds_tpu.spatial.sweep import (
+    structure_from_sorted,
     sweep_cluster_labels,
     sweep_sor_two_pass,
 )
 
 STAGES = [
-    "voxel_downsample",
-    "sor_sweep_two_pass",
-    "sor_keep",
+    "voxel_fused",
+    "structure",
+    "sor_two_pass",
+    "sor_keep+canon",
     "ransac",
     "compact_obstacles",
     "cluster_sweep",
@@ -42,58 +47,78 @@ STAGES = [
 
 DS_CAP = 98_304
 OBSTACLE_CAP = 16384
+FACTOR = 3
 
 
 @partial(jax.jit, static_argnames=("stop",))
 def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
            *, stop: int):
-    """Mirrors pipelines/kitti.kitti_obstacle_pipeline's sweep backend at
-    bench.py's operating point (sor_k=20, cell=3 voxels, per_seg=2,
-    ds_cap=98304, tournament RANSAC subsample=4096) stage by stage."""
+    """Mirrors pipelines/kitti.kitti_obstacle_pipeline's round-4 sweep
+    backend at bench.py's operating point (sor_k=20, cell=3 voxels,
+    per_seg=2, ds_cap=98304, tournament RANSAC subsample=4096)."""
     acc = jnp.float32(0.0)
 
-    centroids_full, ds_valid_full = voxel_downsample_masked(
-        xyz, valid, voxel_size
+    fe = voxel_downsample_sweep_fused(
+        xyz, valid, voxel_size, factor=FACTOR, ds_cap=DS_CAP
     )
-    centroids = centroids_full[:DS_CAP]
-    ds_valid = ds_valid_full[:DS_CAP]
+    centroids, ds_valid, canon = fe["centroids"], fe["out_valid"], fe["canon"]
     acc += jnp.sum(centroids) + jnp.sum(ds_valid)
     if stop == 1:
         return acc
 
+    prebuilt = structure_from_sorted(
+        centroids, ds_valid, fe["slin"], fe["extent"], fe["hi_cells"],
+        fe["table_overflow"], wr=4,
+    )
+    acc += jnp.sum(prebuilt["planar"]) + jnp.sum(
+        prebuilt["starts_skip"]
+    ).astype(jnp.float32)
+    if stop == 2:
+        return acc
+
     sor_cell = voxel_size * 3.0
     mean_dists, point_ok, sor_certified = sweep_sor_two_pass(
-        centroids, ds_valid, sor_cell, k=20, fix_cap=8192,
-        rescue_cells=4.0, per_seg=2, use_kernel=True,
+        centroids, ds_valid, sor_cell, k=20,
+        rescue_cells=4.0, per_seg=2, use_kernel=True, prebuilt=prebuilt,
+        row_cap=12,
     )
     acc += jnp.sum(
         jnp.where(jnp.isfinite(mean_dists), mean_dists, 0.0)
     ) + jnp.sum(point_ok)
-    if stop == 2:
+    if stop == 3:
         return acc
 
     cleaned_valid = sor_keep_mask(mean_dists, ds_valid, sor_std)
-    acc += jnp.sum(cleaned_valid)
-    if stop == 3:
+    ckey = jnp.where(cleaned_valid, canon, jnp.int32(2**31 - 1))
+    _, position_rows = jax.lax.sort(
+        (ckey, jnp.arange(ckey.shape[0], dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
+    acc += jnp.sum(cleaned_valid) + jnp.sum(position_rows)
+    if stop == 4:
         return acc
 
     normal, d, inlier_mask = ransac_plane_masked(
         centroids, cleaned_valid, ransac_thresh, seed, 500,
-        score_subsample=4096, use_kernel=True,
+        score_subsample=4096, use_kernel=True, position_rows=position_rows,
     )
     acc += jnp.sum(normal) + d + jnp.sum(inlier_mask)
-    if stop == 4:
+    if stop == 5:
         return acc
 
     obstacle_mask = jnp.logical_and(
         cleaned_valid, jnp.logical_not(inlier_mask)
     )
-    order = compaction_order(obstacle_mask)
+    okey = jnp.where(obstacle_mask, canon, jnp.int32(2**31 - 1))
+    _, order = jax.lax.sort(
+        (okey, jnp.arange(okey.shape[0], dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
     obs_src = order[:OBSTACLE_CAP].astype(jnp.int32)
     obs_valid = jnp.take(obstacle_mask, obs_src)
     obs_xyz = jnp.take(centroids, obs_src, axis=0)
     acc += jnp.sum(obs_xyz) + jnp.sum(obs_valid)
-    if stop == 5:
+    if stop == 6:
         return acc
 
     labels, cluster_exact = sweep_cluster_labels(

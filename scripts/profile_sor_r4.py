@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """Prefix-profile sweep_sor_two_pass internals at the KITTI operating point.
 
-Stages: sorted-structure build -> pass-1 select kernel -> pass-1 epilogue
-(means/certs) -> rescue structure (AABB prune) -> rescue kernel. Streaming
-method (frames back-to-back, one sync), stage cost = prefix delta.
+Round-4 form: sorted-structure build -> pass-1 row-list kernel (cap=12) ->
+full two-pass with the IN-PLACE rescue. Streaming method (frames
+back-to-back, one sync), stage cost = prefix delta.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_sor_r4.py
 """
@@ -28,14 +28,13 @@ DS_CAP = 98_304
 K = 20
 PER_SEG = 2
 WR = 4
-FIX_CAP = 8192
+ROW_CAP = 12
 
 STAGES = [
     "structure_build",
-    "pass1_kernel",
+    "pass1_rows_kernel",
     "pass1_epilogue",
-    "rescue_structure",
-    "rescue_kernel",
+    "two_pass_full",
 ]
 
 
@@ -51,40 +50,33 @@ def prefix(centroids, ds_valid, cell, jitter, *, stop: int):
     if stop == 1:
         return acc
 
-    from pointclouds_tpu.spatial.pallas_kernels import sweep_select
+    from pointclouds_tpu.spatial.pallas_kernels import sweep_select_rows
 
-    total, count_f, kth, seg_ok = sweep_select(
-        s["planar"], s["starts_skip"], k=K + 1, wr=WR, per_seg=PER_SEG
+    rowlist, fits = sw._window_row_lists(
+        s["starts_skip"], ROW_CAP, s["planar"].shape[0]
+    )
+    total, count_f, kth, seg_ok = sweep_select_rows(
+        sw._planar_padded(s["planar"]), rowlist, k=K + 1, cap=ROW_CAP,
+        per_seg=PER_SEG,
     )
     acc += jnp.sum(total) + jnp.sum(count_f) + jnp.sum(kth) + jnp.sum(seg_ok)
     if stop == 2:
         return acc
 
     p = sw._sweep_pass1(
-        xyz, ds_valid, cell, k=K, wr=WR, per_seg=PER_SEG, use_kernel=True
+        xyz, ds_valid, cell, k=K, wr=WR, per_seg=PER_SEG, use_kernel=True,
+        row_cap=ROW_CAP,
     )
     acc += (
-        jnp.sum(jnp.where(jnp.isfinite(p["mean"]), p["mean"], 0.0))
-        + jnp.sum(p["point_ok"])
+        jnp.sum(jnp.where(jnp.isfinite(p["mean_s"]), p["mean_s"], 0.0))
+        + jnp.sum(p["point_ok_s"])
     )
     if stop == 3:
         return acc
 
-    flagged = jnp.logical_and(p["use"], jnp.logical_not(p["point_ok"]))
-    radius = 4.0 * cell
-    planar_g, q_planar, active, qvalid, qsel = sw._rescue_structure(
-        p["planar"], p["order"], flagged, FIX_CAP, xyz.shape[0], radius
-    )
-    acc += (
-        jnp.sum(q_planar) + jnp.sum(active).astype(jnp.float32)
-        + jnp.sum(qvalid)
-    )
-    if stop == 4:
-        return acc
-
     mean, point_ok, certified = sw.sweep_sor_two_pass(
-        xyz, ds_valid, cell, k=K, fix_cap=FIX_CAP, rescue_cells=4.0,
-        per_seg=PER_SEG, use_kernel=True,
+        xyz, ds_valid, cell, k=K, rescue_cells=4.0,
+        per_seg=PER_SEG, use_kernel=True, row_cap=ROW_CAP,
     )
     acc += (
         jnp.sum(jnp.where(jnp.isfinite(mean), mean, 0.0))
