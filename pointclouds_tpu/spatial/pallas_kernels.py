@@ -2103,8 +2103,13 @@ def _sweep_knn_kernel(k: int, wr: int, per_seg: int, nshift: int,
 
 @partial(jax.jit, static_argnames=("k", "wr", "per_seg", "interpret"))
 def sweep_knn_select(pts_planar, starts, *, k: int, wr: int = 4,
-                     per_seg: int = 4, interpret: bool = False):
+                     per_seg: int = 4, interpret: bool = False,
+                     q_planar=None):
     """KNN distances + global sorted positions over sorted windows.
+
+    ``q_planar``: separately sorted query frame [QB, 4, 128] whose block b
+    is swept against windows of ``pts_planar`` (the cross-cloud path);
+    default = ``pts_planar`` (same-cloud: query blocks ARE point blocks).
 
     Returns a [2k+3, NB*128] f32 array: rows [0, k) Euclidean distances
     ascending (+inf pad), rows [k, 2k) candidate positions in the SORTED
@@ -2112,11 +2117,14 @@ def sweep_knn_select(pts_planar, starts, *, k: int, wr: int = 4,
     """
     from jax.experimental.pallas import tpu as pltpu
 
+    if q_planar is None:
+        q_planar = pts_planar
     nr, nch, width = pts_planar.shape
     nb = starts.shape[0]
     nshift = (starts.shape[1] - 1) // 3
-    assert (nch, width) == (4, 128) and nb <= nr and nr >= wr, (
+    assert (nch, width) == (4, 128) and nb <= q_planar.shape[0] and nr >= wr, (
         pts_planar.shape,
+        q_planar.shape,
         starts.shape,
     )
     starts = jnp.transpose(starts)
@@ -2154,7 +2162,7 @@ def sweep_knn_select(pts_planar, starts, *, k: int, wr: int = 4,
         # intermediates; the default 16 MB scoped-vmem cap is too tight.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(starts, pts_planar, pts_planar)
+    )(starts, q_planar, pts_planar)
 
 
 # ── Fused 1-NN (distance + argmin) kernel ────────────────────────────────────

@@ -43,8 +43,11 @@ def prefix(xyz, valid, radius, jitter, *, stop: int, wr: int):
     from pointclouds_tpu.spatial.pallas_kernels import cluster_multisweep
 
     r2 = jnp.float32(radius) * jnp.float32(radius)
+    rowlist, fits = sw._window_row_lists(
+        s["starts_skip"], 16, s["planar"].shape[0]
+    )
     labf, chf = cluster_multisweep(
-        s["planar"], s["starts_skip"], r2, sweeps=12
+        s["planar"], rowlist, r2, cap=16, sweeps=12
     )
     acc += jnp.sum(labf) + jnp.sum(chf)
     if stop == 2:

@@ -147,3 +147,64 @@ def test_degrade_to_xla_memoizes_kernel_failures():
     assert engine._degrade_to_xla(run, True, memo_key=key) == "xla"
     assert calls == [True, False, False]  # no second kernel attempt
     engine._KERNEL_FAIL_MEMO.discard(key)
+
+
+def test_engine_knn_cross_cloud_matches_oracle():
+    """Cross-cloud batched KNN (queries != the cloud's own points) routes
+    through the fused query-frame sweep (sweep_knn_cross_two_pass) and
+    must return exactly the brute-force distances — including queries
+    OUTSIDE the point grid, invalid queries, and a non-finite query."""
+    pts = _make_cloud(seed=6)
+    rng = np.random.default_rng(7)
+    q = np.vstack([
+        (rng.random((2500, 3)) * 8).astype(np.float32),
+        (rng.random((400, 3)) * 300 - 150).astype(np.float32),  # far field
+    ]).astype(np.float32)
+    q[11] = np.nan
+    qv = rng.random(len(q)) > 0.05
+    arrs = make_cloud_arrays(pts)
+    qa = make_cloud_arrays(q)
+    qvj = jnp.logical_and(qa.valid, jnp.asarray(
+        np.concatenate([qv, np.zeros(qa.valid.shape[0] - len(q), bool)])))
+    k = 7
+    dists, idx, nvalid = engine.knn(arrs.xyz, arrs.valid, qa.xyz, qvj, k)
+    ed, ei, ev = engine.bruteforce_knn(arrs.xyz, arrs.valid, qa.xyz, qvj, k)
+    nq = len(q)
+    np.testing.assert_allclose(
+        np.asarray(dists)[:nq], np.asarray(ed)[:nq], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nvalid)[:nq], np.asarray(ev)[:nq]
+    )
+    d = np.asarray(dists)[:nq]
+    same = np.asarray(idx)[:nq] == np.asarray(ei)[:nq]
+    uniq = np.ones_like(same)
+    uniq[:, :-1] &= d[:, :-1] != d[:, 1:]
+    uniq[:, 1:] &= d[:, 1:] != d[:, :-1]
+    assert (same | ~uniq).all()
+    assert not np.asarray(nvalid)[11].any()  # NaN query -> no results
+
+
+def test_sweep_knn_cross_kernel_interpret_parity():
+    """The Pallas cross-KNN path (interpret mode) must match the XLA
+    mirror bit-for-bit on distances and certification."""
+    from pointclouds_tpu.spatial.sweep import sweep_knn_cross_two_pass
+
+    rng = np.random.default_rng(8)
+    p = (rng.random((2048, 3)) * 5).astype(np.float32)
+    q = (rng.random((1024, 3)) * 5.4 - 0.2).astype(np.float32)
+    pv = jnp.ones(2048, bool)
+    qv = jnp.ones(1024, bool)
+    dk, ik, nk, okk = sweep_knn_cross_two_pass(
+        jnp.asarray(p), pv, jnp.asarray(q), qv, np.float32(0.35), k=5,
+        use_kernel=True, interpret=True,
+    )
+    dx, ix, nx, okx = sweep_knn_cross_two_pass(
+        jnp.asarray(p), pv, jnp.asarray(q), qv, np.float32(0.35), k=5,
+        use_kernel=False,
+    )
+    dk, dx = np.asarray(dk), np.asarray(dx)
+    fin = np.isfinite(dx)
+    np.testing.assert_array_equal(np.isfinite(dk), fin)
+    np.testing.assert_allclose(dk[fin], dx[fin], rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(okk), np.asarray(okx))
