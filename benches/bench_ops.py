@@ -70,32 +70,56 @@ def timeit(name, fn, *args, reps=5, floor=0.0, ref_ms=None):
     return out
 
 
-def single_query_bench(c, n_queries=2000):
-    """Per-query cost of the build-once host index (KNN k=10 + radius),
-    mirroring the reference's per-query KD-tree benchmark methodology:
-    build once, then median per-query wall time over a query batch."""
-    rng = np.random.default_rng(9)
-    qs = (rng.random((n_queries, 3)) * 10.0).astype(np.float64)
-
+def single_query_bench(c, label, ref_knn_us, ref_rad_us, n_queries=20000,
+                       box=100.0):
+    """Per-query cost of the build-once host index, on the REFERENCE'S OWN
+    Criterion methodology (benches/bench_kdtree.rs): points uniform in a
+    0..100 box, ONE fixed query at the box center repeated (warm cache),
+    k=10 KNN and radius-0.1 search (~zero hits at these densities). A
+    harder secondary row times 2000 DISTINCT random queries (cold cache,
+    real hit counts) — the reference has no equivalent row."""
     t0 = time.perf_counter()
     idx = c._index()
     build_ms = (time.perf_counter() - t0) * 1e3
 
+    q = np.full((3,), box / 2.0, np.float64)
+    for _ in range(100):
+        idx.knn(q, 10)  # warm
     t0 = time.perf_counter()
-    for q in qs:
+    for _ in range(n_queries):
         idx.knn(q, 10)
     knn_us = (time.perf_counter() - t0) * 1e6 / n_queries
 
+    for _ in range(100):
+        idx.radius(q, 0.1)
     t0 = time.perf_counter()
-    for q in qs:
-        idx.radius(q, 0.5)
+    for _ in range(n_queries):
+        idx.radius(q, 0.1)
     rad_us = (time.perf_counter() - t0) * 1e6 / n_queries
 
     native = getattr(idx, "_native", None) is not None
     print(
-        f"{'host index 100K (build once)':42s} build={build_ms:7.2f}ms  "
-        f"knn k=10={knn_us:6.2f}us/q (ref=1.47us)  "
-        f"radius={rad_us:6.2f}us/q (ref=0.235us)  native={native}"
+        f"{f'host index {label} (ref methodology)':42s} "
+        f"build={build_ms:7.2f}ms  "
+        f"knn k=10={knn_us:6.2f}us/q (ref={ref_knn_us}us)  "
+        f"radius(0.1)={rad_us:6.3f}us/q (ref={ref_rad_us}us)  "
+        f"native={native}"
+    )
+
+    rng = np.random.default_rng(9)
+    qs = (rng.random((2000, 3)) * box).astype(np.float64)
+    t0 = time.perf_counter()
+    for qq in qs:
+        idx.knn(qq, 10)
+    knn2 = (time.perf_counter() - t0) * 1e6 / len(qs)
+    t0 = time.perf_counter()
+    for qq in qs:
+        idx.radius(qq, 2.0)
+    rad2 = (time.perf_counter() - t0) * 1e6 / len(qs)
+    print(
+        f"{f'host index {label} (2000 random queries)':42s} "
+        f"{'':15s}  knn k=10={knn2:6.2f}us/q  "
+        f"radius(2.0)={rad2:6.2f}us/q  (no ref row)"
     )
 
 
@@ -140,9 +164,12 @@ def main():
 
     # Single-query path: the build-once native host index serves the
     # reference's per-query KD-tree rows (BENCHMARKS.md:43-48 — 1.47 us
-    # KNN k=10, 235 ns radius at 100K). Host-side timing, no dispatch
-    # floor involved.
-    single_query_bench(c100k)
+    # KNN k=10, 235 ns radius at 100K; 2.13 us / 419 ns at 1M). Host-side
+    # timing, no dispatch floor involved. Same box/query/radius as the
+    # reference's benches/bench_kdtree.rs.
+    single_query_bench(cloud(100_000, box=100.0), "100K", 1.47, 0.235)
+    if full:
+        single_query_bench(cloud(1_000_000, box=100.0), "1M", 2.13, 0.419)
 
     timeit("SOR k=10 10K", pc.statistical_outlier_removal, c10k, 10, 2.0, floor=floor, ref_ms=11.2)
     timeit("SOR k=10 100K", pc.statistical_outlier_removal, c100k, 10, 2.0, floor=floor, ref_ms=128.0)

@@ -52,8 +52,12 @@ struct Index {
     std::vector<int64_t> slin;  // sorted cell ids
     // Sorted coords in SoA layout: cell runs are contiguous, so the
     // per-run distance pass vectorizes (the interleaved [pos*3] layout
-    // defeated autovectorization and cost ~2x on the scan).
-    std::vector<double> sx, sy, sz;
+    // defeated autovectorization and cost ~2x on the scan). Stored as
+    // f32 — the inputs ARE f32, so converting to f64 at scan time is
+    // exact (bit-identical to the numpy twin's f64-from-f32 arrays)
+    // and halves the memory traffic of the random-query workload,
+    // which is bandwidth-bound at 1M points.
+    std::vector<float> sx, sy, sz;
     std::vector<int64_t> srows;  // sorted -> original row
     // Dense cell -> first sorted row table (built when the grid is small
     // enough; empty => fall back to binary search over slin). starts[c]
@@ -68,24 +72,25 @@ inline int64_t lower_bound_lin(const std::vector<int64_t>& v, int64_t key) {
 }
 
 inline double d2_at(const Index& ix, int64_t pos, const double q[3]) {
-    const double dx = ix.sx[pos] - q[0];
-    const double dy = ix.sy[pos] - q[1];
-    const double dz = ix.sz[pos] - q[2];
+    const double dx = (double)ix.sx[pos] - q[0];
+    const double dy = (double)ix.sy[pos] - q[1];
+    const double dz = (double)ix.sz[pos] - q[2];
     return dx * dx + dy * dy + dz * dz;
 }
 
 // Vectorizable distance pass over a contiguous sorted run [s, e):
-// fills d2buf[0 .. e-s). Caller sizes d2buf.
+// fills d2buf[0 .. e-s). Caller sizes d2buf. All arithmetic in f64
+// (the f32 loads convert exactly).
 inline void d2_run(const Index& ix, int64_t s, int64_t e, const double q[3],
                    double* d2buf) {
-    const double* X = ix.sx.data() + s;
-    const double* Y = ix.sy.data() + s;
-    const double* Z = ix.sz.data() + s;
+    const float* X = ix.sx.data() + s;
+    const float* Y = ix.sy.data() + s;
+    const float* Z = ix.sz.data() + s;
     const int64_t len = e - s;
     for (int64_t i = 0; i < len; ++i) {
-        const double dx = X[i] - q[0];
-        const double dy = Y[i] - q[1];
-        const double dz = Z[i] - q[2];
+        const double dx = (double)X[i] - q[0];
+        const double dy = (double)Y[i] - q[1];
+        const double dz = (double)Z[i] - q[2];
         d2buf[i] = dx * dx + dy * dy + dz * dz;
     }
 }
@@ -125,17 +130,19 @@ void* pcidx_build(const float* xyz, const uint8_t* valid, int64_t n) {
         span_max = std::max(span_max, span[a]);
         ix->mn[a] = mn[a];
     }
-    // Same sizing as the numpy class: ~8 points per cell, BLENDED over
-    // 3D / planar / linear density so degenerate clouds (flat planes,
-    // collinear scans) never explode the cell count (identical
-    // arithmetic to the numpy twin: pow, not cbrt — they differ by ulps
-    // and the parity contract is bit-exact).
+    // Same sizing as the numpy class: ~2 points per cell (A/B'd over
+    // {2,4,8,16} on both the reference's fixed-query Criterion workload
+    // and a 2000-random-query workload — 2 wins KNN at 100K and 1M),
+    // BLENDED over 3D / planar / linear density so degenerate clouds
+    // (flat planes, collinear scans) never explode the cell count
+    // (identical arithmetic to the numpy twin: pow, not cbrt — they
+    // differ by ulps and the parity contract is bit-exact).
     double sspan[3] = {span[0], span[1], span[2]};
     std::sort(sspan, sspan + 3);
     const double nv = (double)std::max<int64_t>(ix->n_valid, 1);
-    const double c3 = std::pow(vol * 8.0 / nv, 1.0 / 3.0);
-    const double c2 = std::sqrt(sspan[1] * sspan[2] * 8.0 / nv);
-    const double c1 = sspan[2] * 8.0 / nv;
+    const double c3 = std::pow(vol * 2.0 / nv, 1.0 / 3.0);
+    const double c2 = std::sqrt(sspan[1] * sspan[2] * 2.0 / nv);
+    const double c1 = sspan[2] * 2.0 / nv;
     const double cell = std::max(c3, std::max(c2, c1));
     ix->cell = std::min(std::max(cell, 1e-9), span_max);
 

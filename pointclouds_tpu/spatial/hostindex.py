@@ -21,8 +21,11 @@ from __future__ import annotations
 
 import numpy as np
 
-# Target points per cell for the build (queries scan 27+ cells).
-_TARGET_PER_CELL = 8.0
+# Target points per cell for the build (queries scan 27+ cells). Must
+# match pcindex.cpp's constant exactly (bit-equal grids); 2.0 A/B-won
+# over {2,4,8,16} on both the reference Criterion workload and a
+# random-query workload.
+_TARGET_PER_CELL = 2.0
 
 
 class HostCellIndex:
