@@ -230,6 +230,82 @@ def voxel_downsample_sweep_frontend(xyz, valid, voxel_size, *,
     )
 
 
+def voxel_scan_sor_epilogue(skey, sx, sy, sz, ext_v, esc, *, factor: int,
+                            ds_cap: int, table_size: int):
+    """Shared back half of `voxel_downsample_sweep_fused`: given rows
+    ALREADY stably sorted by canonical voxel key (``skey`` ascending,
+    invalid rows = 2^31-1 sentinel last, coords zeroed on invalid), run
+    the segmented per-voxel mean scan and the single sor-order compaction
+    sort. ``ext_v``/``esc`` are the voxel / sor grid extents the keys
+    were linearized with (value-level — the tiled points-axis pipeline
+    passes GLOBAL extents so per-tile keys stay mutually consistent).
+
+    Returns dict(centroids f32[ds_cap, 3], out_valid bool[ds_cap],
+    slin i32[ds_cap] ascending sor ids (table_size sentinel), canon
+    i32[ds_cap], ds_overflow bool)."""
+    invalid32 = jnp.int32(2**31 - 1)
+    suse = skey != invalid32
+    sx = jnp.where(suse, sx, 0.0)
+    sy = jnp.where(suse, sy, 0.0)
+    sz = jnp.where(suse, sz, 0.0)
+    scnt = suse.astype(jnp.float32)
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+
+    def seg_op(a, b):
+        return (
+            jnp.logical_or(a[0], b[0]),
+            b[1] + jnp.where(b[0], 0.0, a[1]),
+            b[2] + jnp.where(b[0], 0.0, a[2]),
+            b[3] + jnp.where(b[0], 0.0, a[3]),
+            b[4] + jnp.where(b[0], 0.0, a[4]),
+        )
+
+    _, cx, cy, cz, ccnt = jax.lax.associative_scan(
+        seg_op, (first, sx, sy, sz, scnt), axis=0
+    )
+
+    # Sort 2 (the ONLY post-scan sort): key = sor-cell linear id for
+    # segment-end rows, table_size sentinel otherwise — one stable sort
+    # compacts AND orders for the sweep (equal sor keys keep canonical
+    # voxel order: the scan rows are already canonical).
+    live = jnp.logical_and(is_end, suse)
+    r0 = skey // (ext_v[1] * ext_v[2])
+    r1 = (skey // ext_v[2]) % jnp.maximum(ext_v[1], 1)
+    r2 = skey % jnp.maximum(ext_v[2], 1)
+    lin_sc = ((r0 // factor) * esc[1] + r1 // factor) * esc[2] + r2 // factor
+    lin_sc = jnp.clip(lin_sc, 0, table_size - 1)
+    sorkey = jnp.where(live, lin_sc, jnp.int32(table_size))
+    ekey, ex, ey, ez, ecnt, ecanon = jax.lax.sort(
+        (sorkey, cx, cy, cz, ccnt,
+         jnp.where(live, skey, invalid32)),
+        num_keys=1,
+        is_stable=True,
+    )
+    nseg = jnp.sum(live.astype(jnp.int32))
+    ds_overflow = nseg > ds_cap
+
+    slin = ekey[:ds_cap]
+    out_valid = slin != jnp.int32(table_size)
+    counts = jnp.where(out_valid, ecnt[:ds_cap], 0.0)
+    denom = jnp.maximum(counts, 1.0)
+    centroids = jnp.stack(
+        [
+            jnp.where(out_valid, ex[:ds_cap], 0.0) / denom,
+            jnp.where(out_valid, ey[:ds_cap], 0.0) / denom,
+            jnp.where(out_valid, ez[:ds_cap], 0.0) / denom,
+        ],
+        axis=1,
+    )
+    return dict(
+        centroids=centroids,
+        out_valid=out_valid,
+        slin=slin,
+        canon=ecanon[:ds_cap],
+        ds_overflow=ds_overflow,
+    )
+
+
 @partial(jax.jit, static_argnames=("factor", "ds_cap", "table_size"))
 def voxel_downsample_sweep_fused(xyz, valid, voxel_size, *, factor: int,
                                  ds_cap: int,
@@ -287,58 +363,9 @@ def voxel_downsample_sweep_fused(xyz, valid, voxel_size, *, factor: int,
     skey, sx, sy, sz = jax.lax.sort(
         (ckey, x, y, z), num_keys=1, is_stable=True
     )
-    suse = skey != invalid32
-    sx = jnp.where(suse, sx, 0.0)
-    sy = jnp.where(suse, sy, 0.0)
-    sz = jnp.where(suse, sz, 0.0)
-    scnt = suse.astype(jnp.float32)
-    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-
-    def seg_op(a, b):
-        return (
-            jnp.logical_or(a[0], b[0]),
-            b[1] + jnp.where(b[0], 0.0, a[1]),
-            b[2] + jnp.where(b[0], 0.0, a[2]),
-            b[3] + jnp.where(b[0], 0.0, a[3]),
-            b[4] + jnp.where(b[0], 0.0, a[4]),
-        )
-
-    _, cx, cy, cz, ccnt = jax.lax.associative_scan(
-        seg_op, (first, sx, sy, sz, scnt), axis=0
-    )
-
-    # Sort 2 (the ONLY post-scan sort): key = sor-cell linear id for
-    # segment-end rows, table_size sentinel otherwise — one stable sort
-    # compacts AND orders for the sweep (equal sor keys keep canonical
-    # voxel order: the scan rows are already canonical).
-    live = jnp.logical_and(is_end, suse)
-    r0 = skey // (ext_v[1] * ext_v[2])
-    r1 = (skey // ext_v[2]) % jnp.maximum(ext_v[1], 1)
-    r2 = skey % jnp.maximum(ext_v[2], 1)
-    lin_sc = ((r0 // factor) * esc[1] + r1 // factor) * esc[2] + r2 // factor
-    lin_sc = jnp.clip(lin_sc, 0, table_size - 1)
-    sorkey = jnp.where(live, lin_sc, jnp.int32(table_size))
-    ekey, ex, ey, ez, ecnt, ecanon = jax.lax.sort(
-        (sorkey, cx, cy, cz, ccnt,
-         jnp.where(live, skey, invalid32)),
-        num_keys=1,
-        is_stable=True,
-    )
-    nseg = jnp.sum(live.astype(jnp.int32))
-    ds_overflow = nseg > ds_cap
-
-    slin = ekey[:ds_cap]
-    out_valid = slin != jnp.int32(table_size)
-    counts = jnp.where(out_valid, ecnt[:ds_cap], 0.0)
-    denom = jnp.maximum(counts, 1.0)
-    centroids = jnp.stack(
-        [
-            jnp.where(out_valid, ex[:ds_cap], 0.0) / denom,
-            jnp.where(out_valid, ey[:ds_cap], 0.0) / denom,
-            jnp.where(out_valid, ez[:ds_cap], 0.0) / denom,
-        ],
-        axis=1,
+    ep = voxel_scan_sor_epilogue(
+        skey, sx, sy, sz, ext_v, esc, factor=factor, ds_cap=ds_cap,
+        table_size=table_size,
     )
 
     hi_v = jnp.max(
@@ -347,11 +374,11 @@ def voxel_downsample_sweep_fused(xyz, valid, voxel_size, *, factor: int,
     hi_cells = (hi_v + float(factor)) / float(factor)
 
     return dict(
-        centroids=centroids,
-        out_valid=out_valid,
-        slin=slin,
-        canon=ecanon[:ds_cap],
-        ds_overflow=ds_overflow,
+        centroids=ep["centroids"],
+        out_valid=ep["out_valid"],
+        slin=ep["slin"],
+        canon=ep["canon"],
+        ds_overflow=ep["ds_overflow"],
         extent=esc,
         hi_cells=hi_cells,
         table_overflow=table_overflow,

@@ -201,9 +201,13 @@ def aerial_pipeline(
 
     # rep_labels=False: canonical component ids (extract_clusters groups
     # by value without interpreting it) — skips the 262K scatter-min.
+    # row_cap=None: the aerial obstacle cloud at r=2.0 is DENSE (building
+    # clusters ~10 pts/cell over wide windows) — per-block candidate
+    # unions overflow the flat row list, so clustering keeps the
+    # 9-dynamic-window walk (the round-3 certified backend).
     labels, cluster_exact = sweep_cluster_labels(
         obs_xyz, obs_valid, cluster_r, wr=cluster_wr,
-        use_kernel=use_kernel, rep_labels=False,
+        use_kernel=use_kernel, rep_labels=False, row_cap=None,
     )
 
     return AerialPipelineOutput(

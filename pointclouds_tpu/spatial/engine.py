@@ -330,8 +330,9 @@ def _degrade_to_xla(run, use_kernel: bool, memo_key=None):
         return run(False)
 
 
-@partial(jax.jit, static_argnames=("wr", "use_kernel", "rows"))
+@partial(jax.jit, static_argnames=("wr", "use_kernel", "rows", "row_cap"))
 def _cluster_labels_packed(xyz, valid, radius, *, wr: int, use_kernel: bool,
+                           row_cap: int | None = 16,
                            rows: int = None):
     """Returns i32[rows + 1]: [labels, exact flag] in ONE fetch (each
     extra fetch is a full RPC round-trip on the tunneled harness). The
@@ -345,16 +346,17 @@ def _cluster_labels_packed(xyz, valid, radius, *, wr: int, use_kernel: bool,
     from .sweep import sweep_cluster_labels
 
     labels, exact = sweep_cluster_labels(
-        xyz, valid, radius, wr=wr, use_kernel=use_kernel
+        xyz, valid, radius, wr=wr, use_kernel=use_kernel, row_cap=row_cap
     )
     if rows is not None and rows < labels.shape[0]:
         labels = labels[:rows]
     return jnp.concatenate([labels, exact.astype(labels.dtype)[None]])
 
 
-@partial(jax.jit, static_argnames=("wr", "use_kernel", "rows"))
+@partial(jax.jit, static_argnames=("wr", "use_kernel", "rows", "row_cap"))
 def _cluster_labels_packed_u16(xyz, valid, radius, *, wr: int,
-                               use_kernel: bool, rows: int = None):
+                               use_kernel: bool, rows: int = None,
+                               row_cap: int | None = 16):
     """_cluster_labels_packed with RANK-COMPRESSED u16 labels: component
     rank (index of the representative among all representatives, ascending
     row id) replaces the representative row id. Rank order == label order,
@@ -366,7 +368,7 @@ def _cluster_labels_packed_u16(xyz, valid, radius, *, wr: int,
     from .sweep import sweep_cluster_labels
 
     labels, exact = sweep_cluster_labels(
-        xyz, valid, radius, wr=wr, use_kernel=use_kernel
+        xyz, valid, radius, wr=wr, use_kernel=use_kernel, row_cap=row_cap
     )
     n = labels.shape[0]
     is_rep = labels == jnp.arange(n, dtype=labels.dtype)
@@ -424,10 +426,18 @@ def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
             _kernel_preference()
             and nrows * 8 * 128 * 4 <= CLUSTER_RESIDENT_BYTES
         )
-        ladder = (min(nrows, 64),) if resident else (7, 14, 28)
-        for wr in ladder:
+        if resident:
+            # Attempt 1: flat row-list walk (cheapest on sparse scenes);
+            # attempt 2: the 9-dynamic-window walk — no candidate cap, so
+            # dense workloads (aerial r=2.0, slabs) that overflow the
+            # row list stay on the fast multisweep kernel instead of
+            # degrading to the 10-60x slower cell-graph paths below.
+            ladder = ((min(nrows, 64), 16), (min(nrows, 64), None))
+        else:
+            ladder = ((7, 16), (14, 16), (28, 16))
+        for wr, row_cap in ladder:
 
-            def run(uk, wr=wr):
+            def run(uk, wr=wr, row_cap=row_cap):
                 # One fetch: rank-compressed u16 labels + (exact, fits)
                 # flags ride one packed vector (half the i32 fetch bytes);
                 # the rare >65535-component cloud refetches through the
@@ -435,21 +445,21 @@ def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
                 packed = np.asarray(
                     _cluster_labels_packed_u16(
                         xyz, valid, np.float32(radius), wr=wr,
-                        use_kernel=uk, rows=rows,
+                        use_kernel=uk, rows=rows, row_cap=row_cap,
                     )
                 )
                 if not bool(packed[-1]):  # component count overflows u16
                     packed32 = np.asarray(
                         _cluster_labels_packed(
                             xyz, valid, np.float32(radius), wr=wr,
-                            use_kernel=uk, rows=rows,
+                            use_kernel=uk, rows=rows, row_cap=row_cap,
                         )
                     )
                     return packed32[:-1], bool(packed32[-1])
                 return packed[:-2].astype(np.int32), bool(packed[-2])
 
             labels, exact = _degrade_to_xla(
-                run, _kernel_preference(), memo_key=("cluster", n, wr)
+                run, _kernel_preference(), memo_key=("cluster", n, wr, row_cap)
             )
             if exact:
                 return np.asarray(labels, np.int32)

@@ -1330,6 +1330,312 @@ def cluster_multisweep(pts_planar, rowlist, r2, *, cap: int,
     return out[0], out[1]
 
 
+# ── Windows-walk multisweep (dense-workload fallback) ───────────────────
+#
+# The pre-row-list propagation kernel (9 dynamic per-shift window
+# loops): kept as the second attempt for workloads whose per-block
+# candidate row unions exceed the flat row-list cap (dense aerial
+# clusters at r=2.0, percolating slabs) — the row-list kernel fails
+# its `fits` certificate there, and degrading straight to the
+# cell-graph/brute paths measured 113-2000 ms where this kernel
+# does the same frames in ~30-110 ms (round-3 numbers).
+
+def _cluster_multisweep_windows_kernel(nshift: int, nb: int, nr: int):
+    def kernel(starts_ref, pts_ref, r2_ref, out_ref, lab_ref, cnt_ref,
+               blk_ref):
+        # starts_ref i32[3*nshift + 1, NB]: starts / skips / lengths /
+        # block-valid; r2_ref holds radius^2 broadcast over one row.
+        # blk_ref i32[2*nr]: double-buffered per-ROW changed flags — the
+        # FRONTIER. A block whose windows saw no label change in the
+        # previous sweep would recompute its exact previous result, so it
+        # passes through untouched; once the wave of merges localizes
+        # (sweep 3+ on real scenes), each sweep touches only the blocks
+        # adjacent to actual changes instead of all of them.
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        bs = jax.lax.rem(t, jnp.int32(2)) * (jnp.int32(nb - 1) - 2 * b) + b
+        biglab = jnp.float32(float(1 << 25))
+        zrow = jnp.zeros((1, 128), jnp.float32)
+
+        @pl.when(t == 0)
+        def _():
+            base = (bs * jnp.int32(128)).astype(jnp.float32)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+            lab_ref[pl.ds(bs, 1), :] = base + iota
+            out_ref[0:1, :] = base + iota
+            out_ref[1:2, :] = zrow
+            blk_ref[bs] = jnp.int32(1)  # sweep 1 reads buffer 0: all live
+            blk_ref[nr + bs] = jnp.int32(0)
+
+            @pl.when(b == 0)
+            def _():
+                cnt_ref[0] = jnp.int32(1)  # force sweep 1 to run
+                cnt_ref[1] = jnp.int32(1)
+
+                # Padding rows (>= nb) never change labels: pin both
+                # frontier buffers to 0 there, once.
+                def zr(r, c):
+                    blk_ref[r] = jnp.int32(0)
+                    blk_ref[nr + r] = jnp.int32(0)
+                    return c
+
+                jax.lax.fori_loop(
+                    jnp.int32(nb), jnp.int32(nr), zr, jnp.int32(0)
+                )
+
+        @pl.when(t > 0)
+        def _():
+            cur = jax.lax.rem(t, jnp.int32(2))
+            prev = 1 - cur
+            pbase = prev * jnp.int32(nr)
+
+            @pl.when(b == 0)
+            def _():
+                cnt_ref[cur] = jnp.int32(0)
+
+            qlab = lab_ref[pl.ds(bs, 1), :]  # [1, 128]
+            bv = starts_ref[3 * nshift, bs]
+            glive = jnp.logical_and(bv != 0, cnt_ref[prev] != 0)
+
+            # Frontier test: OR of the previous sweep's changed flags
+            # over this block's window rows (zero-trip when glive is
+            # already false — ln collapses to sk).
+            acc = jnp.int32(0)
+            for j in range(nshift):
+                st = starts_ref[j, bs]
+                sk = starts_ref[nshift + j, bs]
+                ln = jnp.where(
+                    glive, starts_ref[2 * nshift + j, bs], sk
+                )
+
+                def fb(r, a, st=st):
+                    return a | blk_ref[pbase + st + r]
+
+                acc = jax.lax.fori_loop(sk, ln, fb, acc)
+            live = jnp.logical_and(glive, acc != 0)
+
+            @pl.when(jnp.logical_not(live))
+            def _():
+                out_ref[0:1, :] = qlab
+                out_ref[1:2, :] = zrow
+                blk_ref[cur * jnp.int32(nr) + bs] = jnp.int32(0)
+
+            @pl.when(live)
+            def _():
+                row_q = pts_ref[pl.ds(bs, 1), :, :]
+                qx = jnp.transpose(row_q[0, 0:1, :], (1, 0))  # [128, 1]
+                qy = jnp.transpose(row_q[0, 1:2, :], (1, 0))
+                qz = jnp.transpose(row_q[0, 2:3, :], (1, 0))
+                qm = jnp.transpose(row_q[0, 3:4, :], (1, 0))
+                qlab_t = jnp.transpose(qlab, (1, 0))  # [128, 1]
+                r2 = r2_ref[0:1, :]  # [1, 128] broadcast of radius^2
+
+                # Lane-carry min with a 4x-unrolled dynamic-bound walk:
+                # the per-lane running label min stays elementwise in the
+                # row loop (the old per-row jnp.min lane-reduce was a
+                # multi-step shuffle costing ~3x the real work) and
+                # reduces over lanes ONCE after all shifts. The caller
+                # pre-masks invalid coordinates to 1e9 and appends a
+                # 1e9-coordinate PAD row at index nr, so tail rows past a
+                # window length read the pad row (d2 >> r2 excludes them)
+                # — no per-row validity/live mask arithmetic at all.
+                unroll = 4
+                nmax = jnp.int32(nr)  # the pad row
+                qmb = qm > 0.5  # [128, 1] query-validity broadcast
+                best_l = jnp.full((128, 128), biglab, jnp.float32)
+                for j in range(nshift):
+                    st = starts_ref[j, bs]
+                    sk = starts_ref[nshift + j, bs]
+                    ln = starts_ref[2 * nshift + j, bs]
+
+                    def body(i, best_l, st=st, sk=sk, ln=ln):
+                        for u in range(unroll):
+                            r = sk + i * jnp.int32(unroll) + jnp.int32(u)
+                            rd = jnp.where(r < ln, st + r, nmax)
+                            rowp = pts_ref[pl.ds(rd, 1), :, :]
+                            rowl = lab_ref[pl.ds(rd, 1), :]  # [1, 128]
+                            cx = rowp[0, 0:1, :]
+                            cy = rowp[0, 1:2, :]
+                            cz = rowp[0, 2:3, :]
+                            d2 = (
+                                (qx - cx) ** 2
+                                + (qy - cy) ** 2
+                                + (qz - cz) ** 2
+                            )
+                            within = jnp.where(
+                                jnp.logical_and(qmb, d2 <= r2),
+                                rowl + 0.0 * d2,  # label bcast over queries
+                                biglab,
+                            )
+                            best_l = jnp.minimum(best_l, within)
+                        return best_l
+
+                    ntrips = jax.lax.div(
+                        ln - sk + jnp.int32(unroll - 1), jnp.int32(unroll)
+                    )
+                    best_l = jax.lax.fori_loop(
+                        jnp.int32(0), ntrips, body, best_l
+                    )
+                best = jnp.minimum(
+                    jnp.where(qm > 0.5, qlab_t, biglab),
+                    jnp.min(best_l, axis=1, keepdims=True),
+                )
+
+                # The intra-row closure below is only needed when this
+                # sweep's window pass actually lowered a label (or on the
+                # block's first running sweep, to close the iota init):
+                # one closure application reaches the row-internal
+                # fixpoint, so an unimproved row is already closed from
+                # the sweep that last changed it. Skipping the 7 MXU
+                # squarings + masks for live-but-unimproved blocks
+                # (frontier granularity is whole windows, so most live
+                # blocks receive nothing) is the multisweep's main saving.
+                impr = jnp.sum(
+                    jnp.where(
+                        jnp.transpose(best, (1, 0)) < qlab,
+                        jnp.float32(1.0),
+                        jnp.float32(0.0),
+                    )
+                ).astype(jnp.int32)
+                need_close = jnp.logical_or(impr > 0, t == 1)
+
+                @pl.when(jnp.logical_not(need_close))
+                def _():
+                    out_ref[0:1, :] = qlab
+                    out_ref[1:2, :] = zrow
+                    blk_ref[cur * jnp.int32(nr) + bs] = jnp.int32(0)
+
+                @pl.when(need_close)
+                def _():
+                    # Intra-row transitive closure: block-internal
+                    # propagation would otherwise be Jacobi (one edge per
+                    # sweep — a chain along one row would need up to 127
+                    # sweeps). Build the row's own adjacency tile and
+                    # square it log2(128) = 7 times on the MXU (0/1 sums
+                    # <= 128 are exact in bf16), then one masked-min
+                    # application collapses every row-internal chain this
+                    # sweep.
+                    cxo = row_q[0, 0:1, :]
+                    cyo = row_q[0, 1:2, :]
+                    czo = row_q[0, 2:3, :]
+                    cwo = row_q[0, 3:4, :]
+                    d2o = (
+                        (qx - cxo) ** 2 + (qy - cyo) ** 2 + (qz - czo) ** 2
+                    )
+                    adj = jnp.where(
+                        jnp.logical_and(qm * cwo > 0.5, d2o <= r2),
+                        jnp.float32(1.0),
+                        jnp.float32(0.0),
+                    )
+                    for _ in range(7):
+                        adj = jnp.where(
+                            jax.lax.dot(adj, adj) > 0.5,
+                            jnp.float32(1.0),
+                            jnp.float32(0.0),
+                        )
+                    best_row = jnp.transpose(best, (1, 0))  # [1, 128]
+                    closed = jnp.where(
+                        adj > 0.5, best_row + 0.0 * adj, biglab
+                    )
+                    bestc = jnp.minimum(
+                        best, jnp.min(closed, axis=1, keepdims=True)
+                    )
+
+                    newlab_t = jnp.minimum(qlab_t, bestc)
+                    newlab = jnp.transpose(newlab_t, (1, 0))  # [1, 128]
+                    ch = jnp.where(
+                        newlab < qlab, jnp.float32(1.0), jnp.float32(0.0)
+                    )
+                    lab_ref[pl.ds(bs, 1), :] = newlab
+                    chs = jnp.sum(ch).astype(jnp.int32)
+                    cnt_ref[cur] = cnt_ref[cur] + chs
+                    blk_ref[cur * jnp.int32(nr) + bs] = jnp.where(
+                        chs > 0, jnp.int32(1), jnp.int32(0)
+                    )
+                    out_ref[0:1, :] = newlab
+                    out_ref[1:2, :] = ch
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def cluster_multisweep_windows(pts_planar, starts, r2, *, sweeps: int = 12,
+                       interpret: bool = False):
+    """Full connected-components propagation in one pallas call.
+
+    pts_planar f32[NR, 4, 128] (x, y, z, w); starts i32[NB, 3S + 1] (the
+    plain `_window_starts` pack — block-valid in its last column); r2 the
+    squared cluster radius (static-ish float). Returns
+    (labels f32[NB*128] in SORTED order, changed f32[NB*128] per-lane
+    flags of each block's final sweep — all-zero certifies convergence).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, nch, width = pts_planar.shape
+    nb = starts.shape[0]
+    nshift = (starts.shape[1] - 1) // 3
+    assert (nch, width) == (4, 128) and nb <= nr, (
+        pts_planar.shape,
+        starts.shape,
+    )
+    r2row = jnp.broadcast_to(
+        jnp.asarray(r2, jnp.float32)[None, None], (1, 128)
+    )
+    starts = jnp.transpose(starts)  # [3S+1, NB]
+    # Pre-mask invalid coordinates to 1e9 and append a 1e9 PAD row at
+    # index nr: the kernel's window walk routes past-length reads to the
+    # pad row and lets d2 > r2 exclude them — no per-row validity/live
+    # arithmetic in the hot loop.
+    big = jnp.float32(1e9)
+    w = pts_planar[:, 3:4, :]
+    pts_masked = jnp.concatenate(
+        [jnp.where(w > 0.5, pts_planar[:, :3, :], big), w], axis=1
+    )
+    pad_row = jnp.concatenate(
+        [
+            jnp.full((1, 3, 128), big, jnp.float32),
+            jnp.zeros((1, 1, 128), jnp.float32),
+        ],
+        axis=1,
+    )
+    pts_padded = jnp.concatenate([pts_masked, pad_row], axis=0)
+    kern = _cluster_multisweep_windows_kernel(nshift, nb, nr)
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(sweeps + 1, nb),
+        in_specs=[
+            pl.BlockSpec((nr + 1, 4, 128), lambda t, b, s: (z, z, z)),
+            pl.BlockSpec((1, 128), lambda t, b, s: (z, z)),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 128),
+            lambda t, b, s: (
+                z,
+                jax.lax.rem(t, jnp.int32(2))
+                * (jnp.int32(nb - 1) - jnp.int32(2) * b)
+                + b,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nr + 1, 128), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2 * nr,), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, nb * 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(starts, pts_padded, r2row)
+    return out[0], out[1]
+
+
+
 # ── KNN-moments kernel (normal estimation) ───────────────────────────────────
 #
 # PCA normal estimation needs, per point, the first and second moments of

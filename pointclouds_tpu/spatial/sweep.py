@@ -910,7 +910,7 @@ def sweep_cluster_labels(
     interpret: bool = False,
     use_kernel: bool = True,
     rep_labels: bool = True,
-    row_cap: int = 16,
+    row_cap: int | None = 16,
 ):
     """Euclidean-cluster labels by sweep min-label propagation.
 
@@ -959,20 +959,31 @@ def sweep_cluster_labels(
         # XLA loop-body tax. Convergence is certified by the final
         # sweep's change flags; a non-converged run (pathological scene
         # at the static sweep budget) surfaces as exact=False and the
-        # callers fall back, exactly like a window overflow. Candidate
-        # rows ride a flat per-block ROW LIST (frontier test and walk
-        # each run one static/flat loop instead of 9 dynamic window
-        # loops); blocks overflowing the list cap fail `fits` and the
-        # certificate, like a window overflow.
-        from .pallas_kernels import cluster_multisweep
+        # callers fall back, exactly like a window overflow.
+        #
+        # Two kernel backends: row_cap=int — candidate rows ride a flat
+        # per-block ROW LIST (frontier test and walk each run one
+        # static/flat loop instead of 9 dynamic window loops; blocks
+        # overflowing the cap fail `fits` and the certificate);
+        # row_cap=None — the 9-dynamic-window walk, no cap: the DENSE
+        # workload backend (aerial r=2.0, percolating slabs), where the
+        # flat list overflows but per-block windows still fit wr.
+        if row_cap is not None:
+            from .pallas_kernels import cluster_multisweep
 
-        rowlist, fits = _window_row_lists(starts_skip, row_cap, nrows)
-        labf, chf = cluster_multisweep(
-            planar, rowlist, r2, cap=row_cap, sweeps=sweeps,
-            interpret=interpret,
-        )
+            rowlist, fits = _window_row_lists(starts_skip, row_cap, nrows)
+            labf, chf = cluster_multisweep(
+                planar, rowlist, r2, cap=row_cap, sweeps=sweeps,
+                interpret=interpret,
+            )
+            exact = jnp.logical_and(exact, jnp.all(fits[:nb]))
+        else:
+            from .pallas_kernels import cluster_multisweep_windows
+
+            labf, chf = cluster_multisweep_windows(
+                planar, starts_skip, r2, sweeps=sweeps, interpret=interpret,
+            )
         converged = jnp.sum(chf) < 0.5
-        exact = jnp.logical_and(exact, jnp.all(fits[:nb]))
         lab = labf.astype(jnp.int32)
         if nall > nb * 128:
             lab = jnp.concatenate(

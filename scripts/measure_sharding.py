@@ -125,7 +125,68 @@ def run_aerial():
         )
 
 
+def run_kitti_tiled():
+    """Spatial-tile points axis (parallel/tiles.py): route + halo +
+    replicated tail instead of GSPMD's distributed sorts."""
+    from pointclouds_tpu.parallel.tiles import tiled_kitti_pipeline
+
+    print("== KITTI pipeline (spatial tiles) ==", flush=True)
+    for fr, pt in ((8, 1), (4, 2), (2, 4)):
+        mesh = mesh_of(fr, pt)
+        b = fr
+        frames = [
+            make_cloud_arrays(kitti_scene(seed=s, scale=SCALE))
+            for s in range(b)
+        ]
+        xs = jnp.stack([f.xyz for f in frames])
+        args = (
+            xs,
+            jnp.stack([f.valid for f in frames]),
+            jnp.float32(0.15),
+            jnp.float32(2.0),
+            jnp.float32(0.15),
+            jnp.arange(b, dtype=jnp.int32),
+            jnp.float32(0.8),
+        )
+        step = tiled_kitti_pipeline(
+            mesh, xs.shape[1], sor_k=10, ransac_iters=50, obstacle_cap=2048
+        )
+        ms = bench(step, args)
+        cols = collectives(step, args)
+        print(
+            f"mesh frames={fr} points={pt}: {ms:8.1f} ms/batch "
+            f"({ms / b:6.1f} ms/frame)  collectives={cols}",
+            flush=True,
+        )
+
+
+def run_kitti_latency():
+    """SINGLE-frame latency: the honest metric for the points axis (the
+    throughput sections above share 8 CPU threads across all frames, so
+    per-frame numbers conflate device sharing; here ONE frame runs on
+    1/2/4 devices and wall time IS the frame latency)."""
+    from pointclouds_tpu.parallel.tiles import tiled_kitti_pipeline
+
+    print("== KITTI single-frame latency (tiles) ==", flush=True)
+    f = make_cloud_arrays(kitti_scene(seed=0, scale=SCALE))
+    xs = jnp.stack([f.xyz])
+    vs = jnp.stack([f.valid])
+    args = (
+        xs, vs, jnp.float32(0.15), jnp.float32(2.0), jnp.float32(0.15),
+        jnp.arange(1, dtype=jnp.int32), jnp.float32(0.8),
+    )
+    for pt in (1, 2, 4):
+        mesh = mesh_of(1, pt)
+        step = tiled_kitti_pipeline(
+            mesh, xs.shape[1], sor_k=10, ransac_iters=50, obstacle_cap=2048
+        )
+        ms = bench(step, args)
+        print(f"mesh frames=1 points={pt}: {ms:8.1f} ms/frame", flush=True)
+
+
 if __name__ == "__main__":
     print(f"devices: {len(jax.devices())}", flush=True)
     run_kitti()
+    run_kitti_tiled()
+    run_kitti_latency()
     run_aerial()

@@ -42,13 +42,15 @@ def canon(labels, ok):
     return sorted(tuple(sorted(v)) for v in groups.values())
 
 
-def _check(xyz, valid, r, use_kernel):
+def _check(xyz, valid, r, use_kernel, row_cap=16, wr=7):
     labels, exact = sweep_cluster_labels(
         jnp.asarray(xyz),
         jnp.asarray(valid),
         np.float32(r),
         use_kernel=use_kernel,
         interpret=use_kernel,
+        row_cap=row_cap,
+        wr=wr,
     )
     labels = np.asarray(labels)
     expect, ok = brute_components(xyz, valid, r)
@@ -58,6 +60,31 @@ def _check(xyz, valid, r, use_kernel):
     for g in canon(labels, ok):
         assert all(labels[i] == min(g) for i in g)
     return labels
+
+
+def test_cluster_windows_backend_dense_blobs():
+    """row_cap=None routes to the 9-dynamic-window multisweep (the dense
+    workload backend restored for aerial/slab scenes): same components as
+    union-find on a scene whose per-block candidate rows overflow the
+    flat row list."""
+    rng = np.random.default_rng(11)
+    # One dense slab: ~350 points per cluster cell -> 9-window candidate
+    # unions of ~25 rows, far past any practical flat-list cap.
+    xyz = np.vstack([
+        (rng.random((3500, 3)) * [2.0, 2.0, 0.05]).astype(np.float32),
+        (rng.random((596, 3)) * 12.0 + 8.0).astype(np.float32),
+    ]).astype(np.float32)
+    valid = np.ones(len(xyz), bool)
+    # The flat row list must overflow here (else the scene is too thin to
+    # exercise the fallback); the windows backend must still be exact.
+    _, exact16 = sweep_cluster_labels(
+        jnp.asarray(xyz), jnp.asarray(valid), np.float32(0.5),
+        use_kernel=True, interpret=True, row_cap=8,
+    )
+    assert not bool(exact16)
+    # wr=32: the engine's resident ladder uses wr=min(nrows, 64); the
+    # dense slab's window spans exceed the sparse-scene default wr=7.
+    _check(xyz, valid, 0.5, True, row_cap=None, wr=32)
 
 
 @pytest.mark.parametrize("use_kernel", [False, True])
