@@ -46,6 +46,53 @@ FRAMES = 100
 AERIAL_FRAMES = 30
 
 
+def _verify_parity(out, clusters, seed):
+    """Fused-vs-exact cluster parity of the measured frame, computed by a
+    CPU subprocess with an independent f64 scipy SOR oracle
+    (scripts/verify_kitti_parity.py). Returns the parsed JSON dict, or
+    {"cluster_parity_exact": False, "error": ...} on any failure."""
+    import os
+    import subprocess
+    import tempfile
+
+    try:
+        centroids = np.asarray(out.centroids)
+        fused_obs = centroids[np.asarray(out.obstacle_src)]
+        valid_slots = np.nonzero(np.asarray(out.obstacle_valid))[0]
+        pts = [fused_obs[valid_slots[c]] for c in clusters]
+        offsets = np.cumsum([0] + [len(p) for p in pts]).astype(np.int64)
+        with tempfile.NamedTemporaryFile(
+            suffix=".npz", delete=False
+        ) as f:
+            np.savez(
+                f,
+                centroids=centroids,
+                ds_valid=np.asarray(out.downsampled_valid),
+                cluster_points=(
+                    np.concatenate(pts)
+                    if pts
+                    else np.zeros((0, 3), np.float32)
+                ),
+                cluster_offsets=offsets,
+            )
+            path = f.name
+        try:
+            res = subprocess.run(
+                [sys.executable, "scripts/verify_kitti_parity.py", path,
+                 str(seed)],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = res.stdout.strip().splitlines()[-1]
+            return json.loads(line)
+        finally:
+            os.unlink(path)
+    except Exception as e:  # never fail the bench on the verifier
+        return {"cluster_parity_exact": False, "error": str(e)[:200]}
+
+
 def main():
     data = velodyne_scene(seed=0, n_points=N_POINTS)
     arrs = make_cloud_arrays(data)
@@ -109,6 +156,15 @@ def main():
     clusters = extract_clusters(out, 10, 20_000)
     assert len(clusters) >= 3, f"expected >=3 clusters, got {len(clusters)}"
 
+    # Fused-vs-exact cluster parity on the measured frame (VERDICT r3 #5):
+    # a CPU subprocess recomputes SOR with an exact f64 scipy KD-tree on the
+    # same centroids, replays the per-op RANSAC+cluster path, and asserts
+    # geometric cluster equality (scripts/verify_kitti_parity.py). The
+    # fused SOR's uncertified rows are isolated points removed by both
+    # paths, so this certifies the headline metric even when pass-1's
+    # per-query certificate (`sor_certified`) is false.
+    parity = _verify_parity(out, clusters, seed=FRAMES - 1)
+
     # Aerial end-to-end (241K pts; ref 87 ms total on M4 Max CPU).
     adata = aerial_scene(seed=42, scale=1.0)
     aarrs = make_cloud_arrays(adata)
@@ -151,6 +207,9 @@ def main():
                 "ds_truncated": bool(flags[4]),
                 "any_grid_overflow": bool(flags[:4].any()),
                 "sor_certified": bool(out.sor_certified),
+                "cluster_parity_exact": bool(
+                    parity.get("cluster_parity_exact", False)
+                ),
                 "clusters": [len(c) for c in clusters],
                 "aerial_frame_ms_241k": round(aerial_ms, 3),
                 "aerial_vs_baseline": round(AERIAL_BASELINE_MS / aerial_ms, 3),

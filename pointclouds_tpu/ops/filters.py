@@ -276,8 +276,12 @@ def voxel_scan_sor_epilogue(skey, sx, sy, sz, ext_v, esc, *, factor: int,
     lin_sc = ((r0 // factor) * esc[1] + r1 // factor) * esc[2] + r2 // factor
     lin_sc = jnp.clip(lin_sc, 0, table_size - 1)
     sorkey = jnp.where(live, lin_sc, jnp.int32(table_size))
-    ekey, ex, ey, ez, ecnt, ecanon = jax.lax.sort(
-        (sorkey, cx, cy, cz, ccnt,
+    # Divide BEFORE the sort: the per-row mean is elementwise, so the
+    # centroid values are bitwise identical either way, and the count
+    # channel drops out of the n-row payload sort (6 -> 5 channels).
+    denom_all = jnp.maximum(ccnt, 1.0)
+    ekey, ex, ey, ez, ecanon = jax.lax.sort(
+        (sorkey, cx / denom_all, cy / denom_all, cz / denom_all,
          jnp.where(live, skey, invalid32)),
         num_keys=1,
         is_stable=True,
@@ -287,13 +291,11 @@ def voxel_scan_sor_epilogue(skey, sx, sy, sz, ext_v, esc, *, factor: int,
 
     slin = ekey[:ds_cap]
     out_valid = slin != jnp.int32(table_size)
-    counts = jnp.where(out_valid, ecnt[:ds_cap], 0.0)
-    denom = jnp.maximum(counts, 1.0)
     centroids = jnp.stack(
         [
-            jnp.where(out_valid, ex[:ds_cap], 0.0) / denom,
-            jnp.where(out_valid, ey[:ds_cap], 0.0) / denom,
-            jnp.where(out_valid, ez[:ds_cap], 0.0) / denom,
+            jnp.where(out_valid, ex[:ds_cap], 0.0),
+            jnp.where(out_valid, ey[:ds_cap], 0.0),
+            jnp.where(out_valid, ez[:ds_cap], 0.0),
         ],
         axis=1,
     )

@@ -42,13 +42,21 @@ def _sample_three_distinct(key, iterations: int, cnt):
     ref: crates/segmentation/src/ransac_plane.rs:141-166).
     """
     cnt = jnp.maximum(cnt, 3)
-    k0, k1, k2 = jax.random.split(key, 3)
-    a = jax.random.randint(k0, (iterations,), 0, cnt)
-    b = jax.random.randint(k1, (iterations,), 0, cnt - 1)
+    # ONE counter-based draw: key splits + per-range randint calls each
+    # lower a separate threefry program (~0.5 ms/frame of fixed cost on
+    # TPU at I=500); `bits` + modulo is one threefry pass. Modulo bias is
+    # < 2^-15 at practical cloud sizes — RANSAC sampling is not an
+    # exactness surface (SURVEY.md §7: parity is defined on outputs).
+    # Cross-backend determinism is preserved (threefry bits are
+    # backend-identical; the mod is integer math).
+    bits = jax.random.bits(key, (3, iterations))
+    cu = cnt.astype(jnp.uint32)
+    a = (bits[0] % cu).astype(jnp.int32)
+    b = (bits[1] % (cu - 1)).astype(jnp.int32)
     b = b + (b >= a)
     lo = jnp.minimum(a, b)
     hi = jnp.maximum(a, b)
-    c = jax.random.randint(k2, (iterations,), 0, cnt - 2)
+    c = (bits[2] % (cu - 2)).astype(jnp.int32)
     c = c + (c >= lo)
     c = c + (c >= hi)
     return jnp.stack([a, b, c], axis=1)
@@ -96,14 +104,19 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
         # canonical-order mini-sort): hypothesis selection stays identical
         # to the compacted per-op path without a full compaction sort here.
         order = position_rows.astype(jnp.int32)
-        idx = jnp.take(order, samples, axis=0)
+        idx = jnp.take(order, samples.reshape(-1)).reshape(samples.shape)
     elif assume_compact:
         idx = samples  # position p IS original row p
     else:
         # Compacted index map: position p (< cnt) -> original row.
         order = compaction_order(valid)
-        idx = jnp.take(order, samples, axis=0)  # [I, 3] original rows
-    p = jnp.take(xyz, idx, axis=0)  # [I, 3, 3]
+        idx = jnp.take(order, samples.reshape(-1)).reshape(samples.shape)
+    # Flat 1-D index vector: a [I, 3] 2-D index gather lowers to the slow
+    # TPU gather class (~0.5 ms fixed at I=500); 1-D row indices stay on
+    # the fast path (CLAUDE.md gather-layout rules).
+    p = jnp.take(xyz, idx.reshape(-1), axis=0).reshape(
+        idx.shape[0], 3, 3
+    )  # [I, 3, 3]
 
     v1 = p[:, 1] - p[:, 0]
     v2 = p[:, 2] - p[:, 0]
@@ -228,10 +241,13 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
 
     # Final inliers recomputed over the full cloud (ref :124-128). The
     # reference indexes raw point data (finite check is implicit: NaN
-    # distances fail <=).
+    # distances fail <=). Elementwise, NOT a [N, 1] matmul: the 1-wide
+    # output column pads its minor axis to 128 lanes (42x-memory trap)
+    # and measured ~0.3 ms/frame at 98K rows.
     dist = jnp.abs(
-        jax.lax.dot(xyz, best_normal[:, None],
-                    precision=jax.lax.Precision.HIGHEST)[:, 0]
+        xyz[:, 0] * best_normal[0]
+        + xyz[:, 1] * best_normal[1]
+        + xyz[:, 2] * best_normal[2]
         + best_d
     )
     inlier_mask = jnp.logical_and(valid, dist <= threshold)

@@ -75,6 +75,7 @@ class KittiPipelineOutput(NamedTuple):
         "sor_per_seg",
         "cluster_wr",
         "sor_row_cap",
+        "cluster_row_cap",
     ),
 )
 def kitti_obstacle_pipeline(
@@ -101,6 +102,7 @@ def kitti_obstacle_pipeline(
     sor_per_seg: int = 2,
     cluster_wr: int = 12,
     sor_row_cap: int | None = 12,
+    cluster_row_cap: int | None = 32,
 ):
     # ── Step 1: voxel downsample ────────────────────────────────────────────
     if ds_cap is None:
@@ -320,12 +322,19 @@ def kitti_obstacle_pipeline(
         # 0.15 m voxels), tripping the exactness certificate. The kernel's
         # window walks have dynamic trip counts, so the larger cap costs
         # only a wider starts pack (probe: scripts/probe_cluster_exact.py).
+        # cluster_row_cap=32: the kernel's flat row-list cap. The default
+        # 16 overflows 2/128 blocks on the bench frame's dense obstacle
+        # blobs (scripts/probe_cluster_exact.py: 24 fits all at wr=12; 32
+        # leaves headroom for seed-to-seed obstacle variation) — an
+        # overflow fails the exactness certificate and flips
+        # grid_flags[2] even though labels stay correct on these scenes.
         labels, cluster_exact = sweep_cluster_labels(
             obs_xyz,
             obs_valid,
             cluster_r,
             wr=cluster_wr,
             use_kernel=(sor_backend == "sweep"),
+            row_cap=cluster_row_cap,
         )
         cluster_flag0 = jnp.logical_not(cluster_exact)
         cluster_flag1 = jnp.asarray(False)

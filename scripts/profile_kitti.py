@@ -122,7 +122,7 @@ def prefix(xyz, valid, voxel_size, sor_std, ransac_thresh, seed, cluster_r,
         return acc
 
     labels, cluster_exact = sweep_cluster_labels(
-        obs_xyz, obs_valid, cluster_r, wr=12, use_kernel=True
+        obs_xyz, obs_valid, cluster_r, wr=12, use_kernel=True, row_cap=32
     )
     acc += jnp.sum(labels) + cluster_exact
     return acc
