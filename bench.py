@@ -98,26 +98,47 @@ def main():
     arrs = make_cloud_arrays(data)
 
     def make_run(backend):
-        def run(seed):
-            return kitti_obstacle_pipeline(
+        # AOT-compile the pipeline once and dispatch the COMPILED
+        # executable per frame: the jit python dispatch path costs
+        # ~0.9 ms/call on this harness (measured vs ~0.3 ms for a
+        # compiled handle — /tmp-micro in the round-4 commit), a pure
+        # host-side tax the streaming metric otherwise charges to every
+        # frame. Production serving does the same (jax AOT).
+        def args_of(seed):
+            return (
                 arrs.xyz,
                 arrs.valid,
                 np.float32(0.15),
                 np.float32(2.0),
                 np.float32(0.15),
-                seed,
+                np.int32(seed),
                 np.float32(0.8),
-                sor_k=20,
-                ransac_iters=500,
-                sor_backend=backend,
-                # 93,033 centroids fit a 98,304-row cap with 5.6% headroom;
-                # truncation would surface in ds_truncated below.
-                ds_cap=98_304,
-                # Tournament scoring (subsample + top-8 full-cloud rescore):
-                # measured -0.3 ms/frame streaming with identical clusters
-                # (scripts/micro_ab_r3c.py); final inliers stay full-cloud.
-                ransac_subsample=4096,
             )
+
+        kwargs = dict(
+            sor_k=20,
+            ransac_iters=500,
+            sor_backend=backend,
+            # 93,033 centroids fit a 98,304-row cap with 5.6% headroom;
+            # truncation would surface in ds_truncated below.
+            ds_cap=98_304,
+            # Tournament scoring (subsample + top-8 full-cloud rescore):
+            # measured -0.3 ms/frame streaming with identical clusters
+            # (scripts/micro_ab_r3c.py); final inliers stay full-cloud.
+            ransac_subsample=4096,
+            # ~6.2K obstacles across the 100 seeds: 8192 slots keep 30%
+            # headroom (obstacle_overflow reported below) and halve the
+            # cluster kernel's block count vs the 16384 default
+            # (measured -0.4 ms/frame, /tmp ab_kitti_r4).
+            obstacle_cap=8192,
+        )
+        compiled = kitti_obstacle_pipeline.lower(
+            *args_of(0), **kwargs
+        ).compile()
+
+        def run(seed):
+            return compiled(*args_of(seed))
+
         return run
 
     def sync(out):
@@ -129,8 +150,8 @@ def main():
     # Prefer the fused sweep Pallas kernel; fall back to the XLA mirror if
     # the remote compile helper rejects it.
     backend = "sweep"
-    run = make_run(backend)
     try:
+        run = make_run(backend)
         sync(run(0))
     except Exception:
         backend = "sweep_xla"
@@ -170,18 +191,25 @@ def main():
     aarrs = make_cloud_arrays(adata)
     vp = jnp.asarray([0.0, 0.0, 10000.0], jnp.float32)
 
-    def arun(seed):
-        return aerial_pipeline(
+    def aargs_of(seed):
+        return (
             aarrs.xyz, aarrs.valid, np.float32(0.5), np.float32(3.0),
-            np.float32(0.3), seed, np.float32(2.0), vp,
-            backend="sweep" if backend == "sweep" else "sweep_xla",
-            # ~208K centroids / ~162K obstacles on this scene: caps leave
-            # 10-20% headroom and the overflow flags below stay honest.
-            ds_cap=229_376,
-            obstacle_cap=196_608,
-            # Measured -0.9 ms/frame streaming (scripts/micro_ab_r3c.py).
-            ransac_subsample=4096,
+            np.float32(0.3), np.int32(seed), np.float32(2.0), vp,
         )
+
+    acompiled = aerial_pipeline.lower(
+        *aargs_of(0),
+        backend="sweep" if backend == "sweep" else "sweep_xla",
+        # ~208K centroids / ~162K obstacles on this scene: caps leave
+        # 10-20% headroom and the overflow flags below stay honest.
+        ds_cap=229_376,
+        obstacle_cap=196_608,
+        # Measured -0.9 ms/frame streaming (scripts/micro_ab_r3c.py).
+        ransac_subsample=4096,
+    ).compile()
+
+    def arun(seed):
+        return acompiled(*aargs_of(seed))
 
     aout = arun(0)
     np.asarray(aout.labels)
@@ -206,6 +234,7 @@ def main():
                 "ds_points": ds_points,
                 "ds_truncated": bool(flags[4]),
                 "any_grid_overflow": bool(flags[:4].any()),
+                "obstacle_overflow": bool(np.asarray(out.obstacle_overflow)),
                 "sor_certified": bool(out.sor_certified),
                 "cluster_parity_exact": bool(
                     parity.get("cluster_parity_exact", False)

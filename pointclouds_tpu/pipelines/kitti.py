@@ -76,6 +76,7 @@ class KittiPipelineOutput(NamedTuple):
         "cluster_wr",
         "sor_row_cap",
         "cluster_row_cap",
+        "cluster_sweeps",
     ),
 )
 def kitti_obstacle_pipeline(
@@ -103,6 +104,7 @@ def kitti_obstacle_pipeline(
     cluster_wr: int = 12,
     sor_row_cap: int | None = 12,
     cluster_row_cap: int | None = 32,
+    cluster_sweeps: int = 12,
 ):
     # ── Step 1: voxel downsample ────────────────────────────────────────────
     if ds_cap is None:
@@ -335,6 +337,7 @@ def kitti_obstacle_pipeline(
             wr=cluster_wr,
             use_kernel=(sor_backend == "sweep"),
             row_cap=cluster_row_cap,
+            sweeps=cluster_sweeps,
         )
         cluster_flag0 = jnp.logical_not(cluster_exact)
         cluster_flag1 = jnp.asarray(False)
