@@ -690,6 +690,12 @@ def ransac_plane_seeded(
                 assume_compact=True,
                 score_subsample=score_subsample,
                 use_kernel=uk,
+                # Reference-parity dispatch: small clouds / few
+                # iterations run the sequential adaptive-early-
+                # termination path (ref ransac_plane.rs:80); the fused
+                # pipelines pass the same flag so pipeline-vs-API
+                # winners stay identical (tests/test_pipeline.py).
+                adaptive=(score_subsample is None),
             )
         )
 

@@ -444,11 +444,17 @@ def sor_keep_mask(mean_dists, valid, std_mul):
     mean distances (isolated / non-finite points) always fail the <=.
     """
     finite = jnp.logical_and(valid, jnp.isfinite(mean_dists))
-    n = jnp.maximum(jnp.sum(finite.astype(jnp.float32)), 1.0)
-    mean = jnp.sum(jnp.where(finite, mean_dists, 0.0)) / n
-    var = jnp.sum(jnp.where(finite, (mean_dists - mean) ** 2, 0.0)) / n
+    # f64 accumulation: the threshold becomes insensitive (to ~1e-16
+    # relative) to the reduction ORDER, so sharded/tiled executions that
+    # psum per-shard partial sums (parallel/tiles.py) reproduce this
+    # threshold bit-for-all-practical-purposes — keep decisions match the
+    # unsharded run except for mean_dists within ~1e-16 of the threshold.
+    md64 = mean_dists.astype(jnp.float64)
+    n = jnp.maximum(jnp.sum(finite.astype(jnp.float64)), 1.0)
+    mean = jnp.sum(jnp.where(finite, md64, 0.0)) / n
+    var = jnp.sum(jnp.where(finite, (md64 - mean) ** 2, 0.0)) / n
     threshold = mean + std_mul * jnp.sqrt(var)
-    keep = jnp.logical_and(valid, mean_dists <= threshold)
+    keep = jnp.logical_and(valid, md64 <= threshold)
     # If no finite mean distances exist the reference returns an empty cloud
     # (ref :52-54); mean over zero samples would be 0 here, but the <= above
     # already fails for every point since all mean_dists are +inf.

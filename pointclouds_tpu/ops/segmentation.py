@@ -21,6 +21,7 @@ TPU-native redesign of the reference segmentation crate:
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -29,6 +30,13 @@ import jax.numpy as jnp
 from ..core.cloud import compaction_order
 
 _SCORE_CHUNK = 64
+# Reference adaptive-termination constant: ln(1 - 0.999)
+# (ref: crates/segmentation/src/ransac_plane.rs:110-116).
+_LN_OUTLIER = math.log(0.001)
+# Reference dispatch: the sequential adaptive path runs unless
+# n >= 10_000 AND iterations >= 16 (ref :80, `use_parallel`).
+_PARALLEL_MIN_POINTS = 10_000
+_PARALLEL_MIN_ITERS = 16
 # Score every hypothesis in ONE fused matmul when the [N, iters] distance
 # intermediate stays under ~1.5 GB f32 (beyond that, chunk sequentially).
 _SCORE_ONE_SHOT_ELEMS = 384 * 1024 * 1024
@@ -62,15 +70,101 @@ def _sample_three_distinct(key, iterations: int, cnt):
     return jnp.stack([a, b, c], axis=1)
 
 
+def _ransac_sequential_scan(xyz, use_pt, normal, d, degenerate, threshold,
+                            cnt, iterations: int, chunk: int = 16):
+    """Reference sequential-RANSAC semantics with adaptive early
+    termination, evaluated chunk-at-a-time inside a ``lax.while_loop``.
+
+    The reference walks hypotheses one by one, keeps the first running
+    maximum (strict ``>`` improvements), and — only at an improving
+    iteration — breaks when ``iter > ln(0.001)/ln(1-w^3)`` with
+    ``w = best_count/n`` and ``w > 0.5``
+    (ref: crates/segmentation/src/ransac_plane.rs:93-121). Here each
+    while-loop step scores ``chunk`` hypotheses in one masked matmul and
+    replays that exact sequential rule inside the chunk with a running
+    max, so the selected winner and the evaluated-iteration count match
+    the reference's loop (at chunk-granularity evaluation COST, not
+    chunk-granularity SEMANTICS).
+
+    Returns ``(best_iter i32, best_count i32, n_evaluated i32)``.
+    """
+    C = max(1, min(chunk, iterations))
+    nch = -(-iterations // C)
+    pad = nch * C - iterations
+    if pad:
+        normal = jnp.concatenate([normal, jnp.zeros((pad, 3), normal.dtype)])
+        d = jnp.concatenate([d, jnp.zeros((pad,), d.dtype)])
+        degenerate = jnp.concatenate(
+            [degenerate, jnp.ones((pad,), degenerate.dtype)]
+        )
+    iota = jnp.arange(C, dtype=jnp.int32)
+    n64 = jnp.maximum(cnt.astype(jnp.float64), 1.0)
+    neg_inf32 = jnp.int32(-(2**31) + 1)
+
+    def cond(carry):
+        ci, _bc, _bi, _ne, stop = carry
+        return jnp.logical_and(ci < nch, jnp.logical_not(stop))
+
+    def body(carry):
+        ci, bc, bi, ne, _stop = carry
+        base = ci * C
+        nc = jax.lax.dynamic_slice(normal, (base, jnp.int32(0)), (C, 3))
+        dc = jax.lax.dynamic_slice(d, (base,), (C,))
+        degc = jax.lax.dynamic_slice(degenerate, (base,), (C,))
+        dist = jnp.abs(
+            jax.lax.dot(xyz, nc.T, precision=jax.lax.Precision.HIGHEST)
+            + dc[None, :]
+        )
+        ok = jnp.logical_and(use_pt[:, None], dist <= threshold)
+        c = jnp.sum(ok, axis=0, dtype=jnp.int32)  # dtype pinned: x64
+        # promotes plain int32 sums to int64, breaking the carry types
+        c = jnp.where(degc, jnp.int32(-1), c)
+        g = base + iota
+        # Exclusive running max before each in-chunk position.
+        cm = jax.lax.cummax(c, axis=0)
+        pre = jnp.maximum(
+            bc, jnp.concatenate([neg_inf32[None], cm[:-1]])
+        )
+        improved = c > pre
+        w = c.astype(jnp.float64) / n64
+        # ln(1 - w^3) is negative for w in (0, 1); the clip only guards
+        # w == 1 where the reference's -inf denominator gives needed = 0
+        # (the comparison below is unchanged: iter 0 never satisfies
+        # 0 > needed, and improvements past w = 1 are impossible).
+        denom = jnp.log(jnp.clip(1.0 - w**3, 1e-300, None))
+        needed = _LN_OUTLIER / denom
+        brk = improved & (w > 0.5) & (g.astype(jnp.float64) > needed)
+        fb = jnp.min(jnp.where(brk, iota, jnp.int32(C)))
+        inc = iota <= fb  # the breaking iteration itself IS evaluated
+        cmask = jnp.where(inc, c, neg_inf32)
+        cmax = jnp.max(cmask)
+        carg = jnp.argmax(cmask).astype(jnp.int32)  # first occurrence
+        upd = cmax > bc
+        bc2 = jnp.where(upd, cmax, bc)
+        bi2 = jnp.where(upd, base + carg, bi)
+        nvalid = jnp.minimum(jnp.int32(C), jnp.int32(iterations) - base)
+        ne2 = ne + jnp.minimum(fb + 1, nvalid)
+        return (ci + 1, bc2, bi2, ne2, fb < C)
+
+    _, bc, bi, ne, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+         jnp.asarray(False)),
+    )
+    return bi, bc, ne
+
+
 @partial(jax.jit, static_argnames=("iterations", "assume_compact",
                                    "score_subsample", "rescore_top",
-                                   "use_kernel", "interpret"))
+                                   "use_kernel", "interpret", "adaptive"))
 def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
                         *, assume_compact: bool = False,
                         score_subsample: int | None = None,
                         rescore_top: int = 8,
                         use_kernel: bool = False,
                         interpret: bool = False,
+                        adaptive: bool = False,
                         position_rows=None):
     """Batched RANSAC plane fit on a masked cloud.
 
@@ -91,6 +185,16 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
     inlier-fraction error is < ~1%, far below the winner's margin on real
     ground planes, so the chosen plane matches full scoring in practice;
     the scoring cost drops from O(iters * N) to O(iters * m + top * N).
+
+    ``adaptive=True`` reproduces the reference's DISPATCH between its two
+    scoring paths (ref :80): clouds with >= 10_000 valid points and >= 16
+    iterations score every hypothesis (the parallel reduce — this
+    function's default batched path), smaller problems run the sequential
+    loop with adaptive early termination (``_ransac_sequential_scan``,
+    ref :93-121) which stops at the first improving hypothesis whose
+    index exceeds ln(0.001)/ln(1-w^3). Ignored under tournament scoring
+    (a superset knob with no reference counterpart). Off by default so
+    direct callers get pure full scoring.
     """
     n = xyz.shape[0]
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
@@ -182,7 +286,37 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
         best = jnp.min(jnp.where(full_counts == mx, top_idx, iterations))
         best_count = mx
     else:
-        if use_kernel and iterations <= 4096:
+        def _full_best(_):
+            counts = _score_all()
+            counts = jnp.where(degenerate, -1, counts)
+            b = jnp.argmax(counts).astype(jnp.int32)
+            return b, counts[b].astype(jnp.int32)
+
+        def _score_all():
+            if use_kernel and iterations <= 4096:
+                return _score_all_kernel()
+            if iterations * n <= _SCORE_ONE_SHOT_ELEMS:
+                # One batched MXU matmul for every hypothesis: the
+                # sequential lax.map chunking costs several serialized
+                # [N, C] passes; at demo scale (300 iters x 241K pts -> a
+                # 290 MB f32 intermediate) a single fused dot + mask +
+                # reduce is one streamed pass.
+                return score_chunk((normal, d))
+            pad = (-iterations) % _SCORE_CHUNK
+            normal_p = jnp.concatenate(
+                [normal, jnp.zeros((pad, 3), normal.dtype)]
+            )
+            d_p = jnp.concatenate([d, jnp.zeros((pad,), d.dtype)])
+            nchunks = normal_p.shape[0] // _SCORE_CHUNK
+            return jax.lax.map(
+                score_chunk,
+                (
+                    normal_p.reshape(nchunks, _SCORE_CHUNK, 3),
+                    d_p.reshape(nchunks, _SCORE_CHUNK),
+                ),
+            ).reshape(-1)[:iterations]
+
+        def _score_all_kernel():
             # Fused scoring kernel: counts accumulate in a lane-carry
             # VMEM tile over one streamed pass of the planar cloud — no
             # [N, I] HBM intermediate (pallas_kernels.ransac_score_counts).
@@ -205,33 +339,33 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
                     ),
                 ]
             ).astype(jnp.float32)
-            counts = ransac_score_counts(
+            return ransac_score_counts(
                 hyp, _to_planar(xyz, use_pt), interpret=interpret
             )[:iterations].astype(jnp.int32)
-        elif iterations * n <= _SCORE_ONE_SHOT_ELEMS:
-            # One batched MXU matmul for every hypothesis: the sequential
-            # lax.map chunking costs several serialized [N, C] passes; at
-            # demo scale (300 iters x 241K pts -> a 290 MB f32
-            # intermediate) a single fused dot + mask + reduce is one
-            # streamed pass.
-            counts = score_chunk((normal, d))
+
+        if adaptive and iterations >= 2:
+            # Reference dispatch (ref :80): the sequential
+            # adaptive-early-termination path runs unless
+            # n >= 10_000 AND iterations >= 16. ``n`` there is the
+            # runtime point count, so the branch is a lax.cond (under
+            # vmap both branches execute and select; the standalone
+            # pipelines are unbatched, so only one branch runs).
+            def _seq_best(_):
+                bi, bc, _ne = _ransac_sequential_scan(
+                    xyz, use_pt, normal, d, degenerate, threshold, cnt,
+                    iterations,
+                )
+                return bi, bc
+
+            if iterations < _PARALLEL_MIN_ITERS:
+                best, best_count = _seq_best(None)
+            else:
+                best, best_count = jax.lax.cond(
+                    cnt >= _PARALLEL_MIN_POINTS, _full_best, _seq_best, None
+                )
         else:
-            pad = (-iterations) % _SCORE_CHUNK
-            normal_p = jnp.concatenate(
-                [normal, jnp.zeros((pad, 3), normal.dtype)]
-            )
-            d_p = jnp.concatenate([d, jnp.zeros((pad,), d.dtype)])
-            nchunks = normal_p.shape[0] // _SCORE_CHUNK
-            counts = jax.lax.map(
-                score_chunk,
-                (
-                    normal_p.reshape(nchunks, _SCORE_CHUNK, 3),
-                    d_p.reshape(nchunks, _SCORE_CHUNK),
-                ),
-            ).reshape(-1)[:iterations]
-        counts = jnp.where(degenerate, -1, counts)
-        best = jnp.argmax(counts)  # first maximum, like the reference
-        best_count = counts[best]
+            # first maximum, like the reference's parallel reduce
+            best, best_count = _full_best(None)
 
     found = best_count > 0
     enough = cnt >= 3
@@ -256,11 +390,13 @@ def ransac_plane_masked(xyz, valid, threshold, seed, iterations: int,
 
 
 @partial(jax.jit, static_argnames=("iterations", "assume_compact",
-                                   "score_subsample", "use_kernel"))
+                                   "score_subsample", "use_kernel",
+                                   "adaptive"))
 def ransac_plane_bytes(xyz, valid, threshold, seed, iterations: int,
                        *, assume_compact: bool = False,
                        score_subsample: int | None = None,
-                       use_kernel: bool = False):
+                       use_kernel: bool = False,
+                       adaptive: bool = False):
     """ransac_plane_masked with EVERYTHING in one uint8[16 + N/8] buffer:
     bytes [0:16] are the little-endian f32 scalars [nx, ny, nz, d]
     (bitcast, exact) and bytes [16:] the inlier mask BIT-PACKED
@@ -273,7 +409,7 @@ def ransac_plane_bytes(xyz, valid, threshold, seed, iterations: int,
     normal, d, inlier_mask = ransac_plane_masked(
         xyz, valid, threshold, seed, iterations,
         assume_compact=assume_compact, score_subsample=score_subsample,
-        use_kernel=use_kernel,
+        use_kernel=use_kernel, adaptive=adaptive,
     )
     scal = jax.lax.bitcast_convert_type(
         jnp.concatenate([normal, d[None]]).astype(jnp.float32), jnp.uint8

@@ -344,23 +344,50 @@ def _tiled_frame(xyz, valid, voxel, sor_std, ransac_thresh, seed,
     sor_certified = jax.lax.pmin(cert_loc.astype(jnp.int32), "points") > 0
 
     # Global keep threshold: psum'd mean/variance of finite mean dists.
+    # f64 partials (matching sor_keep_mask's f64 accumulation) make the
+    # threshold order-insensitive to ~1e-16 relative — bit-stable keep
+    # decisions vs the unsharded pipeline for any mean_dist not within
+    # ~1e-16 of the threshold.
     fin = jnp.logical_and(ds_valid, jnp.isfinite(means))
-    s0 = jax.lax.psum(jnp.sum(fin.astype(jnp.float32)), "points")
-    s1 = jax.lax.psum(jnp.sum(jnp.where(fin, means, 0.0)), "points")
+    m64 = means.astype(jnp.float64)
+    s0 = jax.lax.psum(jnp.sum(fin.astype(jnp.float64)), "points")
+    s1 = jax.lax.psum(jnp.sum(jnp.where(fin, m64, 0.0)), "points")
     n0 = jnp.maximum(s0, 1.0)
     gmean = s1 / n0
     s2 = jax.lax.psum(
-        jnp.sum(jnp.where(fin, (means - gmean) ** 2, 0.0)), "points"
+        jnp.sum(jnp.where(fin, (m64 - gmean) ** 2, 0.0)), "points"
     )
-    thr = gmean + sor_std * jnp.sqrt(s2 / n0)
-    keep = jnp.logical_and(ds_valid, means <= thr)
+    thr = gmean + sor_std.astype(jnp.float64) * jnp.sqrt(s2 / n0)
+    keep = jnp.logical_and(ds_valid, m64 <= thr)
 
     # ── TAIL (replicated): gather cleaned centroids, RANSAC + cluster ──
     g_xyz = jax.lax.all_gather(centroids, "points", axis=0, tiled=True)
     g_keep = jax.lax.all_gather(keep, "points", axis=0, tiled=True)
+    # Canonical-order position map (the unsharded pipeline's RANSAC
+    # mini-sort, pipelines/kitti.py): position p -> the row of the p-th
+    # cleaned centroid in CANONICAL voxel-key order. The canon key lives
+    # on the GLOBAL lattice (mn_v/ext_v are pmin/pmax'd), so sorting the
+    # gathered tile-major array by it reproduces the exact hypothesis
+    # (and tournament-subsample) selection of the unsharded run —
+    # tiled/unsharded planes are bit-identical whenever the cleaned sets
+    # and centroid bits agree.
+    g_canon = jax.lax.all_gather(
+        jnp.where(ds_valid, canon, _INVALID32), "points", axis=0, tiled=True
+    )
+    gkey = jnp.where(g_keep, g_canon, _INVALID32)
+    _, position_rows = jax.lax.sort(
+        (gkey, jnp.arange(gkey.shape[0], dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=True,
+    )
     normal, d, inlier = ransac_plane_masked(
         g_xyz, g_keep, ransac_thresh, seed, ransac_iters,
         score_subsample=ransac_subsample, use_kernel=False,
+        # Match the unsharded pipeline's reference-dispatch rule so both
+        # paths pick the same winner at any cleaned count (under the
+        # frame vmap the lax.cond becomes a select; the tail is small).
+        adaptive=(ransac_subsample is None),
+        position_rows=position_rows,
     )
     obstacle = jnp.logical_and(g_keep, jnp.logical_not(inlier))
     from ..core.cloud import compaction_order
@@ -427,8 +454,6 @@ def tiled_kitti_pipeline(
     seeds [B], cluster_r) -> TiledKittiOutput batched over frames.
     ``n`` is the per-frame point capacity (static). Outputs are
     replicated over the points axis."""
-    from jax.experimental.shard_map import shard_map
-
     p = mesh.shape["points"]
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
@@ -473,7 +498,7 @@ def tiled_kitti_pipeline(
         cluster_exact=fspec,
         flags=P("frames", None),
     )
-    sm = shard_map(
+    sm = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
@@ -486,6 +511,6 @@ def tiled_kitti_pipeline(
             P(),
         ),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sm)

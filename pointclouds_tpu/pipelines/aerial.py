@@ -188,6 +188,9 @@ def aerial_pipeline(
         centroids, ds_valid, ransac_thresh, seed, ransac_iters,
         assume_compact=True, score_subsample=ransac_subsample,
         use_kernel=use_kernel,
+        # Reference-dispatch parity with the per-op API path (adaptive
+        # early termination below 10K valid points / 16 iterations).
+        adaptive=(ransac_subsample is None),
     )
 
     # ── Step 4+5: ground removal + clustering ──

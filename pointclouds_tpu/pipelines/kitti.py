@@ -288,6 +288,10 @@ def kitti_obstacle_pipeline(
         centroids, cleaned_valid, ransac_thresh, seed, ransac_iters,
         score_subsample=ransac_subsample,
         use_kernel=(sor_backend == "sweep"),
+        # Same reference-dispatch rule as the per-op API path (adaptive
+        # early termination below 10K valid points) — keeps the
+        # pipeline-vs-API winner parity gate exact at test scales.
+        adaptive=(ransac_subsample is None),
         position_rows=position_rows,
     )
 

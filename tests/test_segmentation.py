@@ -380,3 +380,129 @@ def test_ransac_kernel_scoring_matches_xla():
     expect = ((dist <= thr) & use[:, None]).sum(axis=0)
     np.testing.assert_array_equal(counts[:64].astype(np.int64), expect)
     np.testing.assert_array_equal(counts[64:], 0.0)
+
+
+def _hypotheses_for(arrs, seed, iterations, threshold):
+    """Replicate ransac_plane_masked's hypothesis generation (sampling,
+    plane fits, degeneracy) so tests can drive the sequential scan and a
+    python oracle from identical inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointclouds_tpu.core.cloud import compaction_order
+    from pointclouds_tpu.ops import segmentation as S
+
+    finite = jnp.all(jnp.isfinite(arrs.xyz), axis=-1)
+    cnt = jnp.sum(arrs.valid.astype(jnp.int32))
+    samples = S._sample_three_distinct(
+        jax.random.PRNGKey(seed), iterations, cnt
+    )
+    order = compaction_order(arrs.valid)
+    idx = jnp.take(order, samples.reshape(-1)).reshape(samples.shape)
+    p = jnp.take(arrs.xyz, idx.reshape(-1), axis=0).reshape(iterations, 3, 3)
+    v1, v2 = p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]
+    nrm = jnp.cross(v1, v2)
+    ln = jnp.linalg.norm(nrm, axis=1)
+    deg = ln < 1e-10
+    normal = nrm / jnp.where(deg, 1.0, ln)[:, None]
+    d = -jnp.sum(normal * p[:, 0], axis=1)
+    use_pt = jnp.logical_and(arrs.valid, finite)
+    dist = jnp.abs(
+        jax.lax.dot(arrs.xyz, normal.T, precision=jax.lax.Precision.HIGHEST)
+        + d[None, :]
+    )
+    counts = np.asarray(
+        jnp.sum(
+            jnp.logical_and(use_pt[:, None], dist <= threshold), axis=0,
+            dtype=jnp.int32,
+        )
+    )
+    counts = np.where(np.asarray(deg), -1, counts)
+    return normal, d, deg, use_pt, int(cnt), counts
+
+
+def _sequential_oracle(counts, cnt):
+    """The reference's sequential loop with adaptive early termination
+    (crates/segmentation/src/ransac_plane.rs:93-121), replayed in python
+    over per-hypothesis inlier counts."""
+    import math
+
+    best, bi, ne = 0, 0, 0
+    for i, c in enumerate(counts):
+        ne += 1
+        if c > best:
+            best, bi = int(c), i
+            w = best / cnt
+            if w > 0.5:
+                needed = math.log(0.001) / math.log(1 - w**3)
+                if i > needed:
+                    break
+    return bi, best, ne
+
+
+def test_ransac_adaptive_scan_matches_sequential_oracle():
+    """The chunked lax.while_loop scan must reproduce the reference's
+    sequential adaptive-termination semantics exactly: same winner, same
+    best count, same number of evaluated iterations — and it must
+    actually terminate early on a noisy high-inlier scene."""
+    import jax.numpy as jnp
+
+    from pointclouds_tpu.core.cloud import make_cloud_arrays
+    from pointclouds_tpu.ops import segmentation as S
+
+    rng = np.random.default_rng(1)
+    base = rng.random((4000, 3)).astype(np.float32) * [10, 10, 0]
+    base[:, 2] = rng.normal(0, 0.03, 4000).astype(np.float32)
+    out = (rng.random((600, 3)) * [10, 10, 4] + [0, 0, 0.5]).astype(
+        np.float32
+    )
+    arrs = make_cloud_arrays(np.vstack([base, out]))
+    iters = 500
+    terminated_early = 0
+    for seed in (0, 3, 7, 11):
+        normal, d, deg, use_pt, cnt, counts = _hypotheses_for(
+            arrs, seed, iters, 0.05
+        )
+        obi, obest, one = _sequential_oracle(counts, cnt)
+        sbi, sbc, sne = S._ransac_sequential_scan(
+            arrs.xyz, use_pt, normal, d, deg, jnp.float32(0.05),
+            jnp.int32(cnt), iters,
+        )
+        assert (int(sbi), int(sbc), int(sne)) == (obi, obest, one), seed
+        terminated_early += int(one < iters)
+        # The winning model must be the oracle-selected hypothesis.
+        adap = S.ransac_plane_masked(
+            arrs.xyz, arrs.valid, jnp.float32(0.05), seed, iters,
+            adaptive=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(adap[0]), np.asarray(normal[obi]), atol=1e-7
+        )
+    assert terminated_early >= 3  # the feature actually fires
+
+
+def test_ransac_adaptive_dispatch_full_scoring_on_large_clouds():
+    """At >= 10_000 valid points and >= 16 iterations the reference uses
+    its parallel (score-everything) path — adaptive=True must then be
+    bit-identical to the default batched scoring."""
+    import jax.numpy as jnp
+
+    from pointclouds_tpu.core.cloud import make_cloud_arrays
+    from pointclouds_tpu.ops.segmentation import ransac_plane_masked
+
+    rng = np.random.default_rng(5)
+    data = np.vstack([
+        (rng.random((11_000, 3)) * [20, 20, 0.06]).astype(np.float32),
+        (rng.random((2_000, 3)) * 20).astype(np.float32),
+    ])
+    arrs = make_cloud_arrays(data)
+    for seed in (0, 9):
+        full = ransac_plane_masked(
+            arrs.xyz, arrs.valid, jnp.float32(0.05), seed, 200
+        )
+        adap = ransac_plane_masked(
+            arrs.xyz, arrs.valid, jnp.float32(0.05), seed, 200,
+            adaptive=True,
+        )
+        np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(adap[0]))
+        np.testing.assert_array_equal(np.asarray(full[2]), np.asarray(adap[2]))

@@ -36,8 +36,12 @@ def tiled_out():
     xs = jnp.stack([f.xyz for f in frames])
     vs = jnp.stack([f.valid for f in frames])
     mesh = _mesh(B, 2)
+    # ransac_subsample=None: the unsharded refs below use full scoring
+    # (their default); with the tiled tail's canonical position_rows the
+    # two paths then select bit-identical hypotheses and winners.
     step = tiled_kitti_pipeline(
-        mesh, xs.shape[1], sor_k=10, ransac_iters=50, obstacle_cap=2048
+        mesh, xs.shape[1], sor_k=10, ransac_iters=50, obstacle_cap=2048,
+        ransac_subsample=None,
     )
     out = step(
         xs, vs, jnp.float32(0.15), jnp.float32(2.0), jnp.float32(0.15),
