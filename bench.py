@@ -45,8 +45,16 @@ N_POINTS = 122_000
 FRAMES = 100
 AERIAL_FRAMES = 30
 
+# THE measured configuration — shared verbatim with the parity verifier
+# (scripts/verify_kitti_parity.py) via the npz so both sides provably use
+# one config.
+KITTI_PARAMS = dict(
+    voxel=0.15, sor_k=20, sor_std=2.0, ransac_thresh=0.15, ransac_iters=500,
+    cluster_r=0.8, min_size=10, max_size=20_000, ransac_subsample=4096,
+)
 
-def _verify_parity(out, clusters, seed):
+
+def _verify_parity(out, clusters, seed, params):
     """Fused-vs-exact cluster parity of the measured frame, computed by a
     CPU subprocess with an independent f64 scipy SOR oracle
     (scripts/verify_kitti_parity.py). Returns the parsed JSON dict, or
@@ -74,6 +82,9 @@ def _verify_parity(out, clusters, seed):
                     else np.zeros((0, 3), np.float32)
                 ),
                 cluster_offsets=offsets,
+                # One provable config for both sides (the verifier
+                # defaults can't silently drift from these kwargs).
+                params=json.dumps(params),
             )
             path = f.name
         try:
@@ -108,16 +119,16 @@ def main():
             return (
                 arrs.xyz,
                 arrs.valid,
-                np.float32(0.15),
-                np.float32(2.0),
-                np.float32(0.15),
+                np.float32(KITTI_PARAMS["voxel"]),
+                np.float32(KITTI_PARAMS["sor_std"]),
+                np.float32(KITTI_PARAMS["ransac_thresh"]),
                 np.int32(seed),
-                np.float32(0.8),
+                np.float32(KITTI_PARAMS["cluster_r"]),
             )
 
         kwargs = dict(
-            sor_k=20,
-            ransac_iters=500,
+            sor_k=KITTI_PARAMS["sor_k"],
+            ransac_iters=KITTI_PARAMS["ransac_iters"],
             sor_backend=backend,
             # 93,033 centroids fit a 98,304-row cap with 5.6% headroom;
             # truncation would surface in ds_truncated below.
@@ -125,7 +136,7 @@ def main():
             # Tournament scoring (subsample + top-8 full-cloud rescore):
             # measured -0.3 ms/frame streaming with identical clusters
             # (scripts/micro_ab_r3c.py); final inliers stay full-cloud.
-            ransac_subsample=4096,
+            ransac_subsample=KITTI_PARAMS["ransac_subsample"],
             # ~6.2K obstacles across the 100 seeds: 8192 slots keep 30%
             # headroom (obstacle_overflow reported below) and halve the
             # cluster kernel's block count vs the 16384 default
@@ -160,11 +171,24 @@ def main():
     sync(run(1))
 
     times = []
+    frame_flags = []  # device refs; fetched AFTER timing (flag
+    # accumulation across ALL seeds — a capacity overflow on any frame
+    # must surface, not just the final seed's)
     for f in range(FRAMES):
         t0 = time.perf_counter()
         out = sync(run(f))
         times.append((time.perf_counter() - t0) * 1e3)
+        frame_flags.append(
+            (out.grid_flags, out.obstacle_overflow, out.sor_certified)
+        )
     p50 = float(np.percentile(times, 50))
+    any_grid = bool(
+        np.any([np.asarray(g)[:4] for g, _, _ in frame_flags])
+    )
+    any_ds_trunc = bool(np.any([np.asarray(g)[4] for g, _, _ in frame_flags]))
+    any_obs_ovf = bool(np.any([np.asarray(o) for _, o, _ in frame_flags]))
+    all_sor_cert = bool(np.all([np.asarray(s) for _, _, s in frame_flags]))
+    del frame_flags
 
     # Streaming throughput: frames dispatched back-to-back, one sync.
     t0 = time.perf_counter()
@@ -174,7 +198,9 @@ def main():
     stream_ms = (time.perf_counter() - t0) * 1e3 / FRAMES
 
     # Sanity: the pipeline must actually find the scene's obstacle clusters.
-    clusters = extract_clusters(out, 10, 20_000)
+    clusters = extract_clusters(
+        out, KITTI_PARAMS["min_size"], KITTI_PARAMS["max_size"]
+    )
     assert len(clusters) >= 3, f"expected >=3 clusters, got {len(clusters)}"
 
     # Fused-vs-exact cluster parity on the measured frame (VERDICT r3 #5):
@@ -184,7 +210,8 @@ def main():
     # fused SOR's uncertified rows are isolated points removed by both
     # paths, so this certifies the headline metric even when pass-1's
     # per-query certificate (`sor_certified`) is false.
-    parity = _verify_parity(out, clusters, seed=FRAMES - 1)
+    parity = _verify_parity(out, clusters, seed=FRAMES - 1,
+                            params=KITTI_PARAMS)
 
     # Aerial end-to-end (241K pts; ref 87 ms total on M4 Max CPU).
     adata = aerial_scene(seed=42, scale=1.0)
@@ -213,13 +240,18 @@ def main():
 
     aout = arun(0)
     np.asarray(aout.labels)
+    aflags = []
     t0 = time.perf_counter()
     for f in range(AERIAL_FRAMES):
         aout = arun(f)
+        aflags.append((aout.ds_overflow, aout.obstacle_overflow,
+                       aout.cluster_exact))
     np.asarray(aout.labels)
     aerial_ms = (time.perf_counter() - t0) * 1e3 / AERIAL_FRAMES
+    a_ds_trunc = bool(np.any([np.asarray(v) for v, _, _ in aflags]))
+    a_obs_ovf = bool(np.any([np.asarray(v) for _, v, _ in aflags]))
+    a_clu_exact = bool(np.all([np.asarray(v) for _, _, v in aflags]))
 
-    flags = np.asarray(out.grid_flags)
     ds_points = int(np.asarray(out.downsampled_valid).sum())
     print(
         json.dumps(
@@ -232,10 +264,12 @@ def main():
                 "frames": FRAMES,
                 "sor_backend": backend,
                 "ds_points": ds_points,
-                "ds_truncated": bool(flags[4]),
-                "any_grid_overflow": bool(flags[:4].any()),
-                "obstacle_overflow": bool(np.asarray(out.obstacle_overflow)),
-                "sor_certified": bool(out.sor_certified),
+                # OR/AND-accumulated over ALL 100 seeds, not just the
+                # final frame's sample.
+                "ds_truncated": any_ds_trunc,
+                "any_grid_overflow": any_grid,
+                "obstacle_overflow": any_obs_ovf,
+                "sor_certified": all_sor_cert,
                 "cluster_parity_exact": bool(
                     parity.get("cluster_parity_exact", False)
                 ),
@@ -245,13 +279,9 @@ def main():
                 "aerial_ds_points": int(
                     np.asarray(aout.downsampled_valid).sum()
                 ),
-                "aerial_ds_truncated": bool(np.asarray(aout.ds_overflow)),
-                "aerial_obstacle_overflow": bool(
-                    np.asarray(aout.obstacle_overflow)
-                ),
-                "aerial_cluster_exact": bool(
-                    np.asarray(aout.cluster_exact)
-                ),
+                "aerial_ds_truncated": a_ds_trunc,
+                "aerial_obstacle_overflow": a_obs_ovf,
+                "aerial_cluster_exact": a_clu_exact,
             }
         )
     )

@@ -305,11 +305,22 @@ def voxel_downsample(cloud: PointCloud, voxel_size: float) -> PointCloud:
         return PointCloud()
     # Output attributes are dropped, like the reference's from_xyz result
     # (ref: crates/filters/src/voxel_downsample.rs:64). Single dispatch:
-    # centroids come out leading-compact, count rides along.
-    arrs, cnt = _fusedops.voxel_fused(
-        cloud._arrs.xyz, cloud._arrs.valid, jnp.float32(voxel_size)
+    # centroids come out leading-compact, count rides along. The segment
+    # sums use the Pallas scan kernel on TPU (bitwise-equal XLA mirror on
+    # failure/CPU — see pallas_kernels.segmented_scan_sums).
+    def run(uk):
+        arrs, cnt = _fusedops.voxel_fused(
+            cloud._arrs.xyz, cloud._arrs.valid, jnp.float32(voxel_size),
+            use_kernel=uk,
+        )
+        return arrs, int(cnt)  # int() = the first host sync
+
+    arrs, cnt = _engine._degrade_to_xla(
+        run,
+        _engine._kernel_preference(),
+        memo_key=("voxel", cloud._arrs.capacity),
     )
-    return PointCloud._from(arrs, int(cnt))
+    return PointCloud._from(arrs, cnt)
 
 
 _AXES = {"x": 0, "X": 0, "y": 1, "Y": 1, "z": 2, "Z": 2}

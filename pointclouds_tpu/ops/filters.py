@@ -26,8 +26,34 @@ import jax.numpy as jnp
 from ..spatial.grid import cell_coords, pack_cell_key, INVALID_KEY
 
 
-@partial(jax.jit, static_argnames=())
-def voxel_downsample_masked(xyz, valid, voxel_size):
+def _kernel_auto(use_kernel):
+    """None -> kernel on TPU, XLA mirror elsewhere. The kernel and its
+    mirror are BITWISE-identical (pallas_kernels.segmented_scan_sums), so
+    mixing them across platforms only shifts which backend computes."""
+    if use_kernel is None:
+        return jax.default_backend() == "tpu"
+    return bool(use_kernel)
+
+
+def _segment_sums(first, sx, sy, sz, scnt, use_kernel: bool):
+    """Per-segment inclusive sums of (x, y, z, count); only segment-END
+    values are consumed downstream. One Pallas pass replaces the 5-channel
+    associative_scan (~1.9 ms standalone at 131K rows — ~2 log2 N combine
+    passes with cross-lane relayouts)."""
+    from ..spatial.pallas_kernels import (
+        segmented_scan_sums,
+        segmented_scan_sums_xla,
+    )
+
+    ff = first.astype(jnp.float32)
+    if use_kernel:
+        return segmented_scan_sums(ff, sx, sy, sz, scnt)
+    return segmented_scan_sums_xla(ff, sx, sy, sz, scnt)
+
+
+@partial(jax.jit, static_argnames=("use_kernel",))
+def voxel_downsample_masked(xyz, valid, voxel_size, *,
+                            use_kernel: bool | None = None):
     """Masked voxel-grid centroid downsample.
 
     Returns (centroids f32[N,3], out_valid bool[N]). Output voxels occupy the
@@ -36,6 +62,7 @@ def voxel_downsample_masked(xyz, valid, voxel_size):
     keys (ref: crates/filters/src/voxel_downsample.rs:49-62). Non-finite
     points are skipped (ref :28-30).
     """
+    use_kernel = _kernel_auto(use_kernel)
     n = xyz.shape[0]
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
@@ -62,30 +89,16 @@ def voxel_downsample_masked(xyz, valid, voxel_size):
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
     )
 
-    # Per-segment sums via a SEGMENTED prefix scan + one gather at segment
-    # ends, as a TUPLE of 1-D scans (measured: the 1-D tuple scan is ~1 ms
-    # at 262K on TPU where the [N, 4] row scan costs ~10 ms — 2-D scan
-    # orientations pay tile-relayout per step). The obvious
-    # jax.ops.segment_sum is a million-element scatter-add (~90 ms at 1M
-    # points on TPU). A plain cumsum+diff loses precision (the f32 prefix
-    # reaches ~1e7 where one ulp is meters, and f64 scans are emulated and
-    # slow); the segmented scan RESETS at every voxel boundary, so
-    # prefixes stay at per-voxel magnitude and the result is the same f32
-    # accumulation the reference performs.
+    # Per-segment sums via the one-pass segmented-scan kernel (XLA mirror
+    # off-TPU — bitwise identical). The obvious jax.ops.segment_sum is a
+    # million-element scatter-add (~90 ms at 1M points on TPU). A plain
+    # cumsum+diff loses precision (the f32 prefix reaches ~1e7 where one
+    # ulp is meters, and f64 scans are emulated and slow); the segmented
+    # scan RESETS at every voxel boundary, so prefixes stay at per-voxel
+    # magnitude and the result is a per-voxel-magnitude f32 accumulation
+    # like the reference's.
     is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-
-    def seg_op(a, b):
-        return (
-            jnp.logical_or(a[0], b[0]),
-            b[1] + jnp.where(b[0], 0.0, a[1]),
-            b[2] + jnp.where(b[0], 0.0, a[2]),
-            b[3] + jnp.where(b[0], 0.0, a[3]),
-            b[4] + jnp.where(b[0], 0.0, a[4]),
-        )
-
-    _, cx, cy, cz, ccnt = jax.lax.associative_scan(
-        seg_op, (first, sx, sy, sz, scnt), axis=0
-    )
+    cx, cy, cz, ccnt = _segment_sums(first, sx, sy, sz, scnt, use_kernel)
 
     # Compact segment totals to the leading rows with ONE payload-carrying
     # stable sort keyed by ~is_end (False sorts first, stability keeps the
@@ -107,10 +120,11 @@ def voxel_downsample_masked(xyz, valid, voxel_size):
     return centroids, out_valid
 
 
-@partial(jax.jit, static_argnames=("factor", "table_size"))
+@partial(jax.jit, static_argnames=("factor", "table_size", "use_kernel"))
 def voxel_downsample_sweep_frontend(xyz, valid, voxel_size, *,
                                     factor: int = 3,
-                                    table_size: int = 1 << 21):
+                                    table_size: int = 1 << 21,
+                                    use_kernel: bool | None = None):
     """Voxel downsample whose output is ALREADY sorted for the SOR sweep.
 
     Same centroid VALUES as `voxel_downsample_masked` (identical per-voxel
@@ -133,6 +147,7 @@ def voxel_downsample_sweep_frontend(xyz, valid, voxel_size, *,
       hi_cells  f32      |coord|/sor_cell bound (for the exactness margin)
       table_overflow bool, ds_overflow is the caller's slice check
     """
+    use_kernel = _kernel_auto(use_kernel)
     n = xyz.shape[0]
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
@@ -180,19 +195,7 @@ def voxel_downsample_sweep_frontend(xyz, valid, voxel_size, *,
     scnt = suse.astype(jnp.float32)
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-
-    def seg_op(a, b):
-        return (
-            jnp.logical_or(a[0], b[0]),
-            b[1] + jnp.where(b[0], 0.0, a[1]),
-            b[2] + jnp.where(b[0], 0.0, a[2]),
-            b[3] + jnp.where(b[0], 0.0, a[3]),
-            b[4] + jnp.where(b[0], 0.0, a[4]),
-        )
-
-    _, cx, cy, cz, ccnt = jax.lax.associative_scan(
-        seg_op, (first, sx, sy, sz, scnt), axis=0
-    )
+    cx, cy, cz, ccnt = _segment_sums(first, sx, sy, sz, scnt, use_kernel)
 
     # Sort 2: compaction — segment ends to the front in canonical order
     # (stable on ~is_end), the rank key riding along.
@@ -231,7 +234,8 @@ def voxel_downsample_sweep_frontend(xyz, valid, voxel_size, *,
 
 
 def voxel_scan_sor_epilogue(skey, sx, sy, sz, ext_v, esc, *, factor: int,
-                            ds_cap: int, table_size: int):
+                            ds_cap: int, table_size: int,
+                            use_kernel: bool | None = None):
     """Shared back half of `voxel_downsample_sweep_fused`: given rows
     ALREADY stably sorted by canonical voxel key (``skey`` ascending,
     invalid rows = 2^31-1 sentinel last, coords zeroed on invalid), run
@@ -243,6 +247,7 @@ def voxel_scan_sor_epilogue(skey, sx, sy, sz, ext_v, esc, *, factor: int,
     Returns dict(centroids f32[ds_cap, 3], out_valid bool[ds_cap],
     slin i32[ds_cap] ascending sor ids (table_size sentinel), canon
     i32[ds_cap], ds_overflow bool)."""
+    use_kernel = _kernel_auto(use_kernel)
     invalid32 = jnp.int32(2**31 - 1)
     suse = skey != invalid32
     sx = jnp.where(suse, sx, 0.0)
@@ -251,19 +256,7 @@ def voxel_scan_sor_epilogue(skey, sx, sy, sz, ext_v, esc, *, factor: int,
     scnt = suse.astype(jnp.float32)
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-
-    def seg_op(a, b):
-        return (
-            jnp.logical_or(a[0], b[0]),
-            b[1] + jnp.where(b[0], 0.0, a[1]),
-            b[2] + jnp.where(b[0], 0.0, a[2]),
-            b[3] + jnp.where(b[0], 0.0, a[3]),
-            b[4] + jnp.where(b[0], 0.0, a[4]),
-        )
-
-    _, cx, cy, cz, ccnt = jax.lax.associative_scan(
-        seg_op, (first, sx, sy, sz, scnt), axis=0
-    )
+    cx, cy, cz, ccnt = _segment_sums(first, sx, sy, sz, scnt, use_kernel)
 
     # Sort 2 (the ONLY post-scan sort): key = sor-cell linear id for
     # segment-end rows, table_size sentinel otherwise — one stable sort
@@ -308,10 +301,12 @@ def voxel_scan_sor_epilogue(skey, sx, sy, sz, ext_v, esc, *, factor: int,
     )
 
 
-@partial(jax.jit, static_argnames=("factor", "ds_cap", "table_size"))
+@partial(jax.jit, static_argnames=("factor", "ds_cap", "table_size",
+                                   "use_kernel"))
 def voxel_downsample_sweep_fused(xyz, valid, voxel_size, *, factor: int,
                                  ds_cap: int,
-                                 table_size: int = 1 << 21):
+                                 table_size: int = 1 << 21,
+                                 use_kernel: bool | None = None):
     """Voxel downsample emitting rows DIRECTLY in sor-cell-major sweep
     order, with ONE post-scan sort. Replaces the frontend + compaction +
     re-sort pair (`voxel_downsample_sweep_frontend` -> slice ->
@@ -367,7 +362,7 @@ def voxel_downsample_sweep_fused(xyz, valid, voxel_size, *, factor: int,
     )
     ep = voxel_scan_sor_epilogue(
         skey, sx, sy, sz, ext_v, esc, factor=factor, ds_cap=ds_cap,
-        table_size=table_size,
+        table_size=table_size, use_kernel=use_kernel,
     )
 
     hi_v = jnp.max(

@@ -377,11 +377,13 @@ def passthrough_fused(arrs, axis_index: int, lo, hi):
     return out, _cloud.count(out)
 
 
-@jax.jit
-def voxel_fused(xyz, valid, voxel_size):
+@partial(jax.jit, static_argnames=("use_kernel",))
+def voxel_fused(xyz, valid, voxel_size, *, use_kernel: bool | None = None):
     """Voxel centroids + count in one program. Output voxels are already
     emitted leading-compact in sorted-key order by
     voxel_downsample_masked, so no compaction pass is needed."""
-    centroids, out_valid = voxel_downsample_masked(xyz, valid, voxel_size)
+    centroids, out_valid = voxel_downsample_masked(
+        xyz, valid, voxel_size, use_kernel=use_kernel
+    )
     arrs = _cloud.CloudArrays(xyz=centroids, valid=out_valid)
     return arrs, jnp.sum(out_valid.astype(jnp.int32))

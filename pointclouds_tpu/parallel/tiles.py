@@ -212,7 +212,7 @@ def _tiled_frame(xyz, valid, voxel, sor_std, ransac_thresh, seed,
     # ── Tile-local voxel downsample (global lattice) ──
     ep = voxel_scan_sor_epilogue(
         mkey, mx_, my_, mz_, ext_v, esc, factor=factor,
-        ds_cap=ds_tile_cap, table_size=table_size,
+        ds_cap=ds_tile_cap, table_size=table_size, use_kernel=use_kernel,
     )
     centroids, ds_valid = ep["centroids"], ep["out_valid"]
     slin, canon = ep["slin"], ep["canon"]

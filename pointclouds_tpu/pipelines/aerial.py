@@ -131,7 +131,7 @@ def aerial_pipeline(
 
         fe = voxel_downsample_sweep_fused(
             xyz, valid, voxel_size, factor=normals_cell_factor,
-            ds_cap=ds_cap,
+            ds_cap=ds_cap, use_kernel=(backend == "sweep"),
         )
         centroids, ds_valid = fe["centroids"], fe["out_valid"]
         ds_overflow = fe["ds_overflow"]

@@ -136,7 +136,8 @@ def kitti_obstacle_pipeline(
 
         factor = int(sor_cell_factor)
         fe = voxel_downsample_sweep_fused(
-            xyz, valid, voxel_size, factor=factor, ds_cap=ds_cap
+            xyz, valid, voxel_size, factor=factor, ds_cap=ds_cap,
+            use_kernel=(sor_backend == "sweep"),
         )
         centroids, ds_valid = fe["centroids"], fe["out_valid"]
         canon = fe["canon"]

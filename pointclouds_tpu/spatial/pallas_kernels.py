@@ -3136,3 +3136,253 @@ def ransac_score_counts(hyp, pts_planar, *, interpret: bool = False):
         interpret=interpret,
     )(hyp, pts_planar)
     return out[0]
+
+
+# ── Segmented-scan kernel (voxel-downsample segment sums) ───────────────────
+#
+# The voxel stage's 5-channel segmented associative_scan is the single most
+# expensive piece of the KITTI frame's voxel front-end (~1.9 ms standalone
+# at 131K rows): XLA lowers the work-efficient scan as ~2·log2(N) full-array
+# combine passes over five 1-D channels, each paying a cross-lane relayout.
+# This kernel runs ONE pass over the data instead: each [BR, 128] tile does
+# a Hillis-Steele segmented inclusive scan in VMEM (7 lane steps + log2(BR)
+# sublane steps of roll + select + add) and a 5-scalar SMEM carry chains
+# tiles across the sequential grid.
+#
+# The XLA mirror below replays the EXACT same combine tree (same rolls,
+# same masks, same add order), so kernel and mirror agree BITWISE — the
+# fused pipelines and the per-op voxel path may mix them freely across
+# hosts without breaking centroid-equality contracts (on one platform).
+
+
+def _segscan5_kernel(br: int):
+    nlast = br * 128 - 1
+
+    def kernel(f_ref, x_ref, y_ref, z_ref, c_ref,
+               xo_ref, yo_ref, zo_ref, co_ref, carry_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            # f32-pinned literals: under the package's x64 mode a bare
+            # 0.0 scalar store lowers as f64 and the Mosaic layout pass
+            # CHECK-fails on the 64-bit width.
+            zf = jnp.float32(0.0)
+            carry_ref[0] = zf  # accumulated flag (any segment start seen)
+            carry_ref[1] = zf  # x sum carry
+            carry_ref[2] = zf  # y
+            carry_ref[3] = zf  # z
+            carry_ref[4] = zf  # count
+
+        f = f_ref[...]
+        x = x_ref[...]
+        y = y_ref[...]
+        z = z_ref[...]
+        c = c_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 0)
+        flat = row * 128 + lane
+
+        d = 1
+        while d < 128:
+            def sh(a, d=d):
+                # np.int32 shifts: python ints become i64 under x64 and
+                # tpu.dynamic_rotate requires an i32 operand.
+                s1 = pltpu.roll(a, shift=np.int32(d), axis=1)
+                s2 = pltpu.roll(s1, shift=np.int32(1), axis=0)
+                return jnp.where(lane < d, s2, s1)
+
+            ok = flat >= d
+            fs = jnp.where(ok, sh(f), 0.0)
+            xs = jnp.where(ok, sh(x), 0.0)
+            ys = jnp.where(ok, sh(y), 0.0)
+            zs = jnp.where(ok, sh(z), 0.0)
+            cs = jnp.where(ok, sh(c), 0.0)
+            x = jnp.where(f > 0.5, x, x + xs)
+            y = jnp.where(f > 0.5, y, y + ys)
+            z = jnp.where(f > 0.5, z, z + zs)
+            c = jnp.where(f > 0.5, c, c + cs)
+            f = jnp.maximum(f, fs)
+            d *= 2
+        dr = 1
+        while dr < br:
+            def shr(a, dr=dr):
+                return pltpu.roll(a, shift=np.int32(dr), axis=0)
+
+            ok = row >= dr
+            fs = jnp.where(ok, shr(f), 0.0)
+            xs = jnp.where(ok, shr(x), 0.0)
+            ys = jnp.where(ok, shr(y), 0.0)
+            zs = jnp.where(ok, shr(z), 0.0)
+            cs = jnp.where(ok, shr(c), 0.0)
+            x = jnp.where(f > 0.5, x, x + xs)
+            y = jnp.where(f > 0.5, y, y + ys)
+            z = jnp.where(f > 0.5, z, z + zs)
+            c = jnp.where(f > 0.5, c, c + cs)
+            f = jnp.maximum(f, fs)
+            dr *= 2
+
+        # Apply the left-of-tile carry to rows before the tile's first
+        # segment start, then chain the carry from the (post-carry) last
+        # element. Scalar extraction via a one-hot masked sum (exact: one
+        # nonzero term) — Mosaic has no arbitrary vector->scalar extract.
+        cx = carry_ref[1]
+        cy = carry_ref[2]
+        cz = carry_ref[3]
+        cc = carry_ref[4]
+        xo = jnp.where(f > 0.5, x, x + cx)
+        yo = jnp.where(f > 0.5, y, y + cy)
+        zo = jnp.where(f > 0.5, z, z + cz)
+        co = jnp.where(f > 0.5, c, c + cc)
+        xo_ref[...] = xo
+        yo_ref[...] = yo
+        zo_ref[...] = zo
+        co_ref[...] = co
+        # (flat == nlast) cast, NOT where(.., 1.0, 0.0): an all-literal
+        # where is weakly typed and lowers f64 under x64 — 64-bit vectors
+        # CHECK-crash the Mosaic layout pass.
+        last = (flat == nlast).astype(jnp.float32)
+        carry_ref[0] = jnp.maximum(carry_ref[0], jnp.sum(f * last))
+        carry_ref[1] = jnp.sum(xo * last)
+        carry_ref[2] = jnp.sum(yo * last)
+        carry_ref[3] = jnp.sum(zo * last)
+        carry_ref[4] = jnp.sum(co * last)
+
+    return kernel
+
+
+def _segscan5_block(br: int):
+    """The kernel's per-tile Hillis-Steele steps as XLA ops on
+    [T, BR, 128] channel stacks — IDENTICAL roll/mask/add order."""
+
+    def block(f, x, y, z, c):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 1)[None]
+        row = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 0)[None]
+        flat = row * 128 + lane
+        d = 1
+        while d < 128:
+            def sh(a, d=d):
+                s1 = jnp.roll(a, d, axis=2)
+                s2 = jnp.roll(s1, 1, axis=1)
+                return jnp.where(lane < d, s2, s1)
+
+            ok = flat >= d
+            fs = jnp.where(ok, sh(f), 0.0)
+            xs = jnp.where(ok, sh(x), 0.0)
+            ys = jnp.where(ok, sh(y), 0.0)
+            zs = jnp.where(ok, sh(z), 0.0)
+            cs = jnp.where(ok, sh(c), 0.0)
+            x = jnp.where(f > 0.5, x, x + xs)
+            y = jnp.where(f > 0.5, y, y + ys)
+            z = jnp.where(f > 0.5, z, z + zs)
+            c = jnp.where(f > 0.5, c, c + cs)
+            f = jnp.maximum(f, fs)
+            d *= 2
+        dr = 1
+        while dr < br:
+            def shr(a, dr=dr):
+                return jnp.roll(a, dr, axis=1)
+
+            ok = row >= dr
+            fs = jnp.where(ok, shr(f), 0.0)
+            xs = jnp.where(ok, shr(x), 0.0)
+            ys = jnp.where(ok, shr(y), 0.0)
+            zs = jnp.where(ok, shr(z), 0.0)
+            cs = jnp.where(ok, shr(c), 0.0)
+            x = jnp.where(f > 0.5, x, x + xs)
+            y = jnp.where(f > 0.5, y, y + ys)
+            z = jnp.where(f > 0.5, z, z + zs)
+            c = jnp.where(f > 0.5, c, c + cs)
+            f = jnp.maximum(f, fs)
+            dr *= 2
+        return f, x, y, z, c
+
+    return block
+
+
+def _segscan_br(nrows: int) -> int:
+    """Tile height: one compiled shape per (nrows) — kernel and mirror
+    derive it identically so their combine trees match."""
+    return min(512, nrows)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def segmented_scan_sums(first, x, y, z, c, *, interpret: bool = False):
+    """Segmented inclusive scan of 4 f32 value channels over flat [N]
+    arrays (N % 128 == 0), segments starting where ``first`` = 1.0.
+    Returns (sx, sy, sz, sc) f32[N]. Combine tree = per-tile
+    Hillis-Steele + sequential tile carry; `segmented_scan_sums_xla` is
+    the bitwise-identical XLA mirror."""
+    n = first.shape[0]
+    nrows = max(-(-n // 128), 1)
+    br = _segscan_br(nrows)
+    t = -(-nrows // br)
+    pad = t * br * 128 - n
+    if pad:
+        zf = jnp.zeros((pad,), jnp.float32)
+        first, x, y, z, c = (
+            jnp.concatenate([a, zf]) for a in (first, x, y, z, c)
+        )
+
+    def shape2(a):
+        return a.reshape(t * br, 128)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    zi = np.int32(0)
+    im = lambda i: (i, zi)  # noqa: E731
+    outs = pl.pallas_call(
+        _segscan5_kernel(br),
+        grid=(t,),
+        in_specs=[pl.BlockSpec((br, 128), im)] * 5,
+        out_specs=[pl.BlockSpec((br, 128), im)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((t * br, 128), jnp.float32)
+            for _ in range(4)
+        ],
+        scratch_shapes=[pltpu.SMEM((8,), jnp.float32)],
+        interpret=interpret,
+    )(shape2(first), shape2(x), shape2(y), shape2(z), shape2(c))
+    return tuple(o.reshape(-1)[:n] for o in outs)
+
+
+@jax.jit
+def segmented_scan_sums_xla(first, x, y, z, c):
+    """Bitwise mirror of `segmented_scan_sums` (same tree, no kernel)."""
+    n = first.shape[0]
+    nrows = max(-(-n // 128), 1)
+    br = _segscan_br(nrows)
+    t = -(-nrows // br)
+    pad = t * br * 128 - n
+    if pad:
+        zf = jnp.zeros((pad,), jnp.float32)
+        first, x, y, z, c = (
+            jnp.concatenate([a, zf]) for a in (first, x, y, z, c)
+        )
+
+    def shape3(a):
+        return a.reshape(t, br, 128)
+
+    f3, x3, y3, z3, c3 = (shape3(a) for a in (first, x, y, z, c))
+    bf, bx, by, bz, bc = _segscan5_block(br)(f3, x3, y3, z3, c3)
+
+    # Sequential tile-carry chain, identical formulas to the kernel.
+    def step(carry, tile):
+        cf, cx, cy, cz, cc = carry
+        f, xx, yy, zz, ct = tile
+        xo = jnp.where(f > 0.5, xx, xx + cx)
+        yo = jnp.where(f > 0.5, yy, yy + cy)
+        zo = jnp.where(f > 0.5, zz, zz + cz)
+        co = jnp.where(f > 0.5, ct, ct + cc)
+        nf = jnp.maximum(cf, f[-1, -1])
+        return (nf, xo[-1, -1], yo[-1, -1], zo[-1, -1], co[-1, -1]), (
+            xo, yo, zo, co
+        )
+
+    zero = jnp.float32(0.0)
+    _, (ox, oy, oz, oc) = jax.lax.scan(
+        step, (zero, zero, zero, zero, zero), (bf, bx, by, bz, bc)
+    )
+    return tuple(o.reshape(-1)[:n] for o in (ox, oy, oz, oc))

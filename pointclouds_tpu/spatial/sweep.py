@@ -107,21 +107,24 @@ def _window_starts_from_bounds(lo, hi, has_valid, slin_p, suse_p, extent,
     p_hi = nbt[:, -1]  # last cell id per POINT block
 
     def rows_less_blocked(c):
-        # c i32[NB, W] query cell ids -> i32[NB, W] row counts.
+        # c i32[NB, W] query cell ids -> i32[NB, W] row counts. All
+        # intermediates FLAT-2-D [NB*W, PB] / [NB*W, 128]: the obvious
+        # [NB, W, PB] 3-D form pads the middle axis to the sublane tile
+        # (W=9 -> 8x2) and measured ~2x the bytes through HBM.
+        w = c.shape[1]
+        cf = c.reshape(nb * w, 1)
         nfull = jnp.sum(
-            (p_hi[None, None, :] < c[:, :, None]).astype(jnp.int32), axis=2
-        )  # [NB, W] point blocks fully below c
+            p_hi[None, :] < cf, axis=1, dtype=jnp.int32
+        )  # [NB*W] point blocks fully below c
         jb = jnp.minimum(nfull, p_nb - 1)
-        brow = jnp.take(nbt, jb, axis=0)  # [NB, W, 128]
-        cin = jnp.sum(
-            (brow < c[:, :, None]).astype(jnp.int32), axis=2
-        )
+        brow = jnp.take(nbt, jb, axis=0)  # [NB*W, 128] flat 1-D gather
+        cin = jnp.sum(brow < cf, axis=1, dtype=jnp.int32)
         cnt = jnp.where(nfull >= p_nb, p_nb * 128, nfull * 128 + cin)
         # Rows beyond p_nb*128 (the wr padding tail) hold sentinel ids and
         # are never < c (c <= table_size + 1 only counts them when the
         # dense path's synthetic total-row entry would — the clamps below
         # make both formulations agree).
-        return jnp.minimum(cnt, all_rows)
+        return jnp.minimum(cnt, all_rows).reshape(nb, w)
 
     if nb <= 2048 and p_nb <= 2048:
         first_row = rows_less_blocked(a)

@@ -35,13 +35,32 @@ from scipy.spatial import cKDTree
 
 import pointclouds_tpu as pc
 
-SOR_K = 20
-SOR_STD = 2.0
-RANSAC_THRESH = 0.15
-RANSAC_ITERS = 500
-CLUSTER_R = 0.8
-MIN_SIZE, MAX_SIZE = 10, 20_000
-VOXEL = np.float32(0.15)
+# Defaults = bench.py's config; bench passes its ACTUAL parameters through
+# the npz (key "params", a JSON string) so the two sides provably share one
+# config — a drift shows up in the printed JSON instead of masquerading as
+# a pipeline parity failure.
+DEFAULT_PARAMS = dict(
+    voxel=0.15, sor_k=20, sor_std=2.0, ransac_thresh=0.15, ransac_iters=500,
+    cluster_r=0.8, min_size=10, max_size=20_000, ransac_subsample=4096,
+)
+
+
+def _lexsorted_rows(a):
+    """Rows in lexicographic order — column-independent np.sort(axis=0)
+    would compare two DIFFERENT point sets equal (e.g. {(0,1),(1,0)} vs
+    {(0,0),(1,1)})."""
+    return a[np.lexsort(a.T[::-1])]
+
+
+def _canon_clusters(pts_list):
+    """Clusters as row-lexsorted arrays, ordered by (-size, smallest
+    member point): equal-size clusters pair by geometry, not by list
+    position (which depends on path-specific row numbering)."""
+    out = [_lexsorted_rows(np.asarray(p, np.float32)) for p in pts_list]
+    out.sort(
+        key=lambda p: (-len(p), tuple(p[0].tolist()) if len(p) else ())
+    )
+    return out
 
 
 def main():
@@ -51,6 +70,16 @@ def main():
     ds_valid = z["ds_valid"].astype(bool)
     fused_points = z["cluster_points"]  # concatenated cluster member coords
     fused_offsets = z["cluster_offsets"]
+    params = dict(DEFAULT_PARAMS)
+    if "params" in z:
+        params.update(json.loads(str(z["params"])))
+    SOR_K = int(params["sor_k"])
+    SOR_STD = float(params["sor_std"])
+    RANSAC_THRESH = float(params["ransac_thresh"])
+    RANSAC_ITERS = int(params["ransac_iters"])
+    CLUSTER_R = float(params["cluster_r"])
+    MIN_SIZE, MAX_SIZE = int(params["min_size"]), int(params["max_size"])
+    VOXEL = np.float32(params["voxel"])
 
     pts = centroids[ds_valid]
     # Per-op path row order: compacted ascending canonical voxel key =
@@ -70,23 +99,25 @@ def main():
     cleaned_pts = np.ascontiguousarray(pts[keep], dtype=np.float32)
 
     cleaned = pc.PointCloud.from_numpy(cleaned_pts)
+    # Full scoring deliberately (no score_subsample even when bench used
+    # the tournament): parity passing then proves the fused tournament
+    # winner coincides with the exact full-scoring winner — the stronger
+    # claim. The shared config above ensures every OTHER knob matches.
     plane = pc.ransac_plane_seeded(cleaned, RANSAC_THRESH, RANSAC_ITERS, seed)
     obstacles = cleaned.select_inverse(plane.inliers)
     clusters = pc.euclidean_cluster(obstacles, CLUSTER_R, MIN_SIZE, MAX_SIZE)
 
     obs_pts = obstacles.to_numpy()
-    exact_sizes = [len(c) for c in clusters]
-    fused_sizes = [int(v) for v in np.diff(fused_offsets)]
-    ok = exact_sizes == fused_sizes
-    if ok:
-        for i, c in enumerate(clusters):
-            a = np.sort(obs_pts[c], axis=0)
-            f = np.sort(
-                fused_points[fused_offsets[i] : fused_offsets[i + 1]], axis=0
-            )
-            if not np.array_equal(a, f):
-                ok = False
-                break
+    exact = _canon_clusters([obs_pts[c] for c in clusters])
+    fused = _canon_clusters([
+        fused_points[fused_offsets[i] : fused_offsets[i + 1]]
+        for i in range(len(fused_offsets) - 1)
+    ])
+    exact_sizes = [len(c) for c in exact]
+    fused_sizes = [len(c) for c in fused]
+    ok = exact_sizes == fused_sizes and all(
+        np.array_equal(a, f) for a, f in zip(exact, fused)
+    )
     print(
         json.dumps(
             {
@@ -94,6 +125,7 @@ def main():
                 "exact_sizes": exact_sizes,
                 "fused_sizes": fused_sizes,
                 "exact_cleaned": int(keep.sum()),
+                "params": params,
             }
         )
     )
