@@ -172,6 +172,19 @@ PyObject* py_radius(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
         buf.resize((size_t)cnt);
         cnt = pcidx_radius((void*)ix, q, r, buf.data(), (int64_t)buf.size());
     }
+    if (cnt == 0) {
+        // Shared zero-length result (created under the GIL once): a fresh
+        // PyArray_SimpleNew costs ~0.1 us — a large slice of a zero-hit
+        // query, the reference benchmark's common case.
+        static PyObject* empty = nullptr;
+        if (!empty) {
+            npy_intp zero = 0;
+            empty = PyArray_SimpleNew(1, &zero, NPY_INT64);
+            if (!empty) return nullptr;
+        }
+        Py_INCREF(empty);
+        return empty;
+    }
     npy_intp dim = (npy_intp)cnt;
     PyObject* out = PyArray_SimpleNew(1, &dim, NPY_INT64);
     if (!out) return nullptr;
