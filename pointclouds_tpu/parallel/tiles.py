@@ -81,41 +81,23 @@ class TiledKittiOutput(NamedTuple):
     flags: jax.Array  # bool[B, 4]: route/ds/halo overflow, obstacle ovf
 
 
-def _tiled_frame(xyz, valid, voxel, sor_std, ransac_thresh, seed,
-                 cluster_r, *, p: int, factor: int, sor_k: int,
-                 ransac_iters: int, ransac_subsample, obstacle_cap: int,
-                 pair_cap: int, ds_tile_cap: int, halo_cap: int,
-                 halo_cells: int, table_size: int, use_kernel: bool):
-    """One frame on one tile (runs under shard_map over the ``points``
-    axis; ``xyz`` is this device's raw row shard [n/P, 3])."""
+def _route_to_tiles(ckey, x, y, z, use, ext_v, esc, *, p: int,
+                    factor: int, pair_cap: int):
+    """Quantile route + all_to_all + local merge shared by the tiled
+    pipelines. Returns (mkey, mx, my, mz, route_overflow, lo_t, hi_t):
+    this tile's merged, canonically sorted rows plus its owned sor-x
+    column range [lo_t, hi_t)."""
     t = jax.lax.axis_index("points")
-    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
-    use = jnp.logical_and(valid, finite)
-
-    # ── Global voxel lattice (pmin/pmax over tiles) ──
-    c = cell_coords(xyz, voxel)
-    big32 = jnp.int32(2**30)
-    mn_loc = jnp.min(jnp.where(use[:, None], c, big32), axis=0)
-    mn_v = jnp.minimum(jax.lax.pmin(mn_loc, "points"), big32 - 1)
-    rel = jnp.clip(c - mn_v[None, :], 0, None)
-    mx_loc = jnp.max(jnp.where(use[:, None], rel, 0), axis=0)
-    mx_rel = jax.lax.pmax(mx_loc, "points")
-    ext_v = mx_rel + 1
-    ext64 = ext_v.astype(jnp.int64)
-    esc = mx_rel // factor + 1  # global sor-grid extent
-    esc64 = esc.astype(jnp.int64)
-    table_overflow = jnp.logical_or(
-        (esc64[0] * esc64[1] * esc64[2]) > table_size,
-        (ext64[0] * ext64[1] * ext64[2]) > 2**31 - 2,
-    )
-
-    ckey64 = (rel[:, 0].astype(jnp.int64) * ext64[1] + rel[:, 1]) * ext64[
-        2
-    ] + rel[:, 2]
-    ckey = jnp.where(
-        use, jnp.clip(ckey64, 0, 2**31 - 2).astype(jnp.int32), _INVALID32
-    )
+    if p == 1:
+        # Single-tile fast path: no routing, no halos — ONE canonical
+        # sort IS the merged frame (v1 paid a 5-channel route sort + a
+        # full re-"merge" sort + the halo machinery for nothing at
+        # points=1: measured 1.8x the plain pipeline per frame).
+        mkey, mx_, my_, mz_ = jax.lax.sort(
+            (ckey, x, y, z), num_keys=1, is_stable=True
+        )
+        return (mkey, mx_, my_, mz_, jnp.asarray(False), jnp.int32(0),
+                jnp.maximum(esc[0], 1))
 
     # ── ROUTE: all_to_all by owning tile of the sor-x column ──
     # QUANTILE boundaries: tiles own equal point COUNTS, not equal x
@@ -127,14 +109,18 @@ def _tiled_frame(xyz, valid, voxel, sor_std, ransac_thresh, seed,
     # sor cells (and therefore to whole voxels).
     nbins = 2048
     esc0 = jnp.maximum(esc[0], 1)
-    sxc = (rel[:, 0] // factor).astype(jnp.int32)
-    binof = jnp.clip(
-        (sxc.astype(jnp.int64) * nbins // esc0.astype(jnp.int64)).astype(
-            jnp.int32
-        ),
-        0,
-        nbins - 1,
-    )
+    eyz_v = jnp.maximum(ext_v[1] * ext_v[2], 1)
+
+    def bin_of(keys):
+        r0 = keys // eyz_v
+        return jnp.clip(
+            ((r0 // factor).astype(jnp.int64) * nbins
+             // esc0.astype(jnp.int64)).astype(jnp.int32),
+            0,
+            nbins - 1,
+        )
+
+    binof = bin_of(ckey)
     hist = jnp.zeros((nbins,), jnp.int32).at[
         jnp.where(use, binof, nbins - 1)
     ].add(jnp.where(use, 1, 0))
@@ -150,8 +136,6 @@ def _tiled_frame(xyz, valid, voxel, sor_std, ransac_thresh, seed,
         0,
         p - 1,
     )  # monotone in bin
-    dest = jnp.take(dest_of_bin, binof)
-    dest = jnp.where(use, dest, p)  # invalid rows sort last, never sent
     # Tile sor-x bounds (for the halo membership tests below): my first
     # owned bin = #bins owned by smaller tiles; bin b covers sor-x
     # [ceil(b*esc0/nbins), ...) by the binof mapping above.
@@ -161,12 +145,20 @@ def _tiled_frame(xyz, valid, voxel, sor_std, ransac_thresh, seed,
     lo_t = lo_t.astype(jnp.int32)
     hi_t = -((-hi_bin.astype(jnp.int64) * esc0.astype(jnp.int64)) // nbins)
     hi_t = hi_t.astype(jnp.int32)
-    # One stable 2-key sort groups rows by destination and orders each
-    # group by canonical voxel key, so received segments arrive
-    # PRE-SORTED and ties keep ascending-original-row order (the
-    # canonical combine-tree order — bitwise centroid parity).
-    sdest, skey, sx, sy, sz = jax.lax.sort(
-        (dest, ckey, x, y, z), num_keys=2, is_stable=True
+    # ONE stable 1-key sort both groups rows by destination and orders
+    # each group canonically: dest is a NON-DECREASING function of the
+    # sor-x column (quantile cut points are monotone in bin, bin in
+    # sor-x), and ckey orders by r0 = voxel-x first, so ascending ckey
+    # already implies ascending dest — the v1 2-key (dest, ckey) sort
+    # paid a 5th full-n channel for nothing. Ties keep ascending-
+    # original-row order (the canonical combine-tree order — bitwise
+    # centroid parity). sdest is recomputed elementwise from the sorted
+    # keys.
+    skey, sx, sy, sz = jax.lax.sort(
+        (ckey, x, y, z), num_keys=1, is_stable=True
+    )
+    sdest = jnp.where(
+        skey != _INVALID32, jnp.take(dest_of_bin, bin_of(skey)), jnp.int32(p)
     )
     cnt = jnp.sum(
         (sdest[None, :] == jnp.arange(p, dtype=jnp.int32)[:, None]).astype(
@@ -208,17 +200,70 @@ def _tiled_frame(xyz, valid, voxel, sor_std, ransac_thresh, seed,
         num_keys=1,
         is_stable=True,
     )
+    return mkey, mx_, my_, mz_, route_overflow, lo_t, hi_t
 
-    # ── Tile-local voxel downsample (global lattice) ──
-    ep = voxel_scan_sor_epilogue(
-        mkey, mx_, my_, mz_, ext_v, esc, factor=factor,
-        ds_cap=ds_tile_cap, table_size=table_size, use_kernel=use_kernel,
+
+def _tiled_frame(xyz, valid, voxel, sor_std, ransac_thresh, seed,
+                 cluster_r, *, p: int, factor: int, sor_k: int,
+                 ransac_iters: int, ransac_subsample, obstacle_cap: int,
+                 pair_cap: int, ds_tile_cap: int, halo_cap: int,
+                 halo_cells: int, table_size: int, use_kernel: bool):
+    """One frame on one tile (runs under shard_map over the ``points``
+    axis; ``xyz`` is this device's raw row shard [n/P, 3])."""
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
+    use = jnp.logical_and(valid, finite)
+
+    # ── Global voxel lattice (pmin/pmax over tiles) ──
+    c = cell_coords(xyz, voxel)
+    big32 = jnp.int32(2**30)
+    mn_loc = jnp.min(jnp.where(use[:, None], c, big32), axis=0)
+    mn_v = jnp.minimum(jax.lax.pmin(mn_loc, "points"), big32 - 1)
+    rel = jnp.clip(c - mn_v[None, :], 0, None)
+    mx_loc = jnp.max(jnp.where(use[:, None], rel, 0), axis=0)
+    mx_rel = jax.lax.pmax(mx_loc, "points")
+    ext_v = mx_rel + 1
+    ext64 = ext_v.astype(jnp.int64)
+    esc = mx_rel // factor + 1  # global sor-grid extent
+    esc64 = esc.astype(jnp.int64)
+    table_overflow = jnp.logical_or(
+        (esc64[0] * esc64[1] * esc64[2]) > table_size,
+        (ext64[0] * ext64[1] * ext64[2]) > 2**31 - 2,
     )
-    centroids, ds_valid = ep["centroids"], ep["out_valid"]
-    slin, canon = ep["slin"], ep["canon"]
-    ds_overflow = ep["ds_overflow"]
 
-    # ── HALO exchange (ppermute of boundary sor-cell slabs) ──
+    ckey64 = (rel[:, 0].astype(jnp.int64) * ext64[1] + rel[:, 1]) * ext64[
+        2
+    ] + rel[:, 2]
+    ckey = jnp.where(
+        use, jnp.clip(ckey64, 0, 2**31 - 2).astype(jnp.int32), _INVALID32
+    )
+
+    mkey, mx_, my_, mz_, route_overflow, lo_t, hi_t = _route_to_tiles(
+        ckey, x, y, z, use, ext_v, esc, p=p, factor=factor,
+        pair_cap=pair_cap,
+    )
+    return _tiled_frame_tail(
+        mkey, mx_, my_, mz_, route_overflow, lo_t, hi_t, mn_v, ext_v,
+        esc, table_overflow, voxel, sor_std, ransac_thresh, seed,
+        cluster_r, p=p, factor=factor, sor_k=sor_k,
+        ransac_iters=ransac_iters, ransac_subsample=ransac_subsample,
+        obstacle_cap=obstacle_cap, ds_tile_cap=ds_tile_cap,
+        halo_cap=halo_cap, halo_cells=halo_cells,
+        table_size=table_size, use_kernel=use_kernel,
+    )
+
+
+def _halo_merge(centroids, ds_valid, slin, esc, lo_t, hi_t, *, p: int,
+                halo_cells: int, halo_cap: int, ds_tile_cap: int,
+                table_size: int):
+    """Exchange ``halo_cells``-deep boundary sor-cell slabs with the x
+    neighbors and merge (left halo | own | right halo) keeping global
+    sort order. Returns (m_xyz, m_valid, m_slin, nli, halo_overflow):
+    merged rows (own rows start at ``nli``) for a prebuilt sweep
+    structure whose owned-row results match the unsharded op's.
+
+    Shared by the tiled KITTI (SOR halos) and aerial (normals
+    halos) pipelines."""
     eyz = jnp.maximum(esc[1], 1) * jnp.maximum(esc[2], 1)
     row_sx = jnp.where(ds_valid, slin // eyz, _INVALID32)
     nown = jnp.sum(ds_valid.astype(jnp.int32))
@@ -321,6 +366,36 @@ def _tiled_frame(xyz, valid, voxel, sor_std, ransac_thresh, seed,
     )
     m_valid = jnp.logical_and(mvalid, m_slin < table_size)
 
+    return (m_xyz, m_valid, m_slin, nli,
+            jnp.logical_or(left_overflow, right_overflow))
+
+
+def _tiled_frame_tail(mkey, mx_, my_, mz_, route_overflow, lo_t, hi_t,
+                      mn_v, ext_v, esc, table_overflow, voxel, sor_std,
+                      ransac_thresh, seed, cluster_r, *, p: int,
+                      factor: int, sor_k: int, ransac_iters: int,
+                      ransac_subsample, obstacle_cap: int,
+                      ds_tile_cap: int, halo_cap: int, halo_cells: int,
+                      table_size: int, use_kernel: bool):
+    """Everything downstream of the route/merge: tile-local voxel
+    epilogue, halo exchange, SOR, psum'd keep threshold, replicated
+    tail. Split out so the p == 1 fast path can skip routing."""
+    # ── Tile-local voxel downsample (global lattice) ──
+    ep = voxel_scan_sor_epilogue(
+        mkey, mx_, my_, mz_, ext_v, esc, factor=factor,
+        ds_cap=ds_tile_cap, table_size=table_size, use_kernel=use_kernel,
+    )
+    centroids, ds_valid = ep["centroids"], ep["out_valid"]
+    slin, canon = ep["slin"], ep["canon"]
+    ds_overflow = ep["ds_overflow"]
+
+    # ── HALO exchange + merge (shared helper) ──
+    m_xyz, m_valid, m_slin, nli, halo_ovf = _halo_merge(
+        centroids, ds_valid, slin, esc, lo_t, hi_t, p=p,
+        halo_cells=halo_cells, halo_cap=halo_cap,
+        ds_tile_cap=ds_tile_cap, table_size=table_size,
+    )
+
     # ── Tile-local SOR (prebuilt structure on the merged sorted frame) ──
     hi_v = jnp.max(
         jnp.maximum(jnp.abs(mn_v), jnp.abs(mn_v + ext_v)).astype(jnp.float32)
@@ -406,13 +481,7 @@ def _tiled_frame(xyz, valid, voxel, sor_std, ransac_thresh, seed,
         [
             jax.lax.pmax(route_overflow.astype(jnp.int32), "points") > 0,
             jax.lax.pmax(ds_overflow.astype(jnp.int32), "points") > 0,
-            jax.lax.pmax(
-                jnp.logical_or(left_overflow, right_overflow).astype(
-                    jnp.int32
-                ),
-                "points",
-            )
-            > 0,
+            jax.lax.pmax(halo_ovf.astype(jnp.int32), "points") > 0,
             obs_overflow,
         ]
     )
@@ -508,6 +577,233 @@ def tiled_kitti_pipeline(
             P(),
             P(),
             P("frames"),
+            P(),
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+class TiledAerialOutput(NamedTuple):
+    plane_normal: jax.Array  # f32[B, 3]
+    plane_d: jax.Array  # f32[B]
+    centroids: jax.Array  # f32[B, P*DCAP, 3] gathered, tile-major order
+    downsampled_valid: jax.Array  # bool[B, P*DCAP]
+    normals: jax.Array  # f32[B, P*DCAP, 3]
+    normals_ok: jax.Array  # bool[B, P*DCAP]
+    obstacle_xyz: jax.Array  # f32[B, CAP, 3]
+    obstacle_valid: jax.Array  # bool[B, CAP]
+    labels: jax.Array  # i32[B, CAP]
+    cluster_exact: jax.Array  # bool[B]
+    flags: jax.Array  # bool[B, 4]: route/ds/halo overflow, obstacle ovf
+
+
+def _tiled_aerial_frame(xyz, valid, voxel, ransac_thresh, seed, cluster_r,
+                        viewpoint, *, p: int, factor: int, normals_k: int,
+                        ransac_iters: int, ransac_subsample,
+                        obstacle_cap: int, pair_cap: int, ds_tile_cap: int,
+                        halo_cap: int, halo_cells: int, table_size: int,
+                        use_kernel: bool, cluster_wr: int):
+    """One aerial frame on one tile: route -> tile-local voxel ->
+    halo -> tile-local KNN-moments normals -> replicated RANSAC+cluster
+    tail. The moments search reaches one normals cell (= ``factor``
+    voxels), so ``halo_cells`` = 1 reproduces the unsharded candidate
+    sets for owned rows (mirrors pipelines/aerial.py, which runs no
+    rescue by default)."""
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
+    use = jnp.logical_and(valid, finite)
+
+    c = cell_coords(xyz, voxel)
+    big32 = jnp.int32(2**30)
+    mn_loc = jnp.min(jnp.where(use[:, None], c, big32), axis=0)
+    mn_v = jnp.minimum(jax.lax.pmin(mn_loc, "points"), big32 - 1)
+    rel = jnp.clip(c - mn_v[None, :], 0, None)
+    mx_loc = jnp.max(jnp.where(use[:, None], rel, 0), axis=0)
+    mx_rel = jax.lax.pmax(mx_loc, "points")
+    ext_v = mx_rel + 1
+    ext64 = ext_v.astype(jnp.int64)
+    esc = mx_rel // factor + 1
+    esc64 = esc.astype(jnp.int64)
+    table_overflow = jnp.logical_or(
+        (esc64[0] * esc64[1] * esc64[2]) > table_size,
+        (ext64[0] * ext64[1] * ext64[2]) > 2**31 - 2,
+    )
+    ckey64 = (rel[:, 0].astype(jnp.int64) * ext64[1] + rel[:, 1]) * ext64[
+        2
+    ] + rel[:, 2]
+    ckey = jnp.where(
+        use, jnp.clip(ckey64, 0, 2**31 - 2).astype(jnp.int32), _INVALID32
+    )
+
+    mkey, mx_, my_, mz_, route_overflow, lo_t, hi_t = _route_to_tiles(
+        ckey, x, y, z, use, ext_v, esc, p=p, factor=factor,
+        pair_cap=pair_cap,
+    )
+
+    ep = voxel_scan_sor_epilogue(
+        mkey, mx_, my_, mz_, ext_v, esc, factor=factor,
+        ds_cap=ds_tile_cap, table_size=table_size, use_kernel=use_kernel,
+    )
+    centroids, ds_valid = ep["centroids"], ep["out_valid"]
+    slin, canon = ep["slin"], ep["canon"]
+    ds_overflow = ep["ds_overflow"]
+
+    m_xyz, m_valid, m_slin, nli, halo_ovf = _halo_merge(
+        centroids, ds_valid, slin, esc, lo_t, hi_t, p=p,
+        halo_cells=halo_cells, halo_cap=halo_cap,
+        ds_tile_cap=ds_tile_cap, table_size=table_size,
+    )
+
+    # ── Tile-local KNN-moments normals on the merged frame ──
+    from ..ops.normals import normals_from_moment_rows
+    from ..spatial.sweep import sweep_knn_moments_rows
+
+    hi_v = jnp.max(
+        jnp.maximum(jnp.abs(mn_v), jnp.abs(mn_v + ext_v)).astype(jnp.float32)
+    )
+    hi_cells = (hi_v + float(factor)) / float(factor)
+    prebuilt = structure_from_sorted(
+        m_xyz, m_valid, m_slin, esc, hi_cells, table_overflow, wr=4,
+        table_size=table_size,
+    )
+    normals_cell = voxel * float(factor)
+    m1r, m2r, cnt, nok_m = sweep_knn_moments_rows(
+        m_xyz, m_valid, normals_cell, k=normals_k, use_kernel=use_kernel,
+        prebuilt=prebuilt,
+    )
+    nli32 = nli.astype(jnp.int32)  # the psum'd count is i64 under x64
+    m1o = jax.lax.dynamic_slice(m1r, (jnp.int32(0), nli32), (3, ds_tile_cap))
+    m2o = jax.lax.dynamic_slice(m2r, (jnp.int32(0), nli32), (6, ds_tile_cap))
+    cnto = jax.lax.dynamic_slice(cnt, (nli32,), (ds_tile_cap,))
+    nok = jax.lax.dynamic_slice(nok_m, (nli32,), (ds_tile_cap,))
+    normals = normals_from_moment_rows(m1o, m2o, cnto, centroids, viewpoint)
+
+    # ── TAIL (replicated): gather, RANSAC, obstacle compaction, cluster ──
+    g_xyz = jax.lax.all_gather(centroids, "points", axis=0, tiled=True)
+    g_valid = jax.lax.all_gather(ds_valid, "points", axis=0, tiled=True)
+    g_normals = jax.lax.all_gather(normals, "points", axis=0, tiled=True)
+    g_nok = jax.lax.all_gather(nok, "points", axis=0, tiled=True)
+    g_canon = jax.lax.all_gather(
+        jnp.where(ds_valid, canon, _INVALID32), "points", axis=0, tiled=True
+    )
+    gkey = jnp.where(g_valid, g_canon, _INVALID32)
+    _, position_rows = jax.lax.sort(
+        (gkey, jnp.arange(gkey.shape[0], dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=True,
+    )
+    normal, d, inlier = ransac_plane_masked(
+        g_xyz, g_valid, ransac_thresh, seed, ransac_iters,
+        score_subsample=ransac_subsample, use_kernel=False,
+        adaptive=(ransac_subsample is None),
+        position_rows=position_rows,
+    )
+    obstacle = jnp.logical_and(g_valid, jnp.logical_not(inlier))
+    from ..core.cloud import compaction_order
+
+    order = compaction_order(obstacle)
+    obs_src = order[:obstacle_cap].astype(jnp.int32)
+    obs_valid = jnp.take(obstacle, obs_src)
+    obs_xyz = jnp.take(g_xyz, obs_src, axis=0)
+    n_obstacle = jnp.sum(obstacle.astype(jnp.int32))
+    obs_overflow = n_obstacle > obstacle_cap
+    labels, cluster_exact = sweep_cluster_labels(
+        obs_xyz, obs_valid, cluster_r, wr=cluster_wr,
+        use_kernel=use_kernel, rep_labels=False, row_cap=None,
+    )
+
+    flags = jnp.stack(
+        [
+            jax.lax.pmax(route_overflow.astype(jnp.int32), "points") > 0,
+            jax.lax.pmax(ds_overflow.astype(jnp.int32), "points") > 0,
+            jax.lax.pmax(halo_ovf.astype(jnp.int32), "points") > 0,
+            obs_overflow,
+        ]
+    )
+    return TiledAerialOutput(
+        plane_normal=normal,
+        plane_d=d,
+        centroids=g_xyz,
+        downsampled_valid=g_valid,
+        normals=g_normals,
+        normals_ok=g_nok,
+        obstacle_xyz=obs_xyz,
+        obstacle_valid=obs_valid,
+        labels=labels,
+        cluster_exact=cluster_exact,
+        flags=flags,
+    )
+
+
+def tiled_aerial_pipeline(
+    mesh: Mesh,
+    n: int,
+    *,
+    normals_k: int = 15,
+    normals_cell_factor: int = 6,
+    ransac_iters: int = 300,
+    ransac_subsample: int | None = 4096,
+    obstacle_cap: int = 262_144,
+    cluster_wr: int = 12,
+    halo_cells: int = 1,
+    tile_slack: float = 1.3,
+    table_size: int = 1 << 21,
+    use_kernel: bool | None = None,
+):
+    """Jitted tiled AERIAL pipeline over ``mesh`` ("frames", "points"):
+    (xyz [B, n, 3], valid [B, n], voxel, ransac_thresh, seeds [B],
+    cluster_r, viewpoint f32[3]) -> TiledAerialOutput batched over
+    frames. The normals certification cell is ``normals_cell_factor``
+    voxels (6 x 0.5 m = the demo's 3.0 m)."""
+    p = mesh.shape["points"]
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    pair_cap = _round128(int(n // p // p * tile_slack)) if p > 1 else _round128(n)
+    ds_tile_cap = _round128(p * pair_cap)
+    halo_cap = _round128(max(n // (p * 8), 1024))
+
+    frame = partial(
+        _tiled_aerial_frame, p=p, factor=int(normals_cell_factor),
+        normals_k=normals_k, ransac_iters=ransac_iters,
+        ransac_subsample=ransac_subsample, obstacle_cap=obstacle_cap,
+        pair_cap=pair_cap, ds_tile_cap=ds_tile_cap, halo_cap=halo_cap,
+        halo_cells=halo_cells, table_size=table_size,
+        use_kernel=use_kernel, cluster_wr=cluster_wr,
+    )
+
+    def body(xs, vs, voxel, r_thresh, seeds, cluster_r, viewpoint):
+        return jax.vmap(
+            lambda xyz, valid, seed: frame(
+                xyz, valid, voxel, r_thresh, seed, cluster_r, viewpoint
+            )
+        )(xs, vs, seeds)
+
+    fspec = P("frames")
+    out_specs = TiledAerialOutput(
+        plane_normal=P("frames", None),
+        plane_d=fspec,
+        centroids=P("frames", None, None),
+        downsampled_valid=P("frames", None),
+        normals=P("frames", None, None),
+        normals_ok=P("frames", None),
+        obstacle_xyz=P("frames", None, None),
+        obstacle_valid=P("frames", None),
+        labels=P("frames", None),
+        cluster_exact=fspec,
+        flags=P("frames", None),
+    )
+    sm = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("frames", "points", None),
+            P("frames", "points"),
+            P(),
+            P(),
+            P("frames"),
+            P(),
             P(),
         ),
         out_specs=out_specs,
