@@ -379,6 +379,7 @@ def voxel_downsample_sweep_fused(xyz, valid, voxel_size, *, factor: int,
         extent=esc,
         hi_cells=hi_cells,
         table_overflow=table_overflow,
+        mn_v=mn_v,
     )
 
 
@@ -430,14 +431,11 @@ def passthrough_mask(xyz, valid, axis_index: int, lo, hi):
     return jnp.logical_and(valid, keep)
 
 
-def sor_keep_mask(mean_dists, valid, std_mul):
-    """Statistical-outlier keep mask from per-point mean neighbor distances.
-
-    Global mean and *population* stddev are computed over finite mean
-    distances only; points kept iff mean_dist <= mean + std_mul * std
-    (ref: crates/filters/src/statistical_outlier.rs:43-66). Non-finite
-    mean distances (isolated / non-finite points) always fail the <=.
-    """
+def sor_keep_mask_thr(mean_dists, valid, std_mul):
+    """`sor_keep_mask` + the f64 threshold itself (for the keep-DECISION
+    certificate: a flagged row whose mean LOWER bound exceeds thr is
+    provably removed; one whose UPPER bound passes <= thr is provably
+    kept — pipelines/kitti.py)."""
     finite = jnp.logical_and(valid, jnp.isfinite(mean_dists))
     # f64 accumulation: the threshold becomes insensitive (to ~1e-16
     # relative) to the reduction ORDER, so sharded/tiled executions that
@@ -453,7 +451,18 @@ def sor_keep_mask(mean_dists, valid, std_mul):
     # If no finite mean distances exist the reference returns an empty cloud
     # (ref :52-54); mean over zero samples would be 0 here, but the <= above
     # already fails for every point since all mean_dists are +inf.
-    return keep
+    return keep, threshold
+
+
+def sor_keep_mask(mean_dists, valid, std_mul):
+    """Statistical-outlier keep mask from per-point mean neighbor distances.
+
+    Global mean and *population* stddev are computed over finite mean
+    distances only; points kept iff mean_dist <= mean + std_mul * std
+    (ref: crates/filters/src/statistical_outlier.rs:43-66). Non-finite
+    mean distances (isolated / non-finite points) always fail the <=.
+    """
+    return sor_keep_mask_thr(mean_dists, valid, std_mul)[0]
 
 
 def sor_mean_dists_from_knn(neighbor_dists, neighbor_valid, query_finite):

@@ -403,20 +403,17 @@ def _tiled_frame_tail(mkey, mx_, my_, mz_, route_overflow, lo_t, hi_t,
     hi_cells = (hi_v + float(factor)) / float(factor)
     prebuilt = structure_from_sorted(
         m_xyz, m_valid, m_slin, esc, hi_cells, table_overflow, wr=4,
-        table_size=table_size,
+        table_size=table_size, grid_origin=(mn_v, voxel, factor),
     )
     sor_cell = voxel * float(factor)
-    means_m, ok_m, _ = sweep_sor_two_pass(
+    means_m, ok_m, _, lb_m = sweep_sor_two_pass(
         m_xyz, m_valid, sor_cell, k=sor_k, rescue_cells=float(halo_cells),
         per_seg=2, use_kernel=use_kernel, prebuilt=prebuilt, row_cap=12,
+        with_lb=True,
     )
     means = jax.lax.dynamic_slice(means_m, (nli,), (ds_tile_cap,))
     ok_own = jax.lax.dynamic_slice(ok_m, (nli,), (ds_tile_cap,))
-    cert_loc = jnp.logical_and(
-        jnp.all(jnp.logical_or(ok_own, jnp.logical_not(ds_valid))),
-        jnp.logical_not(table_overflow),
-    )
-    sor_certified = jax.lax.pmin(cert_loc.astype(jnp.int32), "points") > 0
+    lb_own = jax.lax.dynamic_slice(lb_m, (nli,), (ds_tile_cap,))
 
     # Global keep threshold: psum'd mean/variance of finite mean dists.
     # f64 partials (matching sor_keep_mask's f64 accumulation) make the
@@ -434,6 +431,17 @@ def _tiled_frame_tail(mkey, mx_, my_, mz_, route_overflow, lo_t, hi_t,
     )
     thr = gmean + sor_std.astype(jnp.float64) * jnp.sqrt(s2 / n0)
     keep = jnp.logical_and(ds_valid, m64 <= thr)
+    # Keep-DECISION certificate (same argument as pipelines/kitti.py):
+    # exact mean, OR upper-bound mean already keeps, OR proven lower
+    # bound exceeds the threshold (removal certified).
+    decision_ok = jnp.logical_or(
+        jnp.logical_or(ok_own, keep), lb_own.astype(jnp.float64) > thr
+    )
+    cert_loc = jnp.logical_and(
+        jnp.all(jnp.logical_or(decision_ok, jnp.logical_not(ds_valid))),
+        jnp.logical_not(table_overflow),
+    )
+    sor_certified = jax.lax.pmin(cert_loc.astype(jnp.int32), "points") > 0
 
     # ── TAIL (replicated): gather cleaned centroids, RANSAC + cluster ──
     g_xyz = jax.lax.all_gather(centroids, "points", axis=0, tiled=True)
@@ -666,7 +674,7 @@ def _tiled_aerial_frame(xyz, valid, voxel, ransac_thresh, seed, cluster_r,
     hi_cells = (hi_v + float(factor)) / float(factor)
     prebuilt = structure_from_sorted(
         m_xyz, m_valid, m_slin, esc, hi_cells, table_overflow, wr=4,
-        table_size=table_size,
+        table_size=table_size, grid_origin=(mn_v, voxel, factor),
     )
     normals_cell = voxel * float(factor)
     m1r, m2r, cnt, nok_m = sweep_knn_moments_rows(

@@ -95,7 +95,10 @@ def kitti_obstacle_pipeline(
     cluster_m: int = 24,
     sor_cell_cap: int = 16384,
     cluster_cell_cap: int = 8192,
-    sor_fix_cap: int = 8192,
+    # 4096: with priority rescue + the decision certificate the rescue
+    # only needs the no-lower-bound rows (~2.4K at the bench operating
+    # point); cap adequacy is PROVEN per frame by sor_certified.
+    sor_fix_cap: int = 4096,
     sor_backend: str = "auto",
     ds_cap: int | None = None,
     ransac_subsample: int | None = None,
@@ -150,6 +153,10 @@ def kitti_obstacle_pipeline(
             fe["hi_cells"],
             fe["table_overflow"],
             wr=4,
+            # Voxel-lattice origin: pass 1 certifies with the per-query
+            # coverage radius (1.0-1.5 cells) instead of the worst-case
+            # cell width — several-fold fewer flagged rows.
+            grid_origin=(fe["mn_v"], voxel_size, factor),
         )
     else:
         centroids_full, ds_valid_full = voxel_downsample_masked(
@@ -181,13 +188,16 @@ def kitti_obstacle_pipeline(
         # certifies up to 4 cell widths; points isolated beyond that keep
         # upper-bound means and uncertified status — removed by SOR, which
         # matches the exact engine's verdict at any practical threshold).
-        mean_dists, point_ok, sor_certified = sweep_sor_two_pass(
+        mean_dists, point_ok, sor_certified, mean_lb = sweep_sor_two_pass(
             centroids,
             ds_valid,
             sor_cell,
             k=sor_k,
             fix_cap=sor_fix_cap,
-            rescue_cells=4.0,
+            # 8 cells: the count-short lower bound (total + missing*R)/k
+            # must clear any practical keep threshold — at 4 cells the
+            # sparse rows' removal stayed unprovable (R=1.8 m < thr).
+            rescue_cells=8.0,
             per_seg=sor_per_seg,  # 3 = one fewer insertion level; the
             # ~160 extra segment-certificate flags are rescued exactly
             use_kernel=(sor_backend == "sweep"),
@@ -197,6 +207,7 @@ def kitti_obstacle_pipeline(
             # Velodyne frames; overflowing blocks flow to the exact
             # in-place rescue.
             row_cap=sor_row_cap,
+            with_lb=True,
         )
         grid_overflow = jnp.asarray(False)
         grid_table_overflow = jnp.asarray(False)
@@ -263,7 +274,32 @@ def kitti_obstacle_pipeline(
                 | coarse.table_overflow
             ),
         )
-    cleaned_valid = sor_keep_mask(mean_dists, ds_valid, sor_std)
+    if sor_backend in ("sweep", "sweep_xla"):
+        from ..ops.filters import sor_keep_mask_thr
+
+        cleaned_valid, sor_thr = sor_keep_mask_thr(
+            mean_dists, ds_valid, sor_std
+        )
+        # Keep-DECISION certificate: a query is decision-certified when
+        # its mean is exact (point_ok), OR its upper-bound mean already
+        # passes the keep test (true mean <= UB <= thr => keep correct),
+        # OR its PROVEN lower bound exceeds the threshold (true mean >=
+        # LB > thr => removal correct — this is the isolated-point
+        # argument folded into the certificate: candidates are complete
+        # within the coverage/rescue radius, so the missing neighbors
+        # are each provably farther). The threshold is the computed one
+        # (flagged rows contribute upper-bound means to mu/sigma; the
+        # external f64 oracle replay, scripts/verify_kitti_parity.py,
+        # independently validates the measured frame end-to-end).
+        decision_ok = jnp.logical_or(
+            jnp.logical_or(point_ok, cleaned_valid),
+            mean_lb.astype(jnp.float64) > sor_thr,
+        )
+        sor_certified = jnp.all(
+            jnp.logical_or(decision_ok, jnp.logical_not(ds_valid))
+        )
+    else:
+        cleaned_valid = sor_keep_mask(mean_dists, ds_valid, sor_std)
 
     # ── Step 3: RANSAC ground plane ────────────────────────────────────────
     # ransac_subsample: tournament scoring (subsample + top-8 full-cloud

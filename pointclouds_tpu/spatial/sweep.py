@@ -243,14 +243,24 @@ def _planar_padded(planar):
 
 def structure_from_sorted(xyz_sorted, valid_sorted, slin, extent, hi_cells,
                           table_overflow, wr: int,
-                          table_size: int = SWEEP_TABLE_SIZE):
+                          table_size: int = SWEEP_TABLE_SIZE,
+                          grid_origin=None):
     """Sweep structure for rows ALREADY sorted by ascending sor-cell id
     (identity permutation — e.g. `voxel_downsample_sweep_frontend` output).
     Skips the payload sort, the inverse-permutation sort, and downstream
     consumers skip the unsort gather: results stay in row order.
 
     ``slin`` i32[N]: per-row linear cell id, ascending, ``table_size``
-    sentinel on invalid rows (which must occupy the tail)."""
+    sentinel on invalid rows (which must occupy the tail).
+
+    ``grid_origin``: optional (mn_v i32[3], voxel_size f32, factor int)
+    — the voxel-lattice origin the cell ids were derived from (cell a of
+    axis j spans coords [voxel*(mn_v[j] + a*factor),
+    voxel*(mn_v[j] + (a+1)*factor))). When present, pass 1 certifies
+    with the PER-QUERY coverage radius (distance from the query to its
+    3x3x3 window slab boundary, 1.0-1.5 cells) instead of the
+    one-cell-width worst case — at the KITTI operating point that cuts
+    the flagged count several-fold."""
     n = xyz_sorted.shape[0]
     assert n % 128 == 0, n
     nrows = max(n // 128, wr)
@@ -295,6 +305,8 @@ def structure_from_sorted(xyz_sorted, valid_sorted, slin, extent, hi_cells,
         nrows=nrows,
         nb=nb,
         table_overflow=table_overflow,
+        slin_p=slin_p,
+        grid_origin=grid_origin,
     )
 
 
@@ -406,15 +418,54 @@ def _sweep_pass1(
             jnp.maximum(jnp.abs(mn), jnp.abs(mn + extent)).astype(jnp.float32)
         )
     margin = (hi_cells * 4.0 * 1.2e-7 + 1e-6) * cell_size
-    safe = jnp.maximum(cell_size - margin, 0.0)
-    cell2 = safe * safe
+    origin = s.get("grid_origin")
+    if origin is not None and s.get("slin_p") is not None:
+        # PER-QUERY coverage radius: the block windows span the full
+        # 3x3x3 cell neighborhood of every query's cell, so candidates
+        # within min-over-axes(distance from q to its slab's OUTER
+        # boundary) are provably all present — that radius is 1.0 cells
+        # only for queries AT a cell corner and up to 1.5 cells for
+        # centered ones (kth at k=20 sits right at ~1 cell width on
+        # KITTI ground, so the worst-case-width certificate flagged
+        # ~59% of rows; this per-query form certifies most of them).
+        # Slab corners are voxel * integer (exact to 1 ulp); the margin
+        # absorbs that and the query-coordinate rounding.
+        mn_v, voxel_g, factor_g = origin
+        sl = s["slin_p"][: nb * 128]
+        e1 = jnp.maximum(s["extent"][1], 1)
+        e2 = jnp.maximum(s["extent"][2], 1)
+        c0 = sl // (e1 * e2)
+        c1 = (sl // e2) % e1
+        c2 = sl % e2
+        qx = planar[:nb, 0, :].reshape(-1)
+        qy = planar[:nb, 1, :].reshape(-1)
+        qz = planar[:nb, 2, :].reshape(-1)
+        fg = jnp.int32(factor_g)
 
-    point_ok_s = jnp.logical_and(ok_sorted, count_s >= wantf)
-    point_ok_s = jnp.logical_and(point_ok_s, kth <= cell2)
-    point_ok_s = jnp.logical_and(point_ok_s, use_s)
-    point_ok_s = jnp.logical_and(
-        point_ok_s, jnp.logical_not(table_overflow)
+        def cov(c, q, a):
+            lo = voxel_g * ((mn_v[a] + (c - 1) * fg).astype(jnp.float32))
+            hi = voxel_g * ((mn_v[a] + (c + 2) * fg).astype(jnp.float32))
+            return jnp.minimum(q - lo, hi - q)
+
+        rcov = jnp.minimum(
+            jnp.minimum(cov(c0, qx, 0), cov(c1, qy, 1)), cov(c2, qz, 2)
+        )
+        safe_q = jnp.maximum(jnp.minimum(rcov, 1.5 * cell_size) - margin, 0.0)
+        cell2 = safe_q * safe_q
+    else:
+        safe = jnp.maximum(cell_size - margin, 0.0)
+        cell2 = safe * safe
+
+    # Machinery soundness alone (windows complete, selection certified):
+    # candidate sets are then provably COMPLETE within the coverage
+    # radius even when the kth-distance test below fails — the basis for
+    # the lower-bound decision certificate (with_lb consumers).
+    machine_ok_s = jnp.logical_and(
+        jnp.logical_and(ok_sorted, use_s),
+        jnp.logical_not(table_overflow),
     )
+    point_ok_s = jnp.logical_and(machine_ok_s, count_s >= wantf)
+    point_ok_s = jnp.logical_and(point_ok_s, kth <= cell2)
     certified = jnp.logical_not(
         jnp.any(jnp.logical_and(use_s, jnp.logical_not(point_ok_s)))
     )
@@ -433,6 +484,11 @@ def _sweep_pass1(
         extent=s["extent"],
         nb=nb,
         table_overflow=table_overflow,
+        total_s=total,
+        count_s=count_s,
+        safe2_s=cell2,
+        machine_ok_s=machine_ok_s,
+        kth_s=kth,
     )
     out["mean"], out["point_ok"] = _unsort_mean_ok(
         mean_s, point_ok_s, inv, n
@@ -559,6 +615,7 @@ RESCUE_GROUP_ROWS = 8  # candidate rows (of 128 points) per prune group
         "interpret",
         "use_kernel",
         "row_cap",
+        "with_lb",
     ),
 )
 def sweep_sor_two_pass(
@@ -576,6 +633,7 @@ def sweep_sor_two_pass(
     use_kernel: bool = True,
     prebuilt=None,
     row_cap: int | None = None,
+    with_lb: bool = False,
 ):
     """Pass-1 sweep + exact AABB-pruned brute rescue for flagged queries.
 
@@ -628,8 +686,26 @@ def sweep_sor_two_pass(
     # compaction concentrates that cost into flagged/128 blocks.)
     flagged_s = jnp.logical_and(use_s, jnp.logical_not(p["point_ok_s"]))
     radius = rescue_cells * cell_size
+    # Rows with >= want candidates found, an uncertifiable kth AND a
+    # large upper-bound mean carry NO decision certificate from pass 1
+    # (count-short rows get the count lower bound; small-UB rows certify
+    # their keep directly) — when flagged exceeds fix_cap, rescue these
+    # FIRST so every row ends up decision-certifiable. The 2-cell mean
+    # gate is a slot-saving heuristic only (any practical keep threshold
+    # is above it); the certificate itself is re-checked post-hoc.
+    hard_s = (
+        jnp.logical_and(
+            jnp.logical_and(
+                flagged_s,
+                p["count_s"] >= p["want"].astype(jnp.float32),
+            ),
+            p["mean_s"] > 2.0 * cell_size,
+        )
+        if with_lb
+        else None
+    )
     planar_g, q_planar, active, qvalid, qsel = _rescue_structure(
-        planar, None, flagged_s, fix_cap, nall, radius
+        planar, None, flagged_s, fix_cap, nall, radius, priority=hard_s
     )
     gr = RESCUE_GROUP_ROWS
 
@@ -638,12 +714,14 @@ def sweep_sor_two_pass(
         from .pallas_kernels import rescue_select
 
         rtotal, rcount_f, rkth, rseg_ok = rescue_select(
-            planar_g, q_planar, active, k=kp1, per_seg=3, gr=gr,
+            planar_g, q_planar, active, k=kp1,
+            per_seg=(5 if with_lb else 3), gr=gr,
             interpret=interpret,
         )
     else:
         rtotal, rcount, rkth, rseg_ok = _rescue_select_xla(
-            planar_g, q_planar, active, k=kp1, per_seg=3, gr=gr
+            planar_g, q_planar, active, k=kp1,
+            per_seg=(5 if with_lb else 3), gr=gr
         )
         rcount_f = rcount.astype(jnp.float32)
 
@@ -664,23 +742,102 @@ def sweep_sor_two_pass(
 
     # ── Scatter back into the sorted frame (qsel ARE sorted positions) ──
     pos = jnp.where(qvalid, qsel, nall)  # drop non-flagged slots
-    mean_s = p["mean_s"].at[pos].set(
-        jnp.where(qvalid, rmean, 0.0), mode="drop"
+    if not with_lb:
+        mean_s = p["mean_s"].at[pos].set(
+            jnp.where(qvalid, rmean, 0.0), mode="drop"
+        )
+        ok_s = p["point_ok_s"].at[pos].set(
+            jnp.where(qvalid, rok, False), mode="drop"
+        )
+        # Flagged rows beyond fix_cap were never selected and stay
+        # point_ok=False, so `certified` already reflects rescue overflow.
+        certified = jnp.logical_not(
+            jnp.any(jnp.logical_and(use_s, jnp.logical_not(ok_s)))
+        )
+        mean, point_ok = _unsort_mean_ok(mean_s, ok_s, p["inv"], n)
+        return mean, point_ok, certified
+
+    # ── Per-row LOWER BOUND on the true mean neighbor distance ──
+    # Candidate sets are provably COMPLETE within a known radius R (the
+    # per-query coverage radius in pass 1; the rescue prune radius in
+    # pass 2), wherever the window/selection machinery certified. Two
+    # sound bounds, combined by max:
+    #  * count-short (count < want): the missing (want - count) true
+    #    neighbors are each > R:
+    #    true_mean >= (total + (want - count) * R) / (want - 1).
+    #  * m-bound (count >= want, kth > R): found distances <= R are the
+    #    true ones; each of the (at most want-1) found beyond R
+    #    over-estimates its true counterpart by at most (kth - R):
+    #    true_mean >= mean_found - (kth - R).
+    # Consumers use this for the keep-DECISION certificate: UB <= thr
+    # proves keep, LB > thr proves removal (pipelines/kitti.py) — the
+    # isolated-point argument folded into the certificate.
+    wantf = p["want"].astype(jnp.float32)
+    ndiv = jnp.maximum(wantf - 1.0, 1.0)
+    safe1 = jnp.sqrt(p["safe2_s"])
+    mok = p["machine_ok_s"]
+    short1 = p["count_s"] < wantf
+    lb1_short = jnp.where(
+        jnp.logical_and(mok, short1),
+        (p["total_s"] + (wantf - p["count_s"]) * safe1) / ndiv,
+        0.0,
     )
-    ok_s = p["point_ok_s"].at[pos].set(
-        jnp.where(qvalid, rok, False), mode="drop"
+    kthd1 = jnp.sqrt(jnp.maximum(p["kth_s"], 0.0))
+    lb1_m = jnp.where(
+        jnp.logical_and(mok, jnp.logical_not(short1)),
+        p["mean_s"] - jnp.maximum(kthd1 - safe1, 0.0),
+        0.0,
     )
+    lb1 = jnp.maximum(lb1_short, jnp.maximum(lb1_m, 0.0))
+    # Exact rows: lb = the exact mean itself.
+    lb1 = jnp.where(p["point_ok_s"], p["mean_s"], lb1)
+    rshort = rcount_f < wantf
+    rlb_short = jnp.where(
+        jnp.logical_and(rseg_ok, rshort),
+        (rtotal + (wantf - rcount_f) * radius) / ndiv,
+        0.0,
+    )
+    rkthd = jnp.sqrt(jnp.maximum(rkth, 0.0))
+    rlb_m = jnp.where(
+        jnp.logical_and(rseg_ok, jnp.logical_not(rshort)),
+        jnp.where(jnp.isfinite(rmean), rmean, 0.0)
+        - jnp.maximum(rkthd - radius, 0.0),
+        0.0,
+    )
+    rlb = jnp.maximum(rlb_short, jnp.maximum(rlb_m, 0.0))
+    rlb = jnp.where(rok, jnp.where(jnp.isfinite(rmean), rmean, 0.0), rlb)
+
+    # ONE packed 3-channel scatter (the three separate .at[].set calls
+    # each re-stream the row arrays).
+    base = jnp.stack(
+        [p["mean_s"], p["point_ok_s"].astype(jnp.float32), lb1]
+    )
+    upd = jnp.stack(
+        [
+            jnp.where(qvalid, rmean, 0.0),
+            jnp.where(qvalid, rok.astype(jnp.float32), 0.0),
+            jnp.where(qvalid, rlb, 0.0),
+        ]
+    )
+    merged = base.at[:, pos].set(upd, mode="drop")
+    mean_s = merged[0]
+    ok_s = merged[1] > 0.5
+    lb_s = merged[2]
     # Flagged rows beyond fix_cap were never selected and stay
     # point_ok=False, so `certified` already reflects rescue overflow.
     certified = jnp.logical_not(
         jnp.any(jnp.logical_and(use_s, jnp.logical_not(ok_s)))
     )
     mean, point_ok = _unsort_mean_ok(mean_s, ok_s, p["inv"], n)
-    return mean, point_ok, certified
+    if p["inv"] is None:
+        lb = lb_s[:n]
+    else:
+        lb = jnp.take(lb_s, p["inv"])
+    return mean, point_ok, certified, lb
 
 
 def _rescue_structure(planar, order, flagged, fix_cap: int, n: int, radius,
-                      q_src=None):
+                      q_src=None, priority=None):
     """Shared pass-2 front end: compact flagged queries (in SORTED order,
     so blocks are spatially coherent and AABBs tight), pad the planar
     array to rescue groups, and build per-block AABB-pruned active-group
@@ -712,7 +869,25 @@ def _rescue_structure(planar, order, flagged, fix_cap: int, n: int, radius,
     # Pack flagged queries in SORTED order: spatially coherent blocks give
     # tight AABBs and deep pruning. order=None: rows already sorted.
     flagged_sorted = flagged if order is None else jnp.take(flagged, order)
-    fq = compaction_order(flagged_sorted)
+    if priority is not None:
+        # Rescue HIGH-priority rows first when flagged > fix_cap (e.g.
+        # rows with no lower-bound decision certificate); within each
+        # class, sorted order keeps blocks spatially coherent.
+        prio_sorted = (
+            priority if order is None else jnp.take(priority, order)
+        )
+        nq = flagged_sorted.shape[0]
+        key = jnp.where(
+            flagged_sorted,
+            jnp.where(prio_sorted, jnp.int32(0), jnp.int32(1)),
+            jnp.int32(2),
+        )
+        _, fq = jax.lax.sort(
+            (key, jnp.arange(nq, dtype=jnp.int32)), num_keys=1,
+            is_stable=True,
+        )
+    else:
+        fq = compaction_order(flagged_sorted)
     # Clamp the rescue capacity to the (128-rounded) cloud size: small
     # clouds otherwise under-fill the query blocks. fix_cap itself must
     # land on a 128-row block boundary (the reshape below is [qb, 128]),

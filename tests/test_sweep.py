@@ -265,3 +265,56 @@ def test_two_pass_fix_cap_rounds_to_block_multiple():
         xyz, valid, cell, k=8, wr=4, fix_cap=1000, use_kernel=False
     )
     assert np.asarray(ok).sum() > 0
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_per_query_coverage_certificate_exact_and_wider(use_kernel):
+    """The per-query coverage-radius certificate (structure_from_sorted
+    with grid_origin): certified rows must still be EXACT vs brute
+    force, and the certified fraction must strictly beat the worst-case
+    one-cell-width certificate on a workload whose kth distance sits
+    right at the cell width (the KITTI k=20 regime)."""
+    from pointclouds_tpu.ops.filters import voxel_downsample_sweep_fused
+    from pointclouds_tpu.spatial.sweep import (
+        structure_from_sorted,
+        sweep_sor_two_pass,
+    )
+
+    rng = np.random.default_rng(11)
+    # density tuned so the k=10 radius ~ the 3-voxel cell width
+    pts = (rng.random((6000, 3)) * [30.0, 30.0, 1.5]).astype(np.float32)
+    xyz, valid = _padded(pts, cap=8192)
+    voxel = np.float32(0.35)
+    factor = 3
+    fe = voxel_downsample_sweep_fused(
+        jnp.asarray(xyz), jnp.asarray(valid), voxel, factor=factor,
+        ds_cap=8192,
+    )
+    cents = np.asarray(fe["centroids"])
+    cvalid = np.asarray(fe["out_valid"])
+
+    def run(origin):
+        prebuilt = structure_from_sorted(
+            fe["centroids"], fe["out_valid"], fe["slin"], fe["extent"],
+            fe["hi_cells"], fe["table_overflow"], wr=4,
+            grid_origin=origin,
+        )
+        mean, ok, _ = sweep_sor_two_pass(
+            fe["centroids"], fe["out_valid"], voxel * factor, k=10,
+            rescue_cells=2.0, per_seg=2, use_kernel=use_kernel,
+            interpret=use_kernel, prebuilt=prebuilt, row_cap=12,
+            fix_cap=256,
+        )
+        return np.asarray(mean), np.asarray(ok)
+
+    mean_w, ok_w = run((fe["mn_v"], voxel, factor))
+    mean_0, ok_0 = run(None)
+    expect = brute_sor_means(cents, cvalid, 10)
+    # Exactness of every certified row under BOTH certificates.
+    np.testing.assert_allclose(mean_w[ok_w], expect[ok_w], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(mean_0[ok_0], expect[ok_0], rtol=1e-5,
+                               atol=1e-6)
+    # The per-query radius must certify strictly more (the effect is
+    # larger pre-rescue; post-rescue this scene keeps a ~10% edge).
+    assert ok_w.sum() > ok_0.sum() * 1.05, (ok_w.sum(), ok_0.sum())
