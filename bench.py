@@ -233,6 +233,10 @@ def main():
         obstacle_cap=196_608,
         # Measured -0.9 ms/frame streaming (scripts/micro_ab_r3c.py).
         ransac_subsample=4096,
+        # Shared voxel->sweep front end (normals cell = 6 x 0.5 m voxels
+        # = the demo's 3.0 m): the moments sweep reuses the frontend's
+        # sort instead of paying its own 262K-row payload sort.
+        normals_cell_factor=6,
     ).compile()
 
     def arun(seed):

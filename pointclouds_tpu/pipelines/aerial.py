@@ -64,6 +64,8 @@ class AerialPipelineOutput(NamedTuple):
         "normals_rescue",
         "normals_fix_cap",
         "ransac_subsample",
+        "normals_cell_factor",
+        "cluster_sweeps",
     ),
 )
 def aerial_pipeline(
@@ -86,6 +88,7 @@ def aerial_pipeline(
     normals_fix_cap: int = 16384,
     ransac_subsample: int | None = None,
     normals_cell_factor: int | None = None,
+    cluster_sweeps: int = 12,
 ):
     """Voxel -> sweep normals -> RANSAC -> ground removal -> sweep cluster.
 
@@ -208,9 +211,16 @@ def aerial_pipeline(
     # clusters ~10 pts/cell over wide windows) — per-block candidate
     # unions overflow the flat row list, so clustering keeps the
     # 9-dynamic-window walk (the round-3 certified backend).
+    # The 162K-obstacle aerial scene fails CONVERGENCE (not window
+    # overflow) within one 12-sweep kernel run on ~4/30 seeds — building
+    # blobs percolate through long label chains (surfaced by bench.py's
+    # all-frames flag accumulation). sweep_cluster_labels now continues
+    # non-converged runs from their current labels in further kernel
+    # bursts until the final sweep certifies zero changes.
     labels, cluster_exact = sweep_cluster_labels(
         obs_xyz, obs_valid, cluster_r, wr=cluster_wr,
         use_kernel=use_kernel, rep_labels=False, row_cap=None,
+        sweeps=cluster_sweeps,
     )
 
     return AerialPipelineOutput(

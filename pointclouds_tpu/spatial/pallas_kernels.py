@@ -1064,10 +1064,17 @@ def _cluster_multisweep_kernel(cap: int, nb: int, nr: int):
 
         @pl.when(t == 0)
         def _():
-            base = (bs * jnp.int32(128)).astype(jnp.float32)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
-            lab_ref[pl.ds(bs, 1), :] = base + iota
-            out_ref[0:1, :] = base + iota
+            if resume:
+                # Continue from a previous run's labels (the convergence
+                # completion loop in sweep.py) — frontier still starts
+                # all-live: the prior run's change pattern is unknown.
+                init = lab0_ref[pl.ds(bs, 1), :]
+            else:
+                base = (bs * jnp.int32(128)).astype(jnp.float32)
+                iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+                init = base + iota
+            lab_ref[pl.ds(bs, 1), :] = init
+            out_ref[0:1, :] = init
             out_ref[1:2, :] = zrow
             blk_ref[bs] = jnp.int32(1)  # sweep 1 reads buffer 0: all live
             blk_ref[nr + 1 + bs] = jnp.int32(0)
@@ -1340,9 +1347,14 @@ def cluster_multisweep(pts_planar, rowlist, r2, *, cap: int,
 # cell-graph/brute paths measured 113-2000 ms where this kernel
 # does the same frames in ~30-110 ms (round-3 numbers).
 
-def _cluster_multisweep_windows_kernel(nshift: int, nb: int, nr: int):
-    def kernel(starts_ref, pts_ref, r2_ref, out_ref, lab_ref, cnt_ref,
-               blk_ref):
+def _cluster_multisweep_windows_kernel(nshift: int, nb: int, nr: int,
+                                       resume: bool = False):
+    def kernel(starts_ref, pts_ref, r2_ref, *rest):
+        if resume:
+            lab0_ref, out_ref, lab_ref, cnt_ref, blk_ref = rest
+        else:
+            lab0_ref = None
+            out_ref, lab_ref, cnt_ref, blk_ref = rest
         # starts_ref i32[3*nshift + 1, NB]: starts / skips / lengths /
         # block-valid; r2_ref holds radius^2 broadcast over one row.
         # blk_ref i32[2*nr]: double-buffered per-ROW changed flags — the
@@ -1359,10 +1371,17 @@ def _cluster_multisweep_windows_kernel(nshift: int, nb: int, nr: int):
 
         @pl.when(t == 0)
         def _():
-            base = (bs * jnp.int32(128)).astype(jnp.float32)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
-            lab_ref[pl.ds(bs, 1), :] = base + iota
-            out_ref[0:1, :] = base + iota
+            if resume:
+                # Continue from a previous run's labels (the convergence
+                # completion loop in sweep.py) — frontier still starts
+                # all-live: the prior run's change pattern is unknown.
+                init = lab0_ref[pl.ds(bs, 1), :]
+            else:
+                base = (bs * jnp.int32(128)).astype(jnp.float32)
+                iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+                init = base + iota
+            lab_ref[pl.ds(bs, 1), :] = init
+            out_ref[0:1, :] = init
             out_ref[1:2, :] = zrow
             blk_ref[bs] = jnp.int32(1)  # sweep 1 reads buffer 0: all live
             blk_ref[nr + bs] = jnp.int32(0)
@@ -1560,7 +1579,7 @@ def _cluster_multisweep_windows_kernel(nshift: int, nb: int, nr: int):
 
 @partial(jax.jit, static_argnames=("sweeps", "interpret"))
 def cluster_multisweep_windows(pts_planar, starts, r2, *, sweeps: int = 12,
-                       interpret: bool = False):
+                       interpret: bool = False, labels0=None):
     """Full connected-components propagation in one pallas call.
 
     pts_planar f32[NR, 4, 128] (x, y, z, w); starts i32[NB, 3S + 1] (the
@@ -1599,15 +1618,19 @@ def cluster_multisweep_windows(pts_planar, starts, r2, *, sweeps: int = 12,
         axis=1,
     )
     pts_padded = jnp.concatenate([pts_masked, pad_row], axis=0)
-    kern = _cluster_multisweep_windows_kernel(nshift, nb, nr)
+    resume = labels0 is not None
+    kern = _cluster_multisweep_windows_kernel(nshift, nb, nr, resume=resume)
     z = np.int32(0)
+    in_specs = [
+        pl.BlockSpec((nr + 1, 4, 128), lambda t, b, s: (z, z, z)),
+        pl.BlockSpec((1, 128), lambda t, b, s: (z, z)),
+    ]
+    if resume:
+        in_specs.append(pl.BlockSpec((nb, 128), lambda t, b, s: (z, z)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(sweeps + 1, nb),
-        in_specs=[
-            pl.BlockSpec((nr + 1, 4, 128), lambda t, b, s: (z, z, z)),
-            pl.BlockSpec((1, 128), lambda t, b, s: (z, z)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (2, 128),
             lambda t, b, s: (
@@ -1631,7 +1654,8 @@ def cluster_multisweep_windows(pts_planar, starts, r2, *, sweeps: int = 12,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(starts, pts_padded, r2row)
+    )(starts, pts_padded, r2row,
+      *(() if not resume else (labels0.reshape(nb, 128),)))
     return out[0], out[1]
 
 

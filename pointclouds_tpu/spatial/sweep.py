@@ -1161,6 +1161,27 @@ def sweep_cluster_labels(
             labf, chf = cluster_multisweep_windows(
                 planar, starts_skip, r2, sweeps=sweeps, interpret=interpret,
             )
+            # Convergence COMPLETION loop: percolating scenes (dense
+            # aerial blobs) occasionally out-last the static sweep
+            # budget — continue from the current labels in further
+            # bursts until the final sweep reports zero changes (the
+            # certificate), up to 8 bursts. Converged runs never enter
+            # the loop; the certificate below stays sound either way.
+            def _cond(c):
+                i, _labf, chf_ = c
+                return jnp.logical_and(i < 8, jnp.sum(chf_) > 0.5)
+
+            def _body(c):
+                i, labf_, _chf = c
+                labf2, chf2 = cluster_multisweep_windows(
+                    planar, starts_skip, r2, sweeps=sweeps,
+                    interpret=interpret, labels0=labf_,
+                )
+                return i + 1, labf2, chf2
+
+            _, labf, chf = jax.lax.while_loop(
+                _cond, _body, (jnp.int32(0), labf, chf)
+            )
         converged = jnp.sum(chf) < 0.5
         lab = labf.astype(jnp.int32)
         if nall > nb * 128:
