@@ -1064,17 +1064,10 @@ def _cluster_multisweep_kernel(cap: int, nb: int, nr: int):
 
         @pl.when(t == 0)
         def _():
-            if resume:
-                # Continue from a previous run's labels (the convergence
-                # completion loop in sweep.py) — frontier still starts
-                # all-live: the prior run's change pattern is unknown.
-                init = lab0_ref[pl.ds(bs, 1), :]
-            else:
-                base = (bs * jnp.int32(128)).astype(jnp.float32)
-                iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
-                init = base + iota
-            lab_ref[pl.ds(bs, 1), :] = init
-            out_ref[0:1, :] = init
+            base = (bs * jnp.int32(128)).astype(jnp.float32)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+            lab_ref[pl.ds(bs, 1), :] = base + iota
+            out_ref[0:1, :] = base + iota
             out_ref[1:2, :] = zrow
             blk_ref[bs] = jnp.int32(1)  # sweep 1 reads buffer 0: all live
             blk_ref[nr + 1 + bs] = jnp.int32(0)

@@ -19,6 +19,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# SEPARATE persistent-cache directory for the CPU test runs: sharing the
+# TPU harness's cache poisoned it with CPU executables whose recorded
+# machine features (+prefer-no-scatter etc.) mismatch at load time —
+# jax's cache DESERIALIZATION then segfaults (cpu_aot_loader feature
+# check, observed killing full-suite runs mid-way).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/pointclouds_tpu_jax_cputests"),
+)
 
 
 def pytest_addoption(parser):
