@@ -330,10 +330,11 @@ def _degrade_to_xla(run, use_kernel: bool, memo_key=None):
         return run(False)
 
 
-@partial(jax.jit, static_argnames=("wr", "use_kernel", "rows", "row_cap"))
+@partial(jax.jit, static_argnames=("wr", "use_kernel", "rows", "row_cap",
+                                   "sweeps"))
 def _cluster_labels_packed(xyz, valid, radius, *, wr: int, use_kernel: bool,
                            row_cap: int | None = 16,
-                           rows: int = None):
+                           rows: int = None, sweeps: int = 12):
     """Returns i32[rows + 1]: [labels, exact flag] in ONE fetch (each
     extra fetch is a full RPC round-trip on the tunneled harness). The
     label->order sort stays on HOST: a measured device-side stable
@@ -353,10 +354,12 @@ def _cluster_labels_packed(xyz, valid, radius, *, wr: int, use_kernel: bool,
     return jnp.concatenate([labels, exact.astype(labels.dtype)[None]])
 
 
-@partial(jax.jit, static_argnames=("wr", "use_kernel", "rows", "row_cap"))
+@partial(jax.jit, static_argnames=("wr", "use_kernel", "rows", "row_cap",
+                                   "sweeps"))
 def _cluster_labels_packed_u16(xyz, valid, radius, *, wr: int,
                                use_kernel: bool, rows: int = None,
-                               row_cap: int | None = 16):
+                               row_cap: int | None = 16,
+                               sweeps: int = 12):
     """_cluster_labels_packed with RANK-COMPRESSED u16 labels: component
     rank (index of the representative among all representatives, ascending
     row id) replaces the representative row id. Rank order == label order,
@@ -368,7 +371,8 @@ def _cluster_labels_packed_u16(xyz, valid, radius, *, wr: int,
     from .sweep import sweep_cluster_labels
 
     labels, exact = sweep_cluster_labels(
-        xyz, valid, radius, wr=wr, use_kernel=use_kernel, row_cap=row_cap
+        xyz, valid, radius, wr=wr, use_kernel=use_kernel, row_cap=row_cap,
+        sweeps=sweeps,
     )
     n = labels.shape[0]
     is_rep = labels == jnp.arange(n, dtype=labels.dtype)
@@ -436,8 +440,24 @@ def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
         else:
             ladder = ((7, 16), (14, 16), (28, 16))
         for wr, row_cap in ladder:
+            # Rung-failure memo: a rung that came back inexact for this
+            # (capacity, radius) will fail identically on every same-
+            # shaped call (streaming workloads repeat shapes) — skip
+            # straight to the next rung instead of re-paying a full
+            # propagation + fetch (~60 ms/call on the dense aerial
+            # workload, where the flat-list rung always overflows).
+            rung_key = ("cluster_rung", n, float(radius), wr, row_cap)
+            if rung_key in _KERNEL_FAIL_MEMO:
+                continue
 
-            def run(uk, wr=wr, row_cap=row_cap):
+            # Windows rung (row_cap None): start at 6 sweeps — the
+            # resume-burst completion loop in sweep_cluster_labels
+            # extends non-converged runs, so converged scenes (the
+            # majority, 3-5 sweeps) stop paying for a 12-sweep budget.
+            # The flat-list rung keeps 12 (no resume support).
+            sweeps = 12 if row_cap is not None else 6
+
+            def run(uk, wr=wr, row_cap=row_cap, sweeps=sweeps):
                 # One fetch: rank-compressed u16 labels + (exact, fits)
                 # flags ride one packed vector (half the i32 fetch bytes);
                 # the rare >65535-component cloud refetches through the
@@ -446,6 +466,7 @@ def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
                     _cluster_labels_packed_u16(
                         xyz, valid, np.float32(radius), wr=wr,
                         use_kernel=uk, rows=rows, row_cap=row_cap,
+                        sweeps=sweeps,
                     )
                 )
                 if not bool(packed[-1]):  # component count overflows u16
@@ -453,6 +474,7 @@ def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
                         _cluster_labels_packed(
                             xyz, valid, np.float32(radius), wr=wr,
                             use_kernel=uk, rows=rows, row_cap=row_cap,
+                            sweeps=sweeps,
                         )
                     )
                     return packed32[:-1], bool(packed32[-1])
@@ -463,6 +485,7 @@ def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
             )
             if exact:
                 return np.asarray(labels, np.int32)
+            _KERNEL_FAIL_MEMO.add(rung_key)
     ext = _extent(xyz, valid)
     max_abs = ext[2] if ext else 0.0
     # cell = r/2 keeps the cell diagonal below r (same-cell points are all

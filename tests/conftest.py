@@ -19,15 +19,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# SEPARATE persistent-cache directory for the CPU test runs: sharing the
-# TPU harness's cache poisoned it with CPU executables whose recorded
-# machine features (+prefer-no-scatter etc.) mismatch at load time —
-# jax's cache DESERIALIZATION then segfaults (cpu_aot_loader feature
-# check, observed killing full-suite runs mid-way).
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/pointclouds_tpu_jax_cputests"),
-)
+# DISABLE the persistent compilation cache for CPU test runs: on this
+# machine, CPU executables serialize with machine features
+# (+prefer-no-scatter etc.) that the deserializer's host-feature check
+# does not report, and reloading such an entry SEGFAULTS inside
+# jax.compilation_cache.get_executable_and_time — even write-then-read
+# within one process (observed deterministically killing full-suite
+# runs at the test_tiles fixture). The cache only ever saved time on
+# the remote-TPU compiles anyway.
+jax.config.update("jax_enable_compilation_cache", False)
 
 
 def pytest_addoption(parser):
