@@ -55,6 +55,7 @@ def measure_floor():
 
 
 def timeit(name, fn, *args, reps=5, floor=0.0, ref_ms=None):
+    memo_before = len(engine._KERNEL_FAIL_MEMO)
     out = fn(*args)
     sync(out)
     ts = []
@@ -65,8 +66,23 @@ def timeit(name, fn, *args, reps=5, floor=0.0, ref_ms=None):
         ts.append((time.perf_counter() - t0) * 1e3)
     wall = min(ts)
     real = max(wall - floor, 0.0)
-    ref = f"  ref={ref_ms:.2f}ms ({ref_ms / max(real, 1e-3):.1f}x)" if ref_ms else ""
-    print(f"{name:42s} wall={wall:8.2f}ms  device={real:8.2f}ms{ref}")
+    # Backend attribution: a growing degrade memo means a Pallas kernel
+    # failed to compile (or a rung failed exactness) during this row and
+    # the XLA mirror / next rung served it.
+    degraded = len(engine._KERNEL_FAIL_MEMO) - memo_before
+    tag = f"  [degraded x{degraded}]" if degraded else ""
+    if ref_ms is not None:
+        if real < 0.5:
+            # Wall is at the RPC dispatch floor: device time is
+            # unmeasurably small on this tunneled harness — report the
+            # bound instead of a fictitious ratio.
+            ref = (f"  ref={ref_ms:.2f}ms (device<floor; >= "
+                   f"{ref_ms / 0.5:.0f}x)")
+        else:
+            ref = f"  ref={ref_ms:.2f}ms ({ref_ms / real:.1f}x)"
+    else:
+        ref = ""
+    print(f"{name:42s} wall={wall:8.2f}ms  device={real:8.2f}ms{ref}{tag}")
     return out
 
 

@@ -626,9 +626,19 @@ def euclidean_cluster(
         return []
 
     xyz, valid = cloud._arrs.xyz, cloud._arrs.valid
-    labels_np = _engine.cluster_labels(
-        xyz, valid, distance_threshold, n_valid=cloud.len()
+    filtered = False
+    res = _engine.cluster_labels(
+        xyz, valid, distance_threshold, n_valid=cloud.len(),
+        size_filter=(min_size, max_size),
     )
+    if res is not None:
+        # Sweep path: components outside [min_size, max_size] were
+        # dropped ON DEVICE (label -1) and labels are surviving-component
+        # ranks — u16-fetchable regardless of singleton noise, and the
+        # epilogue only touches surviving rows.
+        labels_np, filtered = res
+    else:
+        labels_np = None
     if labels_np is None:
         # Huge extents or unbounded per-cell density: exact int64-keyed
         # fallback (grid neighbor lists + per-point label propagation).
@@ -646,6 +656,15 @@ def euclidean_cluster(
     # exactly the tail — slice them off.
     labels_np = labels_np[: cloud.len()]
 
+    remap = None
+    if filtered:
+        # Drop the sentinel (-1) rows of filtered-out components and run
+        # the epilogue on the surviving subset; the compaction is
+        # monotone, so canonical ordering (size desc, first-member
+        # tiebreak; members ascending) survives the index remap.
+        remap = np.nonzero(labels_np >= 0)[0].astype(np.int64)
+        labels_np = labels_np[remap]
+
     # Host-side component extraction + canonical ordering
     # (ref: crates/segmentation/src/euclidean_cluster.rs:169-186).
     res = _native.cluster_epilogue(labels_np, min_size, max_size)
@@ -653,11 +672,15 @@ def euclidean_cluster(
         # Native counting-sort epilogue: order grouped canonically
         # (size desc, first-member tiebreak; members ascending).
         order, starts = res
+        if remap is not None:
+            order = remap[order]
         return [
             order[s:e].tolist() for s, e in zip(starts[:-1], starts[1:])
         ]
     order = np.argsort(labels_np, kind="stable")
     sorted_labels = labels_np[order]
+    if remap is not None:
+        order = remap[order]
     boundaries = np.nonzero(
         np.concatenate([[True], sorted_labels[1:] != sorted_labels[:-1]])
     )[0]

@@ -347,19 +347,53 @@ def _cluster_labels_packed(xyz, valid, radius, *, wr: int, use_kernel: bool,
     from .sweep import sweep_cluster_labels
 
     labels, exact = sweep_cluster_labels(
-        xyz, valid, radius, wr=wr, use_kernel=use_kernel, row_cap=row_cap
+        xyz, valid, radius, wr=wr, use_kernel=use_kernel, row_cap=row_cap,
+        sweeps=sweeps,
     )
     if rows is not None and rows < labels.shape[0]:
         labels = labels[:rows]
     return jnp.concatenate([labels, exact.astype(labels.dtype)[None]])
 
 
+def _surviving_component_ranks(labels, min_size: int, max_size: int):
+    """Per-row rank of the row's component among the SURVIVING components
+    (size in [min_size, max_size] inclusive), or -1 for rows of dropped
+    components. Scatter-free: two payload sorts + segmented scans (TPU
+    scatters run ~16M elem/s; a 262K label sort is ~1.5 ms).
+
+    Rank order == ascending representative-row order restricted to the
+    survivors, so the host epilogue's canonical (size desc, label asc)
+    tiebreak is unchanged. Returns (comp i32[n], n_surviving i32)."""
+    n = labels.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sl, sidx = jax.lax.sort((labels, pos), num_keys=1, is_stable=True)
+    first = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+    # Component size per sorted position: (last pos of segment) - (first
+    # pos) + 1, via forward cummax of segment starts and a reversed
+    # cummax of segment ends.
+    start_b = jax.lax.cummax(jnp.where(first, pos, 0))
+    is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+    end_b = jax.lax.cummin(
+        jnp.where(is_end, pos, jnp.int32(2**31 - 1)), reverse=True
+    )
+    size_b = end_b - start_b + 1
+    ok_b = jnp.logical_and(size_b >= min_size, size_b <= max_size)
+    surv_first = jnp.logical_and(first, ok_b)
+    srank_b = jnp.cumsum(surv_first.astype(jnp.int32)) - 1  # const/segment
+    out_sorted = jnp.where(ok_b, srank_b, jnp.int32(-1))
+    n_surv = srank_b[-1] + 1
+    # Unsort: one payload sort back by original row index.
+    _, comp = jax.lax.sort((sidx, out_sorted), num_keys=1, is_stable=True)
+    return comp, n_surv
+
+
 @partial(jax.jit, static_argnames=("wr", "use_kernel", "rows", "row_cap",
-                                   "sweeps"))
+                                   "sweeps", "size_filter"))
 def _cluster_labels_packed_u16(xyz, valid, radius, *, wr: int,
                                use_kernel: bool, rows: int = None,
                                row_cap: int | None = 16,
-                               sweeps: int = 12):
+                               sweeps: int = 12,
+                               size_filter: tuple | None = None):
     """_cluster_labels_packed with RANK-COMPRESSED u16 labels: component
     rank (index of the representative among all representatives, ascending
     row id) replaces the representative row id. Rank order == label order,
@@ -367,6 +401,13 @@ def _cluster_labels_packed_u16(xyz, valid, radius, *, wr: int,
     unchanged, and the fetch halves (u16 vs i32 — ~8 ms at 161K on the
     tunneled harness). Layout: [comp u16[rows], exact u16, fits u16];
     fits=0 (more than 65535 components) sends the caller to the i32 path.
+
+    ``size_filter=(min_size, max_size)``: components outside the size
+    band are dropped ON DEVICE (rank sentinel 65535); ranks then count
+    only SURVIVORS, so u16 virtually always fits — without this, scenes
+    whose singleton noise pushes the component count past 65535 (the
+    dense aerial workload: 166K obstacle points, tens of thousands of
+    singletons) forced a second full i32 propagation+fetch per call.
     """
     from .sweep import sweep_cluster_labels
 
@@ -375,13 +416,21 @@ def _cluster_labels_packed_u16(xyz, valid, radius, *, wr: int,
         sweeps=sweeps,
     )
     n = labels.shape[0]
-    is_rep = labels == jnp.arange(n, dtype=labels.dtype)
-    rank = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
-    ncomp = rank[-1] + 1
-    comp = jnp.take(rank, labels)
+    if size_filter is not None:
+        comp, ncomp = _surviving_component_ranks(
+            labels, int(size_filter[0]), int(size_filter[1])
+        )
+        sentinel = jnp.int32(65535)
+        comp = jnp.where(comp < 0, sentinel, comp)
+        fits = ncomp <= 65534  # 65535 reserved as the dropped sentinel
+    else:
+        is_rep = labels == jnp.arange(n, dtype=labels.dtype)
+        rank = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
+        ncomp = rank[-1] + 1
+        comp = jnp.take(rank, labels)
+        fits = ncomp <= 65535
     if rows is not None and rows < comp.shape[0]:
         comp = comp[:rows]
-    fits = ncomp <= 65535
     return jnp.concatenate(
         [
             comp.astype(jnp.uint16),
@@ -391,10 +440,19 @@ def _cluster_labels_packed_u16(xyz, valid, radius, *, wr: int,
     )
 
 
-def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
+def cluster_labels(xyz, valid, radius: float, n_valid: int = None,
+                   size_filter: tuple | None = None):
     """Connected-component labels under inclusive distance ``radius``
     (non-finite/invalid points keep their own row as a singleton label),
     or None if no backend can certify exactness (caller falls back).
+
+    ``size_filter=(min_size, max_size)``: when given AND the sweep path
+    serves the query, returns (labels, True) where dropped components'
+    rows carry label -1 and surviving rows carry the component's
+    surviving-rank (ascending representative order) — the caller must
+    exclude label < 0 rows before grouping. Falls back to
+    (raw_labels, False) on the non-sweep paths. Without size_filter the
+    return is the raw label array (backward compatible).
 
     Primary backend: sweep min-label propagation (hook + pointer jumping,
     `sweep.sweep_cluster_labels`); the collapsed cell-graph path remains
@@ -461,12 +519,14 @@ def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
                 # One fetch: rank-compressed u16 labels + (exact, fits)
                 # flags ride one packed vector (half the i32 fetch bytes);
                 # the rare >65535-component cloud refetches through the
-                # i32 path.
+                # i32 path. With size_filter, ranks count SURVIVING
+                # components only (sentinel 65535 -> -1), so the u16
+                # overflow refetch is effectively extinct.
                 packed = np.asarray(
                     _cluster_labels_packed_u16(
                         xyz, valid, np.float32(radius), wr=wr,
                         use_kernel=uk, rows=rows, row_cap=row_cap,
-                        sweeps=sweeps,
+                        sweeps=sweeps, size_filter=size_filter,
                     )
                 )
                 if not bool(packed[-1]):  # component count overflows u16
@@ -477,14 +537,18 @@ def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
                             sweeps=sweeps,
                         )
                     )
-                    return packed32[:-1], bool(packed32[-1])
-                return packed[:-2].astype(np.int32), bool(packed[-2])
+                    return packed32[:-1], bool(packed32[-1]), False
+                comp = packed[:-2].astype(np.int32)
+                if size_filter is not None:
+                    comp[comp == 65535] = -1
+                return comp, bool(packed[-2]), size_filter is not None
 
-            labels, exact = _degrade_to_xla(
+            labels, exact, filtered = _degrade_to_xla(
                 run, _kernel_preference(), memo_key=("cluster", n, wr, row_cap)
             )
             if exact:
-                return np.asarray(labels, np.int32)
+                out = np.asarray(labels, np.int32)
+                return (out, filtered) if size_filter is not None else out
             _KERNEL_FAIL_MEMO.add(rung_key)
     ext = _extent(xyz, valid)
     max_abs = ext[2] if ext else 0.0
@@ -506,7 +570,8 @@ def cluster_labels(xyz, valid, radius: float, n_valid: int = None):
         if bool(grid.overflow):
             continue
         adjacency = cell_graph_adjacency(grid, jnp.float32(radius))
-        return np.asarray(cell_graph_labels(grid, adjacency), np.int32)
+        out = np.asarray(cell_graph_labels(grid, adjacency), np.int32)
+        return (out, False) if size_filter is not None else out
     return None
 
 
