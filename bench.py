@@ -237,6 +237,10 @@ def main():
         # = the demo's 3.0 m): the moments sweep reuses the frontend's
         # sort instead of paying its own 262K-row payload sort.
         normals_cell_factor=6,
+        # 16 first-run sweeps: most seeds converge inside one kernel run
+        # (the resume-burst completion loop still covers stragglers, but
+        # a burst re-pays kernel startup — cheaper to finish in one).
+        cluster_sweeps=16,
     ).compile()
 
     def arun(seed):
