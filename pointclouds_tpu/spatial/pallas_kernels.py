@@ -1872,15 +1872,34 @@ def _sweep_moments_kernel(k: int, wr: int, per_seg: int, nshift: int,
 
             # ── Phase B: transposed rescan — moments of all candidates
             # inside the inclusion band, plus banded cle / count_all (see
-            # module comment for the band's jitter-proofing role). Tiles
-            # are [cand, query] so every reduction runs over sublanes
-            # into [1, 128] accumulators. ──
+            # module comment for the band's jitter-proofing role).
+            # d2 / the masks stay [cand, query] elementwise (bit-parity
+            # of counts with the XLA mirror), but the NINE moment
+            # accumulations ride ONE MXU matmul per candidate row:
+            # Σ_c le[c,q]·f(c) = F[10, cand] @ le[cand, query], with
+            # candidate features CENTERED at the block's mean query so
+            # the post-walk recombination (m2 = S2 - 2q'S1 + s0·q'^2
+            # etc.) stays at local magnitude — the eleven per-row
+            # [128,128] sublane reduces this replaces were ~8 ms of the
+            # aerial frame. le is 0/1, so every product is exact and
+            # only the summation tree differs from the mirror's (within
+            # ulps of the centered magnitudes).
+            qs11 = jnp.maximum(
+                jnp.sum(qm_row, axis=1, keepdims=True), jnp.float32(1.0)
+            )  # [1, 1]
+            c0x = jnp.sum(qx_row * qm_row, axis=1, keepdims=True) / qs11
+            c0y = jnp.sum(qy_row * qm_row, axis=1, keepdims=True) / qs11
+            c0z = jnp.sum(qz_row * qm_row, axis=1, keepdims=True) / qs11
+            ones_row = jnp.ones((1, 128), jnp.float32)
+
             def foldB(accs, row, keep):
-                (m1x, m1y, m1z, mxx, myy, mzz, mxy, mxz, myz, cle,
-                 cnt_all) = accs
-                cx_t = jnp.transpose(row[0, 0:1, :], (1, 0))  # [128, 1]
-                cy_t = jnp.transpose(row[0, 1:2, :], (1, 0))
-                cz_t = jnp.transpose(row[0, 2:3, :], (1, 0))
+                S, cle, cnt_all = accs
+                cx_row = row[0, 0:1, :]  # [1, 128] candidates
+                cy_row = row[0, 1:2, :]
+                cz_row = row[0, 2:3, :]
+                cx_t = jnp.transpose(cx_row, (1, 0))  # [128, 1]
+                cy_t = jnp.transpose(cy_row, (1, 0))
+                cz_t = jnp.transpose(cz_row, (1, 0))
                 cw_t = jnp.transpose(row[0, 3:4, :], (1, 0))
                 rx = cx_t - qx_row  # [cand, query] (c - q)
                 ry = cy_t - qy_row
@@ -1901,26 +1920,48 @@ def _sweep_moments_kernel(k: int, wr: int, per_seg: int, nshift: int,
                 def csum(a):  # [128, 128] -> [1, 128] (sublane reduce)
                     return jnp.sum(a, axis=0, keepdims=True)
 
-                xm = rx * le
-                ym = ry * le
-                zm = rz * le
-                return (
-                    m1x + csum(xm),
-                    m1y + csum(ym),
-                    m1z + csum(zm),
-                    mxx + csum(xm * rx),
-                    myy + csum(ym * ry),
-                    mzz + csum(zm * rz),
-                    mxy + csum(xm * ry),
-                    mxz + csum(xm * rz),
-                    myz + csum(ym * rz),
-                    cle + csum(in_band),
-                    cnt_all + csum(pair),
+                cxc = cx_row - c0x
+                cyc = cy_row - c0y
+                czc = cz_row - c0z
+                feats = jnp.concatenate(
+                    [
+                        ones_row,  # S0 = Σ le (the selected count)
+                        cxc, cyc, czc,
+                        cxc * cxc, cyc * cyc, czc * czc,
+                        cxc * cyc, cxc * czc, cyc * czc,
+                    ],
+                    axis=0,
+                )  # [10, cand]
+                S = S + jnp.dot(
+                    feats, le, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
+                return (S, cle + csum(in_band), cnt_all + csum(pair))
 
-            accs = walk(foldB, tuple(zrow for _ in range(11)))
-            (m1x, m1y, m1z, mxx, myy, mzz, mxy, mxz, myz, cle,
-             cnt_all) = accs
+            S, cle, cnt_all = walk(
+                foldB, (jnp.zeros((10, 128), jnp.float32), zrow, zrow)
+            )
+
+            # Recombine to query-centered moments: with q' = q - c0 and
+            # the features centered at c0,
+            #   m1 = S1 - s0 q',  m2_aa = S2_aa - 2 q'_a S1_a + s0 q'_a^2,
+            #   m2_ab = S2_ab - q'_a S1_b - q'_b S1_a + s0 q'_a q'_b.
+            s0 = S[0:1, :]
+            Sx, Sy, Sz = S[1:2, :], S[2:3, :], S[3:4, :]
+            Sxx, Syy, Szz = S[4:5, :], S[5:6, :], S[6:7, :]
+            Sxy, Sxz, Syz = S[7:8, :], S[8:9, :], S[9:10, :]
+            qxc = qx_row - c0x
+            qyc = qy_row - c0y
+            qzc = qz_row - c0z
+            m1x = Sx - s0 * qxc
+            m1y = Sy - s0 * qyc
+            m1z = Sz - s0 * qzc
+            mxx = Sxx - 2.0 * qxc * Sx + s0 * qxc * qxc
+            myy = Syy - 2.0 * qyc * Sy + s0 * qyc * qyc
+            mzz = Szz - 2.0 * qzc * Sz + s0 * qzc * qzc
+            mxy = Sxy - qxc * Sy - qyc * Sx + s0 * qxc * qyc
+            mxz = Sxz - qxc * Sz - qzc * Sx + s0 * qxc * qzc
+            myz = Syz - qyc * Sz - qzc * Sy + s0 * qyc * qzc
 
             # Certificates (same semantics as _phase2_from_finalists /
             # the XLA mirror's _segmented_smallest_k): every segment's
