@@ -318,3 +318,65 @@ def test_per_query_coverage_certificate_exact_and_wider(use_kernel):
     # The per-query radius must certify strictly more (the effect is
     # larger pre-rescue; post-rescue this scene keeps a ~10% edge).
     assert ok_w.sum() > ok_0.sum() * 1.05, (ok_w.sum(), ok_0.sum())
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sor_lower_bound_sound(use_kernel):
+    """The decision-certificate lower bound must really bound the TRUE
+    mean neighbor distance from below (and the returned mean from above)
+    for every valid row — on a mixed-density scene with isolated points,
+    clusters, and a sparse band, against an f64 brute-force oracle."""
+    from pointclouds_tpu.ops.filters import voxel_downsample_sweep_fused
+    from pointclouds_tpu.spatial.sweep import (
+        structure_from_sorted,
+        sweep_sor_two_pass,
+    )
+
+    rng = np.random.default_rng(23)
+    pts = np.vstack([
+        (rng.random((4000, 3)) * [25.0, 25.0, 2.0]).astype(np.float32),
+        # isolated far points (the rows the old certificate could never
+        # certify)
+        (rng.random((20, 3)) * 200.0 + 50.0).astype(np.float32),
+        # a tight clump
+        (rng.random((500, 3)) * 0.5 + 10.0).astype(np.float32),
+    ])
+    xyz, valid = _padded(pts, cap=8192)
+    voxel = np.float32(0.4)
+    k = 12
+    fe = voxel_downsample_sweep_fused(
+        jnp.asarray(xyz), jnp.asarray(valid), voxel, factor=3, ds_cap=8192,
+    )
+    prebuilt = structure_from_sorted(
+        fe["centroids"], fe["out_valid"], fe["slin"], fe["extent"],
+        fe["hi_cells"], fe["table_overflow"], wr=4,
+        grid_origin=(fe["mn_v"], voxel, 3),
+    )
+    mean, ok, _, lb = sweep_sor_two_pass(
+        fe["centroids"], fe["out_valid"], voxel * 3, k=k,
+        rescue_cells=8.0, per_seg=2, use_kernel=use_kernel,
+        interpret=use_kernel, prebuilt=prebuilt, row_cap=12,
+        fix_cap=1024, with_lb=True,
+    )
+    cents = np.asarray(fe["centroids"])
+    cvalid = np.asarray(fe["out_valid"])
+    mean = np.asarray(mean)
+    lb = np.asarray(lb)
+    ok = np.asarray(ok)
+    true_mean = brute_sor_means(cents, cvalid, k)
+    v = cvalid
+    # LB soundness (small f32 slack): lb <= true mean everywhere.
+    assert (lb[v] <= true_mean[v] * (1 + 1e-4) + 1e-4).all(), (
+        np.max(lb[v] - true_mean[v])
+    )
+    # UB soundness: finite returned means never undershoot the truth.
+    fin = v & np.isfinite(mean)
+    assert (mean[fin] >= true_mean[fin] * (1 - 1e-4) - 1e-4).all()
+    # Exact rows: lb == mean == truth.
+    np.testing.assert_allclose(mean[ok & v], true_mean[ok & v],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(lb[ok & v], mean[ok & v], rtol=1e-6,
+                               atol=1e-6)
+    # The bound must be non-trivial for the isolated points (all of them
+    # provably far: lb well above the clump scale).
+    assert (lb[v] > 1.0).sum() >= 15
