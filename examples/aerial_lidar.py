@@ -50,6 +50,11 @@ def run_fused(data, frames):
             seed,
             np.float32(2.0),
             vp,
+            # Shared voxel->sweep front end (6 x 0.5 m voxels = the
+            # 3.0 m normals cell) + one-run cluster convergence — the
+            # bench.py operating point.
+            normals_cell_factor=6,
+            cluster_sweeps=16,
         )
 
     out = run(0)
