@@ -29,11 +29,15 @@ sor-cell boundaries — with `shard_map` and four explicit collectives:
    plane, one label set) whose compute is a minority of the frame, and
    replication costs zero further collectives.
 
-Parity contract: voxel centroids ULP-equal (see above); SOR candidate
-sets for owned rows identical to the unsharded sweep's; the keep
-threshold and RANSAC hypothesis sampling see the same point SETS in a
-different order, so cleaned/cluster outputs are asserted GEOMETRICALLY
-equal in tests (tests/test_tiles.py), not positionally.
+Parity contract (round 5, bit-stable): voxel centroids ULP-equal (see
+above); SOR candidate sets for owned rows identical to the unsharded
+sweep's; the keep threshold is accumulated in f64 on BOTH sides (order-
+insensitive to ~1e-16 relative, matching `sor_keep_mask`); and RANSAC
+rebuilds the unsharded pipeline's canonical position_rows from the
+gathered global voxel keys, so hypothesis/tournament selection is
+bit-identical whenever the cleaned sets and centroid bits agree.
+Cleaned/cluster outputs are asserted geometrically equal in
+tests/test_tiles.py (row order still differs — tile-major gather).
 
 Ref for the scaling target this replaces: the reference's rayon
 intra-process parallelism (SURVEY.md C22); measured GSPMD failure:
@@ -48,7 +52,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.filters import sor_keep_mask, voxel_scan_sor_epilogue
 from ..ops.segmentation import ransac_plane_masked
