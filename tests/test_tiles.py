@@ -162,3 +162,38 @@ def test_tiled_points4_still_clean():
         n_ref = int(np.asarray(ref.cleaned_valid).sum())
         n_tiled = int(np.asarray(out.cleaned_count[b]))
         assert abs(n_tiled - n_ref) <= max(2, n_ref // 1000)
+
+
+def test_tiled_points1_fast_path_matches_unsharded():
+    """points=1 skips routing/halos entirely (one canonical sort IS the
+    merged frame) — its outputs must match the unsharded pipeline like
+    the routed meshes do: clean flags, equal cleaned counts, same
+    plane."""
+    frames = [
+        make_cloud_arrays(kitti_scene(seed=s, scale=SCALE)) for s in range(2)
+    ]
+    xs = jnp.stack([f.xyz for f in frames])
+    vs = jnp.stack([f.valid for f in frames])
+    mesh = _mesh(2, 1)
+    step = tiled_kitti_pipeline(
+        mesh, xs.shape[1], sor_k=10, ransac_iters=50, obstacle_cap=2048,
+        ransac_subsample=None,
+    )
+    out = step(
+        xs, vs, jnp.float32(0.15), jnp.float32(2.0), jnp.float32(0.15),
+        jnp.arange(2, dtype=jnp.int32), jnp.float32(0.8),
+    )
+    jax.block_until_ready(out)
+    assert not np.asarray(out.flags).any()
+    for b, f in enumerate(frames):
+        ref = kitti_obstacle_pipeline(
+            f.xyz, f.valid, jnp.float32(0.15), jnp.float32(2.0),
+            jnp.float32(0.15), b, jnp.float32(0.8), sor_k=10,
+            ransac_iters=50, obstacle_cap=2048,
+        )
+        n_ref = int(np.asarray(ref.cleaned_valid).sum())
+        n_tiled = int(np.asarray(out.cleaned_count[b]))
+        assert abs(n_tiled - n_ref) <= max(2, n_ref // 1000), (b, n_tiled, n_ref)
+        n_t = np.asarray(out.plane_normal[b])
+        n_r = np.asarray(ref.plane_normal)
+        assert abs(abs(float(n_t @ n_r)) - 1.0) < 5e-3, (b, n_t, n_r)
